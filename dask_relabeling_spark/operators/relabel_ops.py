@@ -1,0 +1,128 @@
+"""Relabeling pipeline operators: segment, dedup (remove), merge, sort.
+
+Each operator is a thin Spark wrapper over a pure-NumPy kernel from
+``dask_relabeling_spark.kernels``; physical shapes:
+
+* ``segment`` / ``remove``: narrow ``mapInPandas`` — zero shuffles, the
+  kernels fuse into one Python stage per tile;
+* ``merge``: one halo exchange (margins shuffle) feeding the paste kernel;
+* ``sort_label_indices``: distributed ``explode -> distinct`` for the global
+  label dictionary (partial + final hash agg; never ships pixels to the
+  driver — only the distinct label set), then a broadcast of the sorted
+  dictionary into a narrow remap.  This replaces the reference's explicit
+  driver-side barrier (``relabeling.py:331``) and its O(L^2) ``list.index``
+  remap (``chunkops.py:104-113``).
+"""
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..kernels.ccl import segment_fn as default_segment_fn
+from ..kernels.relabel import (merge_tiles as merge_kernel,
+                               remove_overlapped_objects, sort_indices,
+                               zero_classes_where_removed)
+from ..sources.tiles import TileSet, key_cols
+from .halo import halo_exchange, map_tiles, trim_overlap
+
+
+def segment_overlapped_input(ts: TileSet,
+                             seg_fn: Optional[Callable] = None,
+                             returns_classes: bool = False,
+                             segmentation_fn_kwargs: Optional[dict] = None,
+                             extra_tiles: Optional[dict] = None) -> TileSet:
+    """Run the user segmentation function independently per (overlapped)
+    tile (reference ``relabeling.py:14-47``).
+
+    ``seg_fn(tile, **kwargs) -> int32 labels`` — or, with
+    ``returns_classes``, a stacked ``(1 + nclasses, *spatial)`` array whose
+    plane 0 is labels.  ``extra_tiles`` maps kwarg names to other TileSets
+    already aligned chunk-wise (the reference's dask-array kwargs,
+    ``relabeling.py:28-36``); they are equi-joined on the tile key before
+    the UDF, so alignment costs one co-partitioned join, not a new shuffle
+    pattern.
+    """
+    fn = seg_fn or default_segment_fn
+    kwargs = dict(segmentation_fn_kwargs or {})
+    nd = ts.nd
+
+    base = ts
+    if extra_tiles:
+        df = ts.df
+        keys = key_cols(nd)
+        for name, other in extra_tiles.items():
+            other_df = other.df.select(
+                *keys, F.col("data").alias(f"__kw_{name}"),
+                F.col("h").alias(f"__kwh_{name}"),
+                F.col("w").alias(f"__kww_{name}"))
+            df = df.join(other_df, on=keys)
+        raise NotImplementedError(
+            "aligned-array kwargs: join path reserved; pass ndarray kwargs")
+
+    def fn_tile(tile, cls, loc):
+        out = fn(tile, **kwargs)
+        out = np.asarray(out)
+        if returns_classes:
+            return out[0].astype(np.int64), out[1:].astype(np.int64)
+        return out.astype(np.int64), None
+
+    return map_tiles(base, fn_tile)
+
+
+def remove_overlapped_labels(ts: TileSet, threshold: float = 0.5
+                             ) -> TileSet:
+    """Border dedup + deterministic global offset (narrow, no shuffle).
+    Reference ``relabeling.py:50-76``."""
+    nd, grid, ov = ts.nd, ts.grid, ts.overlaps
+
+    def fn(tile, cls, loc):
+        removed = remove_overlapped_objects(tile, ov, threshold, loc, grid)
+        new_cls = None
+        if cls is not None:
+            new_cls = np.stack([zero_classes_where_removed(removed, p)
+                                for p in cls])
+        return removed, new_cls
+
+    return map_tiles(ts, fn)
+
+
+def merge_overlapped_tiles(ts: TileSet) -> TileSet:
+    """Second halo exchange + neighbor paste + trim (one shuffle).
+    Reference ``relabeling.py:79-99``."""
+    nd, grid, ov = ts.nd, ts.grid, ts.overlaps
+    exchanged = halo_exchange(ts, ov)
+
+    def fn(expanded, cls, loc):
+        merged = merge_kernel(expanded, ov, loc, grid, classes=cls)
+        if cls is not None:
+            return merged[0], merged[1:]
+        return merged, None
+
+    merged = map_tiles(exchanged, fn)
+    # merge_kernel already stripped the exchange halo; tiles are back to the
+    # pre-exchange (prepare-overlapped) geometry
+    merged = merged.with_df(merged.df, overlaps=ov)
+    return trim_overlap(merged)
+
+
+def sort_label_indices(ts: TileSet) -> TileSet:
+    """Dense re-index of all labels to 0..N in sorted order.
+
+    Global dictionary = ``explode(data) -> distinct`` (distributed partial +
+    final aggregation); only the distinct labels (tiny vs pixels) reach the
+    driver, are sorted, and ship back inside the remap closure — the Spark
+    rendition of a broadcast join against a ``dense_rank`` dictionary.
+    Reference ``relabeling.py:312-346``.
+    """
+    uniq = (ts.df.select(F.explode("data").alias("label"))
+            .distinct().collect())
+    dictionary = np.sort(np.array([r.label for r in uniq], dtype=np.int64))
+    bc = ts.df.sparkSession.sparkContext.broadcast(dictionary)
+
+    def fn(tile, cls, loc):
+        return sort_indices(tile, bc.value), cls
+
+    return map_tiles(ts, fn)

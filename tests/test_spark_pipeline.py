@@ -1,0 +1,100 @@
+"""End-to-end Spark pipeline tests against the reference goldens — the
+Spark rendition of reference tests/test_relabeling.py:193-304."""
+import json
+
+import numpy as np
+import pytest
+
+from dask_relabeling_spark import (from_tiles, image2labels, labels2geojson,
+                                   sort_label_indices, to_array, to_tiles,
+                                   zip_annotated_tiles)
+from dask_relabeling_spark.operators.pipeline import prepare_input
+from dask_relabeling_spark.operators.relabel_ops import (
+    remove_overlapped_labels, segment_overlapped_input)
+from dask_relabeling_spark.sources.tiles import load_npz_tiles
+
+SAMPLES = "/root/reference/tests/samples"
+
+CASES = {
+    "2d": dict(grid=(4, 3), chunk=(4, 4), overlaps=(2, 2), threshold=0.25),
+    "3d": dict(grid=(3, 2, 3), chunk=(5, 5, 5), overlaps=(2, 2, 2),
+               threshold=0.125),
+}
+
+
+def golden_array(stage, dim, crop=None):
+    grid = CASES[dim]["grid"]
+    tiles = load_npz_tiles(f"{SAMPLES}/{stage}_{dim}.npz", grid)
+    if len(grid) == 2:
+        arr = np.block([[tiles[(y, x)] for x in range(grid[1])]
+                        for y in range(grid[0])])
+    else:
+        arr = np.block([[[tiles[(z, y, x)] for x in range(grid[2])]
+                         for y in range(grid[1])] for z in range(grid[0])])
+    if crop:
+        arr = arr[tuple(slice(0, s) for s in crop)]
+    return arr
+
+
+@pytest.mark.parametrize("dim", ["2d", "3d"])
+def test_image2labels_golden(spark, dim):
+    p = CASES[dim]
+    inp = load_npz_tiles(f"{SAMPLES}/input_{dim}.npz", p["grid"])
+    img_shape = tuple(
+        sum(inp[tuple(r if ax == a else 0 for a, _ in enumerate(p["grid"]))]
+            .shape[ax] for r in range(p["grid"][ax]))
+        for ax in range(len(p["grid"])))
+    ts = from_tiles(spark, inp, nd=len(p["grid"]), grid=p["grid"],
+                    chunk_shape=p["chunk"], overlaps=(0,) * len(p["grid"]),
+                    image_shape=img_shape)
+    out = image2labels(ts, overlaps=list(p["overlaps"]),
+                       threshold=p["threshold"])
+    got = to_array(out)
+    exp = golden_array("trim", dim, crop=img_shape)
+    assert np.array_equal(got, exp)
+
+
+def test_sort_label_indices_golden(spark):
+    p = CASES["2d"]
+    trim = load_npz_tiles(f"{SAMPLES}/trim_2d.npz", p["grid"])
+    ts = from_tiles(spark, trim, nd=2, grid=p["grid"],
+                    chunk_shape=p["chunk"], overlaps=(0, 0),
+                    image_shape=(16, 12))
+    got = to_tiles(sort_label_indices(ts))
+    exp = load_npz_tiles(f"{SAMPLES}/sort_2d.npz", p["grid"])
+    for loc in exp:
+        assert np.array_equal(got[loc], exp[loc]), loc
+
+
+def test_labels2geojson_and_zip_golden(spark, tmp_path):
+    p = CASES["2d"]
+    # labels2geojson(pre_overlapped=True) consumed right after segmentation
+    inp = load_npz_tiles(f"{SAMPLES}/input_2d.npz", p["grid"])
+    ts = from_tiles(spark, inp, nd=2, grid=p["grid"], chunk_shape=p["chunk"],
+                    overlaps=(0, 0), image_shape=(14, 12))
+    overlapped = prepare_input(ts, list(p["overlaps"]))
+    segmented = segment_overlapped_input(overlapped)
+    ann = labels2geojson(overlapped.with_df(segmented.df),
+                         overlaps=list(p["overlaps"]),
+                         threshold=p["threshold"], pre_overlapped=True)
+    rows = {(r.cy, r.cx): r.annotation for r in ann.collect()}
+    exp_tiles = load_npz_tiles(f"{SAMPLES}/ann_2d.npz", p["grid"])
+    for loc, exp in exp_tiles.items():
+        exp = exp.item()
+        got = rows[loc]
+        if exp == 0:
+            assert got is None, loc
+        else:
+            assert json.loads(got) == exp, loc
+
+    # sink round-trip (reference tests/test_relabeling.py:158-190)
+    out_zip = zip_annotated_tiles(ann, out_dir=tmp_path / "anns")
+    import zipfile
+    with zipfile.ZipFile(out_zip) as zf:
+        names = sorted(zf.namelist())
+        assert names == sorted(
+            f"{loc[0]}-{loc[1]}.geojson" for loc, e in exp_tiles.items()
+            if e.item() != 0)
+        for n in names:
+            loc = tuple(int(c) for c in n[:-len(".geojson")].split("-"))
+            assert json.loads(zf.read(n)) == exp_tiles[loc].item()
