@@ -1,0 +1,197 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Design rules for 100 TB:
+
+* never build the full O(n^2) pair matrix — candidates come from an
+  equality join on a *bucket key* (hash, LSH band, SimHash band), which
+  Spark executes as a shuffled hash join on that key;
+* all hashes are engine-portable integer arithmetic over ``md5`` hex
+  (``conv(substr(md5(x),1,8),16,10)``), so a DuckDB oracle can replay them
+  bit-for-bit — no reliance on engine-private hash functions;
+* thresholds are rational (``den * inter >= num * union``) — integer
+  comparisons, immune to float-boundary disagreements between engines;
+* everything is built-in-function expressions (codegen'd); no Python UDFs.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+# MinHash parameters — shared verbatim with the SQL oracle generator.
+MINHASH_PRIME = 4294967291          # largest 32-bit prime
+MINHASH_COEFFS: List[Tuple[int, int]] = [
+    (787 + 62 * j, 1000003 + 104729 * j) for j in range(8)
+]
+N_BANDS = 4                          # 8 hashes -> 4 bands of 2 rows
+SIMHASH_BITS = 16
+
+
+def token_hash(tok: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 as an integer.
+    ``conv`` returns a decimal string; cast back to long."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a text column (JVM-side array ops)."""
+    toks = tokens_col(text)
+    # NB: Spark's sequence(1, 0) yields a DESCENDING [1, 0], not [] —
+    # guard short texts explicitly.
+    idx = F.when(F.size(toks) >= n,
+                 F.sequence(F.lit(1), F.size(toks) - (n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + k) for k in range(n)]))
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup: hash-groupBy on the content fingerprint.  Output one row
+    per duplicate group: fingerprint, group size, canonical (min) id."""
+    return (df.select(F.md5(F.col(text_col)).alias("fingerprint"), id_col)
+            .groupBy("fingerprint")
+            .agg(F.count("*").alias("n_dups"),
+                 F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_dups") > 1))
+
+
+def _distinct_shingle_table(df: DataFrame, id_col: str, text_col: str,
+                            n: int) -> DataFrame:
+    return (df.select(F.col(id_col).alias("id"),
+                      F.explode(F.array_distinct(
+                          shingles_col(F.col(text_col), n))).alias("sh")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold_num: int = 4, threshold_den: int = 5
+                        ) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= num/den.
+
+    intersection via a self-join on the shingle (a shuffled hash join on a
+    string key — skew-prone on very common shingles; AQE skew-join splits
+    those), union by inclusion-exclusion, threshold as integer cross-
+    multiplication.  Output: (id_a, id_b, inter, union_sz).
+    """
+    sh = _distinct_shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    inter = (sh.alias("a")
+             .join(sh.alias("b"),
+                   (F.col("a.sh") == F.col("b.sh")) &
+                   (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count("*").alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("id", "id_a")
+                 .withColumnRenamed("n_sh", "n_a"), "id_a")
+           .join(sizes.withColumnRenamed("id", "id_b")
+                 .withColumnRenamed("n_sh", "n_b"), "id_b")
+           .withColumn("union_sz",
+                       F.col("n_a") + F.col("n_b") - F.col("inter"))
+           .filter(F.col("inter") * threshold_den
+                   >= F.col("union_sz") * threshold_num)
+           .select("id_a", "id_b", "inter", "union_sz"))
+    return out
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """8-hash MinHash signature per document over word-3-gram shingles.
+
+    ``min((a*h32 + b) mod P)`` per hash function, h32 the portable md5-based
+    shingle hash.  All arithmetic stays in int64 (a < 2**30 keeps the
+    product < 2**63).  One aggregation, map-side partial min.
+    """
+    sh = _distinct_shingle_table(df, id_col, text_col, n)
+    h = token_hash(F.col("sh"))
+    aggs = [F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME))
+            .alias(f"mh{j}")
+            for j, (a, b) in enumerate(MINHASH_COEFFS)]
+    return sh.groupBy(F.col("id")).agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", n: int = 3) -> DataFrame:
+    """LSH candidate pairs: band the signature (4 bands x 2 rows), join on
+    (band index, band value).  Only bucket-mates meet — never all-pairs.
+    Output: distinct (id_a, id_b)."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    bands = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.concat_ws("_", f"mh{2 * bi}", f"mh{2 * bi + 1}")
+                     .alias("bucket"))
+            for bi in range(N_BANDS)])).alias("bb")) \
+        .select("id", "bb.band", "bb.bucket")
+    pairs = (bands.alias("a")
+             .join(bands.alias("b"),
+                   (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.bucket") == F.col("b.bucket")) &
+                   (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    return pairs
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """16-bit SimHash over the distinct-token set.
+
+    bit b of the fingerprint is 1 iff sum over tokens of (+1 if bit b of
+    the token hash else -1) is positive — expressed as 16 conditional sums
+    in one hash aggregation (no Python, no explode-per-bit).
+    """
+    tok = (df.select(F.col(id_col).alias("id"),
+                     F.explode(F.array_distinct(
+                         tokens_col(F.col(text_col)))).alias("tok")))
+    h = token_hash(F.col("tok"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    fp = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text",
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, candidate-limited by
+    band equality (two 8-bit halves: hamming<=3 pairs share a half only if
+    distance concentrates — classic SimHash banding; exact filter after)."""
+    sh = simhash(df, id_col, text_col)
+    halves = sh.select(
+        "id", "simhash",
+        F.explode(F.array(
+            F.struct(F.lit(0).alias("band"),
+                     (F.col("simhash") % 256).alias("half")),
+            F.struct(F.lit(1).alias("band"),
+                     (F.col("simhash") / 256).cast("long").alias("half")),
+        )).alias("bb")).select("id", "simhash", "bb.band", "bb.half")
+    pairs = (halves.alias("a")
+             .join(halves.alias("b"),
+                   (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.half") == F.col("b.half")) &
+                   (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.col("a.simhash").alias("sh_a"),
+                     F.col("b.simhash").alias("sh_b"))
+             .distinct()
+             .withColumn("hamming", F.bit_count(
+                 F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+             .filter(F.col("hamming") <= max_hamming)
+             .select("id_a", "id_b", "hamming"))
+    return pairs

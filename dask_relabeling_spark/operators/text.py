@@ -1,0 +1,104 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are built-in ``pyspark.sql.functions`` expressions (JVM-side,
+whole-stage-codegen'd, no Python in the loop): tokenization is
+``split``+``filter``, hashes are ``md5``+``conv``, scores are integer
+arithmetic.  Every operator keeps a deterministic, oracle-checkable output.
+
+Scale: these are narrow per-row maps over string columns — they pipeline
+into the parquet scan with zero shuffles; only the explicit aggregations
+(word counts) shuffle, with partial aggregation map-side.
+"""
+from __future__ import annotations
+
+from typing import Dict, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic per-language marker-token lists for the n-gram/stopword
+# language-ID heuristic.  (On the synthetic corpus these are arbitrary but
+# fixed; on real text they would be true stopword lists.)
+LANG_MARKERS: Dict[str, List[str]] = {
+    "de": ["der", "und", "table", "group", "merge"],
+    "en": ["the", "a", "row", "scan", "value"],
+    "es": ["el", "la", "data", "query", "fast"],
+    "fr": ["le", "et", "join", "filter", "sort"],
+    "zh": ["hash", "batch", "stream", "window", "big"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped (JVM-side)."""
+    return F.filter(F.split(text, " "), lambda t: t != F.lit(""))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens, n_distinct_tokens, avg_token_len (rounded) per row."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            .cast("double") / F.size(toks), 6).alias("avg_token_len"),
+    )
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality signals: length, token count, type-token
+    ratio, marker-word ratio — the length/punct/stopword-ratio family."""
+    toks = tokens_col(F.col(text_col))
+    all_markers = sorted({m for ms in LANG_MARKERS.values() for m in ms})
+    marker_arr = F.array(*[F.lit(m) for m in all_markers])
+    n_marker = F.size(F.filter(toks,
+                               lambda t: F.array_contains(marker_arr, t)))
+    n_tok = F.size(toks)
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok,
+                6).alias("type_token_ratio"),
+        F.round(n_marker.cast("double") / n_tok, 6).alias("marker_ratio"),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Marker-token language ID: per-language score = number of tokens in
+    that language's marker list; prediction = argmax, ties resolved to the
+    alphabetically-first language (fully deterministic)."""
+    toks = tokens_col(F.col(text_col))
+
+    def count_in(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        # single-arg lambda: a defaulted second param would make Spark
+        # treat this as an (element, index) lambda
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: count_in(markers)
+              for lang, markers in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*scores.values())
+    pred = None
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        cond = scores[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None \
+            else F.when(cond, F.lit(lang)).otherwise(pred)
+    # reversed fold => alphabetically-first language wins ties
+    return df.select("doc_id", "lang",
+                     pred.alias("pred_lang"),
+                     best.alias("best_score"))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 over the normalized (lowercased,
+    whitespace-collapsed) text — the hash-groupBy dedup key."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus word frequencies: explode -> partial+final hash agg."""
+    return (df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
+            .groupBy("tok").agg(F.count("*").alias("cnt")))

@@ -1,0 +1,271 @@
+"""Training-data-pipeline queries (dedup / similarity / text / multimodal /
+sessionization) with DuckDB oracles.
+
+The oracle SQL for MinHash and SimHash is *generated* from the same
+constants the Spark operators use (``operators.dedup``), so both engines
+compute the identical integer hash pipeline.
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as TX
+from ..operators.multimodal import documents_as_media, media_metadata
+from ..streaming.events import sessionize_batch, windowed_event_counts
+from .relational import register, t
+
+# Portable token hash, DuckDB side (Spark side: operators.dedup.token_hash)
+_DUCK_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
+
+_DUCK_SHINGLES = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+                        i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS shs
+  FROM toks
+), sh AS (
+  SELECT DISTINCT doc_id AS id, unnest(shs) AS sh FROM sh0
+)
+"""
+
+
+# ------------------------------------------------------------ exact dedup
+@register("dedup_exact", """
+SELECT md5(text) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_id
+FROM documents GROUP BY 1 HAVING count(*) > 1
+""")
+def dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------- n-gram Jaccard dedup
+@register("dedup_ngram_jaccard", _DUCK_SHINGLES + """
+, cnt AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id GROUP BY 1, 2)
+SELECT id_a, id_b, inter,
+       CAST(ca.n + cb.n - inter AS BIGINT) AS union_sz
+FROM inter JOIN cnt ca ON ca.id = id_a JOIN cnt cb ON cb.id = id_b
+WHERE inter * 5 >= (ca.n + cb.n - inter) * 4
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """3-gram shingle Jaccard >= 4/5, integer-exact threshold."""
+    return D.ngram_jaccard_pairs(t(spark, sf_dir, "documents"),
+                                 threshold_num=4, threshold_den=5)
+
+
+# -------------------------------------------------------- MinHash + LSH
+def _minhash_sig_sql() -> str:
+    h = _DUCK_H32.format(x="sh")
+    mins = ", ".join(
+        f"min(({a} * {h} + {b}) % {D.MINHASH_PRIME}) AS mh{j}"
+        for j, (a, b) in enumerate(D.MINHASH_COEFFS))
+    return _DUCK_SHINGLES + f", sig AS (SELECT id, {mins} FROM sh GROUP BY id)"
+
+
+def _minhash_pairs_sql() -> str:
+    bands = " UNION ALL ".join(
+        f"SELECT id, {bi} AS band, CAST(mh{2*bi} AS VARCHAR) || '_' || "
+        f"CAST(mh{2*bi+1} AS VARCHAR) AS bucket FROM sig"
+        for bi in range(D.N_BANDS))
+    return _minhash_sig_sql() + f""",
+bands AS ({bands})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+"""
+
+
+@register("dedup_minhash_signatures", _minhash_sig_sql() +
+          "\nSELECT * FROM sig")
+def dedup_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(t(spark, sf_dir, "documents"))
+
+
+@register("dedup_minhash_lsh", _minhash_pairs_sql())
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------------------- SimHash
+def _simhash_sql() -> str:
+    h = _DUCK_H32.format(x="tok")
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ({h} >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(D.SIMHASH_BITS))
+    combine = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(D.SIMHASH_BITS))
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, unnest(
+    list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+agg AS (SELECT id, {bit_sums} FROM tok GROUP BY id)
+SELECT id, CAST({combine} AS BIGINT) AS simhash FROM agg
+"""
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    return D.simhash(t(spark, sf_dir, "documents"))
+
+
+# -------------------------------------------------- similarity search
+@register("ann_cosine_topk", """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                          list_transform(qv, x -> CAST(x AS DOUBLE)))
+         / (sqrt(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE))))
+          * sqrt(list_dot_product(
+               list_transform(qv, x -> CAST(x AS DOUBLE)),
+               list_transform(qv, x -> CAST(x AS DOUBLE))))) AS cos
+  FROM embeddings, q)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
+       vec_id
+FROM s ORDER BY rank LIMIT 10
+""")
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 around vec_id 0 (rank+id contract)."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.cosine_topk(emb, [float(x) for x in qv], k=10)
+
+
+@register("embedding_neardup_pairs", """
+WITH v AS (
+  SELECT vec_id AS id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings),
+n AS (SELECT id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v)
+SELECT a.id AS id_a, b.id AS id_b
+FROM n a JOIN n b ON a.id < b.id
+WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) * 100 >= 45
+""")
+def embedding_neardup_pairs(spark, sf_dir):
+    return S.cosine_neardup_pairs(t(spark, sf_dir, "embeddings"),
+                                  threshold_num=45, threshold_den=100)
+
+
+# ------------------------------------------------------- text analysis
+@register("text_token_stats", """
+SELECT doc_id,
+       CAST(len(tk) AS INT) AS n_tokens,
+       CAST(len(list_distinct(tk)) AS INT) AS n_distinct_tokens,
+       round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+             / len(tk), 6) AS avg_token_len
+FROM (SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents)
+""")
+def text_token_stats(spark, sf_dir):
+    return TX.with_token_stats(t(spark, sf_dir, "documents"))
+
+
+def _langid_sql() -> str:
+    score = {lang: "+".join(
+        f"(CASE WHEN tok = '{m}' THEN 1 ELSE 0 END)" for m in ms)
+        for lang, ms in sorted(TX.LANG_MARKERS.items())}
+    sums = ", ".join(f"sum({expr}) AS s_{lang}"
+                     for lang, expr in score.items())
+    langs = sorted(TX.LANG_MARKERS)
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{l} = {best} THEN '{l}'" for l in langs) + " END"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+sc AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
+SELECT d.doc_id, d.lang, {pred} AS pred_lang,
+       CAST({best} AS INT) AS best_score
+FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+"""
+
+
+@register("text_langid", _langid_sql())
+def text_langid(spark, sf_dir):
+    return TX.with_lang_id(t(spark, sf_dir, "documents"))
+
+
+@register("text_quality", """
+SELECT doc_id,
+       CAST(length(text) AS INT) AS n_chars,
+       CAST(len(tk) AS INT) AS n_tokens,
+       round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+         AS type_token_ratio,
+       round(CAST(len(list_filter(tk, x -> list_contains({markers}, x)))
+                  AS DOUBLE) / len(tk), 6) AS marker_ratio
+FROM (SELECT doc_id, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS tk
+      FROM documents)
+""".format(markers="[" + ", ".join(
+    f"'{m}'" for m in sorted({m for ms in TX.LANG_MARKERS.values()
+                              for m in ms})) + "]"))
+def text_quality(spark, sf_dir):
+    return TX.with_quality_score(t(spark, sf_dir, "documents"))
+
+
+@register("text_fingerprint", """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+       AS fingerprint
+FROM documents
+""")
+def text_fingerprint(spark, sf_dir):
+    return TX.with_fingerprint(t(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------- multimodal
+@register("multimodal_metadata", """
+SELECT doc_id AS media_id, 'image' AS kind,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       64 AS width, 64 AS height
+FROM documents
+""")
+def multimodal_metadata(spark, sf_dir):
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    out = media_metadata(media)
+    return out.withColumn("width", F.col("width").cast("int")) \
+              .withColumn("height", F.col("height").cast("int"))
+
+
+# ------------------------------------------------------- events / time
+@register("events_hourly_windows", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def events_hourly_windows(spark, sf_dir):
+    return windowed_event_counts(t(spark, sf_dir, "events"), "1 hour")
+
+
+@register("events_sessionize", """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM g)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY user_id, session_idx
+""")
+def events_sessionize(spark, sf_dir):
+    return sessionize_batch(t(spark, sf_dir, "events"))

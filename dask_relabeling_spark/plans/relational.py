@@ -1,0 +1,325 @@
+"""The declared relational capability surface (SURVEY §2.3) as named
+queries over the driver test tables, each paired with an ANSI-SQL oracle
+string DuckDB can run on the same parquet.
+
+Every query aliases all computed columns identically in the DataFrame code
+and the SQL so the driver's column-sorted value-hash comparison holds.
+Float-valued aggregates are rounded on BOTH sides; orderings always carry an
+integer tie-break; thresholds on floats are expressed as integer cross-
+multiplications wherever an engine disagreement could flip a row.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
+
+
+def register(name: str, oracle: Optional[str]):
+    def deco(fn: QueryFn):
+        REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # the events table is written with TIMESTAMP(NANOS), which Spark's
+        # parquet reader rejects; read nanos as long and convert (micros —
+        # the synthetic data has no sub-microsecond precision)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- 1. scan
+@register("scan_filter_project", """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+""")
+def scan_filter_project(spark, sf_dir):
+    """Projection + predicate reaching the parquet scan (PushedFilters)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1998-01-01") &
+                      (F.col("l_discount") > 0.05))
+            .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+
+
+# ------------------------------------------------------------ 2. hash agg
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS count_order,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: partial+final hash aggregation over the fact table."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= "2000-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("count_order"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2)
+                 .alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+                 F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+                 F.round(F.max("l_extendedprice"), 2).alias("max_price")))
+
+
+# ------------------------------------------------- 3. broadcast equi-join
+@register("broadcast_join_brand_revenue", """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""")
+def broadcast_join_brand_revenue(spark, sf_dir):
+    """Small dim broadcast into the fact scan — no shuffle of lineitem for
+    the join itself (only the final agg exchanges)."""
+    li, part = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    return (li.join(F.broadcast(part),
+                    li.l_partkey == part.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+# -------------------------------------------------- 4. shuffle join + topk
+@register("q3_shipping_priority", """
+SELECT o.o_orderkey,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: two joins (one broadcastable, one shuffled on the
+    fact key) + top-k with deterministic tie-break."""
+    c = t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("o_orderkey", "o_orderdate")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("o_orderkey", "revenue", "o_orderdate")
+            .orderBy(F.desc("revenue"), "o_orderkey")
+            .limit(10))
+
+
+# -------------------------------------------- 5. range/adjacency self-join
+@register("events_adjacent_pairs", """
+SELECT a.user_id,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT user_id, event_id, event_type,
+             CAST(floor(value / 50) AS BIGINT) AS bucket FROM events) a
+JOIN (SELECT user_id, event_id, event_type,
+             CAST(floor(value / 50) AS BIGINT) AS bucket FROM events) b
+  ON a.user_id = b.user_id AND a.event_type = b.event_type
+ AND abs(a.bucket - b.bucket) <= 1 AND a.event_id < b.event_id
+GROUP BY a.user_id
+""")
+def events_adjacent_pairs(spark, sf_dir):
+    """Bounded range self-join on grid adjacency — the relational rendition
+    of the halo exchange's neighbor predicate (SURVEY §2.3.4)."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+    a, b = ev.alias("a"), ev.alias("b")
+    return (a.join(b, (F.col("a.user_id") == F.col("b.user_id")) &
+                   (F.col("a.event_type") == F.col("b.event_type")) &
+                   (F.abs(F.col("a.bucket") - F.col("b.bucket")) <= 1) &
+                   (F.col("a.event_id") < F.col("b.event_id")))
+            .groupBy(F.col("a.user_id").alias("user_id"))
+            .agg(F.count("*").alias("n_pairs")))
+
+
+# ------------------------------------------------------------- 6. distinct
+@register("distinct_parts_per_flag", """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def distinct_parts_per_flag(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.countDistinct("l_partkey").alias("distinct_parts")))
+
+
+# ----------------------------------------------------- 7. window functions
+@register("top_customers_per_nation", """
+SELECT c_custkey, c_nationkey, rnk FROM (
+  SELECT c_custkey, c_nationkey,
+         CAST(dense_rank() OVER (PARTITION BY c_nationkey
+              ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rnk
+  FROM customer) WHERE rnk <= 3
+""")
+def top_customers_per_nation(spark, sf_dir):
+    """dense_rank window — the dense re-index idiom (SURVEY §2.3.7)."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.col("c_custkey"))
+    return (c.select("c_custkey", "c_nationkey",
+                     F.dense_rank().over(w).cast("int").alias("rnk"))
+            .filter(F.col("rnk") <= 3))
+
+
+# --------------------------------------------------------------- 8. max_by
+@register("richest_supplier_per_nation", """
+SELECT s_nationkey, max_by(s_name, s_acctbal) AS top_supplier,
+       round(max(s_acctbal), 2) AS top_acctbal
+FROM supplier GROUP BY s_nationkey
+""")
+def richest_supplier_per_nation(spark, sf_dir):
+    """struct-argmax (the longest-contour selection idiom, §2.3.8)."""
+    s = t(spark, sf_dir, "supplier")
+    return (s.groupBy("s_nationkey")
+            .agg(F.max_by("s_name", "s_acctbal").alias("top_supplier"),
+                 F.round(F.max("s_acctbal"), 2).alias("top_acctbal")))
+
+
+# -------------------------------------------------------------- 9. explode
+@register("word_counts", """
+SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+WHERE tok <> '' GROUP BY tok
+""")
+def word_counts_q(spark, sf_dir):
+    from ..operators.text import word_counts
+    return word_counts(t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------- 10. conditional project
+@register("discount_band_totals", """
+SELECT CASE WHEN l_discount < 0.03 THEN 'low'
+            WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS band,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem GROUP BY 1
+""")
+def discount_band_totals(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    band = (F.when(F.col("l_discount") < 0.03, "low")
+            .when(F.col("l_discount") < 0.07, "mid").otherwise("high"))
+    return (li.groupBy(band.alias("band"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total_price")))
+
+
+# ----------------------------------------------------------------- 11. union
+@register("union_priority_mix", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_orderpriority FROM orders WHERE o_totalprice > 150000
+  UNION ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+) GROUP BY o_orderpriority
+""")
+def union_priority_mix(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    u = (o.filter(F.col("o_totalprice") > 150000)
+         .select("o_orderpriority")
+         .unionAll(o.filter(F.col("o_orderstatus") == "F")
+                   .select("o_orderpriority")))
+    return u.groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# ------------------------------------------------------ 12. grouped pandas
+@register("grouped_udf_priority_stats", """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       min(o_orderdate) AS first_order,
+       max(o_orderdate) AS last_order
+FROM orders GROUP BY o_orderpriority
+""")
+def grouped_udf_priority_stats(spark, sf_dir):
+    """applyInPandas — the grouped-UDF surface (§2.3.12), oracled by plain
+    SQL aggregation (exact stats only: counts, min/max)."""
+    o = t(spark, sf_dir, "orders")
+    schema = ("o_orderpriority string, n_orders bigint, min_price double, "
+              "max_price double, first_order timestamp, "
+              "last_order timestamp")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "o_orderpriority": pdf["o_orderpriority"].iloc[0],
+            "n_orders": len(pdf),
+            "min_price": round(pdf["o_totalprice"].min(), 2),
+            "max_price": round(pdf["o_totalprice"].max(), 2),
+            "first_order": pdf["o_orderdate"].min(),
+            "last_order": pdf["o_orderdate"].max(),
+        }])
+
+    return o.groupBy("o_orderpriority").applyInPandas(stats, schema)
+
+
+# ------------------------------------------------------- 13. sort + limit
+@register("top_parts_by_price", """
+SELECT p_partkey, p_name, p_retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+""")
+def top_parts_by_price(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return (p.select("p_partkey", "p_name", "p_retailprice")
+            .orderBy(F.desc("p_retailprice"), "p_partkey").limit(10))
+
+
+# ------------------------------------------- 14. nested struct + to_json
+@register("nested_json_docs", """
+SELECT doc_id,
+       to_json(struct_pack(doc_id := doc_id, lang := lang,
+                           n_chars := n_chars)) AS payload
+FROM documents
+""")
+def nested_json_docs(spark, sf_dir):
+    """Nested-struct construction + to_json — the GeoJSON export idiom
+    (§2.3.14); Spark and DuckDB emit the identical compact JSON."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("payload"))
+
+
+# ------------------------------------------------------- 15. global sort
+@register("global_sorted_orders", """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus = 'O' ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""")
+def global_sorted_orders(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderstatus") == "O")
+            .select("o_orderkey", "o_totalprice")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))

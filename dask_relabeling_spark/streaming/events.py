@@ -1,0 +1,114 @@
+"""Structured Streaming operators over an events stream.
+
+The reference is purely batch (SURVEY §2.2: no watermarks/state anywhere),
+so this module is part of the engine's *extension* surface: the same
+windowed aggregation and sessionization semantics offered both as batch
+DataFrame ops (oracle-checkable) and as streaming plans (``readStream`` →
+watermark → windowed agg / ``applyInPandasWithState``).
+"""
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_MIN = 30
+
+
+def windowed_event_counts(df: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event type.  Works identically on a
+    batch DataFrame and a streaming one (add ``with_watermark`` for
+    streams)."""
+    return (df.groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+def streaming_windowed_counts(stream: DataFrame,
+                              window: str = "1 hour",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Streaming plan: watermarked tumbling window — late rows beyond the
+    watermark are dropped, state is bounded (the 100 TB-friendly contract).
+    """
+    return windowed_event_counts(stream.withWatermark("ts", watermark),
+                                 window)
+
+
+def sessionize_batch(df: DataFrame, gap_min: int = SESSION_GAP_MIN
+                     ) -> DataFrame:
+    """Batch sessionization: a session breaks when the gap to the previous
+    event of the same user exceeds ``gap_min`` minutes.  Pure window
+    functions (lag + conditional cumsum) — fully SQL-expressible, so it
+    doubles as the oracle for the stateful streaming variant."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - \
+        F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > gap_min * 60), 1).otherwise(0)
+    with_sess = df.withColumn(
+        "session_idx", F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (with_sess.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event")))
+
+
+_SESSION_STATE_SCHEMA = "last_ts LONG, session_idx LONG, n LONG, first_ev LONG, last_ev LONG"
+_SESSION_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_idx", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("first_event", T.LongType()),
+    T.StructField("last_event", T.LongType()),
+])
+
+
+def sessionize_stateful(stream: DataFrame, gap_min: int = SESSION_GAP_MIN
+                        ) -> DataFrame:
+    """Custom stateful streaming operator: per-user session tracking with
+    ``applyInPandasWithState`` (processing-time timeout closes idle
+    sessions).  The genuinely-not-SQL part of the streaming surface."""
+
+    def fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.hasTimedOut:
+            last_ts, sess, n, fe, le = state.get
+            state.remove()
+            yield pd.DataFrame([{"user_id": user_id, "session_idx": sess,
+                                 "n_events": n, "first_event": fe,
+                                 "last_event": le}])
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        if state.exists:
+            last_ts, sess, n, fe, le = state.get
+        else:
+            last_ts, sess, n, fe, le = None, 0, 0, None, None
+        closed = []
+        for _, r in rows.iterrows():
+            ts = int(pd.Timestamp(r["ts"]).timestamp())
+            if last_ts is None or ts - last_ts > gap_min * 60:
+                if n > 0:
+                    closed.append({"user_id": user_id, "session_idx": sess,
+                                   "n_events": n, "first_event": fe,
+                                   "last_event": le})
+                sess, n, fe, le = sess + 1, 0, None, None
+            n += 1
+            fe = int(r["event_id"]) if fe is None else fe
+            le = int(r["event_id"])
+            last_ts = ts
+        state.update((last_ts, sess, n, fe, le))
+        state.setTimeoutDuration(gap_min * 60 * 1000)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (stream.groupBy("user_id").applyInPandasWithState(
+        fn, outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
