@@ -62,9 +62,18 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id",
 
 def _distinct_shingle_table(df: DataFrame, id_col: str, text_col: str,
                             n: int) -> DataFrame:
-    return (df.select(F.col(id_col).alias("id"),
-                      F.explode(F.array_distinct(
-                          shingles_col(F.col(text_col), n))).alias("sh")))
+    # materialize the token array behind a projection BEFORE indexing into
+    # it: element_at over the raw split(...) expression re-evaluates the
+    # tokenization per shingle element (O(tokens^2) per document)
+    toks = df.select(F.col(id_col).alias("id"),
+                     tokens_col(F.col(text_col)).alias("tk"))
+    tk = F.col("tk")
+    idx = F.when(F.size(tk) >= n,
+                 F.sequence(F.lit(1), F.size(tk) - (n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(tk, i + k) for k in range(n)]))
+    return toks.select("id", F.explode(F.array_distinct(sh)).alias("sh"))
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -78,7 +87,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     those), union by inclusion-exclusion, threshold as integer cross-
     multiplication.  Output: (id_a, id_b, inter, union_sz).
     """
-    sh = _distinct_shingle_table(df, id_col, text_col, n)
+    # the shingle table feeds both sides of the self-join plus the size
+    # aggregate — persist it once instead of recomputing the explode 3x
+    sh = _distinct_shingle_table(df, id_col, text_col, n).persist()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (sh.alias("a")
              .join(sh.alias("b"),
@@ -121,7 +132,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """LSH candidate pairs: band the signature (4 bands x 2 rows), join on
     (band index, band value).  Only bucket-mates meet — never all-pairs.
     Output: distinct (id_a, id_b)."""
-    sig = minhash_signatures(df, id_col, text_col, n)
+    # both sides of the bucket self-join would otherwise recompute the
+    # full shingle+hash+min-agg subtree; the signature table is tiny
+    # (1 row/doc) — persist it
+    sig = minhash_signatures(df, id_col, text_col, n).persist()
     bands = sig.select(
         "id",
         F.explode(F.array(*[
@@ -171,7 +185,7 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     """Near-dup pairs by SimHash hamming distance, candidate-limited by
     band equality (two 8-bit halves: hamming<=3 pairs share a half only if
     distance concentrates — classic SimHash banding; exact filter after)."""
-    sh = simhash(df, id_col, text_col)
+    sh = simhash(df, id_col, text_col).persist()
     halves = sh.select(
         "id", "simhash",
         F.explode(F.array(
