@@ -37,13 +37,24 @@ def image2labels(ts: TileSet, seg_fn: Optional[Callable] = None,
                  overlaps: Union[int, List[int]] = 50,
                  threshold: float = 0.05,
                  returns_classes: bool = False,
-                 segmentation_fn_kwargs: Optional[dict] = None) -> TileSet:
+                 segmentation_fn_kwargs: Optional[dict] = None,
+                 segmentation_tile_kwargs: Optional[dict] = None) -> TileSet:
     """End-to-end: pad -> overlap -> segment -> dedup -> merge -> unpad.
-    Reference ``relabeling.py:195-242`` (note threshold default 0.05)."""
+    Reference ``relabeling.py:195-242`` (note threshold default 0.05).
+
+    ``segmentation_tile_kwargs`` maps kwarg names to aligned TileSets (the
+    reference's dask-array kwargs); each goes through the same
+    pad+overlap preparation, then equi-joins on the tile key
+    (``relabeling.py:206-213``).
+    """
     overlapped = prepare_input(ts, overlaps)
+    extra = None
+    if segmentation_tile_kwargs:
+        extra = {name: prepare_input(other, overlaps)
+                 for name, other in segmentation_tile_kwargs.items()}
     segmented = segment_overlapped_input(
         overlapped, seg_fn=seg_fn, returns_classes=returns_classes,
-        segmentation_fn_kwargs=segmentation_fn_kwargs)
+        segmentation_fn_kwargs=segmentation_fn_kwargs, extra_tiles=extra)
     deduped = remove_overlapped_labels(segmented, threshold=threshold)
     merged = merge_overlapped_tiles(deduped)
     return crop_to_image(merged)

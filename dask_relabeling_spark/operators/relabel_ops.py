@@ -49,18 +49,9 @@ def segment_overlapped_input(ts: TileSet,
     kwargs = dict(segmentation_fn_kwargs or {})
     nd = ts.nd
 
-    base = ts
     if extra_tiles:
-        df = ts.df
-        keys = key_cols(nd)
-        for name, other in extra_tiles.items():
-            other_df = other.df.select(
-                *keys, F.col("data").alias(f"__kw_{name}"),
-                F.col("h").alias(f"__kwh_{name}"),
-                F.col("w").alias(f"__kww_{name}"))
-            df = df.join(other_df, on=keys)
-        raise NotImplementedError(
-            "aligned-array kwargs: join path reserved; pass ndarray kwargs")
+        return _segment_with_aligned_kwargs(ts, fn, kwargs, returns_classes,
+                                            extra_tiles)
 
     def fn_tile(tile, cls, loc):
         out = fn(tile, **kwargs)
@@ -69,7 +60,49 @@ def segment_overlapped_input(ts: TileSet,
             return out[0].astype(np.int64), out[1:].astype(np.int64)
         return out.astype(np.int64), None
 
-    return map_tiles(base, fn_tile)
+    return map_tiles(ts, fn_tile)
+
+
+def _segment_with_aligned_kwargs(ts: TileSet, fn, kwargs: dict,
+                                 returns_classes: bool,
+                                 extra_tiles: dict) -> TileSet:
+    """Chunk-aligned array kwargs: each extra TileSet equi-joins on the tile
+    key (both sides hash-partition on the same integer key, so with
+    co-partitioned inputs this is a single co-located shuffle), and its
+    payload becomes an ndarray kwarg of the segmentation function —
+    the reference's dask-array kwarg threading (``relabeling.py:28-36``).
+    """
+    import pandas as pd
+    from ..sources.tiles import TILE_FIELDS, TILE_SCHEMA, pdf_tile, \
+        tile_record
+    nd = ts.nd
+    keys = key_cols(nd)
+    names = sorted(extra_tiles)
+    df = ts.df
+    for name in names:
+        other_df = extra_tiles[name].df.select(
+            *keys, F.col("data").alias(f"kw_{name}"))
+        df = df.join(other_df, on=keys)
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                tile = pdf_tile(row, nd)
+                extra = {name: np.asarray(row[f"kw_{name}"],
+                                          dtype=np.int64).reshape(tile.shape)
+                         for name in names}
+                out = np.asarray(fn(tile, **extra, **kwargs))
+                loc = tuple(int(row[c]) for c in keys)
+                if returns_classes:
+                    recs.append(tile_record(loc, out[0].astype(np.int64),
+                                            out[1:].astype(np.int64)))
+                else:
+                    recs.append(tile_record(loc, out.astype(np.int64)))
+            yield pd.DataFrame.from_records(
+                recs, columns=[f.name for f in TILE_FIELDS])
+
+    return ts.with_df(df.mapInPandas(gen, TILE_SCHEMA))
 
 
 def remove_overlapped_labels(ts: TileSet, threshold: float = 0.5

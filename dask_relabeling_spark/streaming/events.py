@@ -69,11 +69,17 @@ _SESSION_OUT_SCHEMA = T.StructType([
 ])
 
 
-def sessionize_stateful(stream: DataFrame, gap_min: int = SESSION_GAP_MIN
-                        ) -> DataFrame:
+def sessionize_stateful(stream: DataFrame, gap_min: int = SESSION_GAP_MIN,
+                        idle_timeout: bool = True) -> DataFrame:
     """Custom stateful streaming operator: per-user session tracking with
     ``applyInPandasWithState`` (processing-time timeout closes idle
-    sessions).  The genuinely-not-SQL part of the streaming surface."""
+    sessions).  The genuinely-not-SQL part of the streaming surface.
+
+    ``idle_timeout=False`` disables the processing-time timeout (useful
+    with ``trigger(availableNow=True)``, which otherwise never terminates
+    while timeouts are registered); trailing open sessions then stay in
+    state instead of being force-closed.
+    """
 
     def fn(key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
         (user_id,) = key
@@ -103,12 +109,15 @@ def sessionize_stateful(stream: DataFrame, gap_min: int = SESSION_GAP_MIN
             le = int(r["event_id"])
             last_ts = ts
         state.update((last_ts, sess, n, fe, le))
-        state.setTimeoutDuration(gap_min * 60 * 1000)
+        if idle_timeout:
+            state.setTimeoutDuration(gap_min * 60 * 1000)
         if closed:
             yield pd.DataFrame(closed)
 
+    conf = GroupStateTimeout.ProcessingTimeTimeout if idle_timeout \
+        else GroupStateTimeout.NoTimeout
     return (stream.groupBy("user_id").applyInPandasWithState(
         fn, outputStructType=_SESSION_OUT_SCHEMA,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+        timeoutConf=conf))

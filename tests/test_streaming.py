@@ -1,0 +1,63 @@
+"""Structured Streaming surface: windowed aggregation and custom stateful
+sessionization, checked against their batch equivalents."""
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_relabeling_spark.plans.relational import t
+from dask_relabeling_spark.streaming.events import (sessionize_batch,
+                                                    sessionize_stateful,
+                                                    windowed_event_counts)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_stream_dir(spark, tmp_path):
+    # stream source needs a directory; re-materialize events with proper
+    # (micros) timestamps there
+    out = str(tmp_path / "events_stream")
+    t(spark, SF_DIR, "events").filter(F.col("user_id") < 8) \
+        .coalesce(1).write.parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_windowed_counts_matches_batch(spark, events_stream_dir):
+    batch_df = spark.read.parquet(events_stream_dir)
+    expected = {tuple(r) for r in
+                windowed_event_counts(batch_df).collect()}
+
+    stream = spark.readStream.schema(batch_df.schema) \
+        .parquet(events_stream_dir)
+    q = (windowed_event_counts(stream)
+         .writeStream.format("memory").queryName("win_counts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM win_counts").collect()}
+    assert got == expected
+
+
+def test_stateful_sessionize_emits_closed_sessions(spark, events_stream_dir):
+    batch_df = spark.read.parquet(events_stream_dir)
+    sessions = sessionize_batch(batch_df).collect()
+    # within one micro-batch the stateful operator emits every session
+    # except each user's trailing (still-open) one
+    last_idx = {}
+    for r in sessions:
+        last_idx[r.user_id] = max(last_idx.get(r.user_id, 0), r.session_idx)
+    expected = {(r.user_id, r.session_idx, r.n_events, r.first_event,
+                 r.last_event)
+                for r in sessions if r.session_idx != last_idx[r.user_id]}
+
+    stream = spark.readStream.schema(batch_df.schema) \
+        .parquet(events_stream_dir)
+    q = (sessionize_stateful(stream, idle_timeout=False)
+         .writeStream.format("memory").queryName("sessions")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql(
+        "SELECT user_id, session_idx, n_events, first_event, last_event "
+        "FROM sessions").collect()}
+    assert got == expected
