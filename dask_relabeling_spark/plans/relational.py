@@ -323,3 +323,134 @@ def global_sorted_orders(spark, sf_dir):
     return (o.filter(F.col("o_orderstatus") == "O")
             .select("o_orderkey", "o_totalprice")
             .orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100))
+
+
+# ------------------------------------------------ 16. grouping sets: cube
+@register("cube_order_stats", """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_order_stats(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@register("rollup_nation_region", """
+SELECT r.r_name, n.n_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+""")
+def rollup_nation_region(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .rollup("r_name", "n_name")
+            .agg(F.count("*").alias("n_customers")))
+
+
+# --------------------------------------------------- 17. semi / anti joins
+@register("customers_without_orders", """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def customers_without_orders(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti") \
+        .select("c_custkey")
+
+
+@register("suppliers_with_shipments", """
+SELECT s_suppkey, s_name FROM supplier
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+""")
+def suppliers_with_shipments(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi") \
+        .select("s_suppkey", "s_name")
+
+
+# ------------------------------------------------- 18. scalar subquery
+@register("parts_above_avg_price", """
+SELECT p_partkey, p_retailprice FROM part
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+""")
+def parts_above_avg_price(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    avg_price = p.agg(F.avg("p_retailprice")).first()[0]
+    return (p.filter(F.col("p_retailprice") > avg_price)
+            .select("p_partkey", "p_retailprice"))
+
+
+# ------------------------------------------- 19. collect_list (array agg)
+@register("suppliers_per_nation_list", """
+SELECT s_nationkey,
+       array_to_string(list(s_suppkey ORDER BY s_suppkey), ',')
+         AS supplier_keys
+FROM supplier GROUP BY s_nationkey
+""")
+def suppliers_per_nation_list(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    return (s.groupBy("s_nationkey")
+            .agg(F.array_join(F.sort_array(F.collect_list("s_suppkey")),
+                              ",").alias("supplier_keys")))
+
+
+# ------------------------------------------------------ 20. date functions
+@register("orders_by_year_month", """
+SELECT CAST(year(o_orderdate) AS INT) AS yr,
+       CAST(month(o_orderdate) AS INT) AS mo,
+       CAST(count(*) AS BIGINT) AS n,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY 1, 2
+""")
+def orders_by_year_month(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return (o.groupBy(F.year("o_orderdate").cast("int").alias("yr"),
+                      F.month("o_orderdate").cast("int").alias("mo"))
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+
+
+# ---------------------------------------------------- 21. string functions
+@register("part_name_tokens", """
+SELECT p_partkey, upper(substr(p_name, 1, 5)) AS prefix,
+       CAST(length(p_name) AS INT) AS name_len
+FROM part WHERE p_name LIKE '%a%'
+""")
+def part_name_tokens(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    return (p.filter(F.col("p_name").like("%a%"))
+            .select("p_partkey",
+                    F.upper(F.substring("p_name", 1, 5)).alias("prefix"),
+                    F.length("p_name").cast("int").alias("name_len")))
+
+
+# ------------------------------------------------ 22. multi-join pipeline
+@register("q5_supplier_nation_volume", """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+def q5_supplier_nation_volume(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))

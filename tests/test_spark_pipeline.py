@@ -66,6 +66,28 @@ def test_sort_label_indices_golden(spark):
         assert np.array_equal(got[loc], exp[loc]), loc
 
 
+def test_labels2geojson_from_labels_golden(spark):
+    """pre_overlapped=False: existing labels re-observed through a fresh
+    halo exchange before dedup+annotate (reference
+    tests/test_relabeling.py:261-285)."""
+    p = CASES["2d"]
+    trim = load_npz_tiles(f"{SAMPLES}/trim_2d.npz", p["grid"])
+    ts = from_tiles(spark, trim, nd=2, grid=p["grid"],
+                    chunk_shape=p["chunk"], overlaps=(0, 0),
+                    image_shape=(16, 12))
+    ann = labels2geojson(ts, overlaps=list(p["overlaps"]),
+                         threshold=p["threshold"], pre_overlapped=False)
+    rows = {(r.cy, r.cx): r.annotation for r in ann.collect()}
+    exp_tiles = load_npz_tiles(f"{SAMPLES}/ann_2d.npz", p["grid"])
+    for loc, exp in exp_tiles.items():
+        exp = exp.item()
+        got = rows[loc]
+        if exp == 0:
+            assert got is None, loc
+        else:
+            assert json.loads(got) == exp, loc
+
+
 def test_labels2geojson_and_zip_golden(spark, tmp_path):
     p = CASES["2d"]
     # labels2geojson(pre_overlapped=True) consumed right after segmentation
