@@ -1,0 +1,23 @@
+"""dense_ids (scale path) must agree with dense_rank (window path)."""
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from dask_relabeling_spark.functions.ids import dense_ids
+
+
+def test_dense_ids_matches_dense_rank(spark):
+    df = spark.range(1000).select(
+        (F.col("id") * 7919 % 313).alias("v"))
+    got = {r.v: r.id for r in dense_ids(df, "v", num_partitions=8,
+                                        start=1).collect()}
+    w = Window.orderBy("v")
+    exp = {r.v: r.rnk for r in
+           df.distinct().select("v", F.dense_rank().over(w).alias("rnk"))
+           .collect()}
+    assert got == exp
+
+
+def test_dense_ids_start_offset(spark):
+    df = spark.createDataFrame([(5,), (2,), (9,), (2,)], ["v"])
+    got = dict(dense_ids(df, "v", num_partitions=2).collect())
+    assert got == {2: 0, 5: 1, 9: 2}
