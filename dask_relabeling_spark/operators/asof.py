@@ -1,0 +1,77 @@
+"""As-of (point-in-time) join.
+
+For every left row, attach the most recent right row with the same key and
+``right_ts <= left_ts`` (direction="backward"; "forward" mirrors it).
+
+Scalable formulation — the union + ordered-window trick, NOT a range join:
+union both sides with a side marker, sort each key's rows once by
+(ts, side), and carry the latest right payload forward with
+``last(..., ignorenulls=True)``.  Cost is ONE shuffle on the key and a
+linear pass per key — a naive ``l.ts >= r.ts`` range join is O(|L|x|R|)
+per key and explodes long histories; at 100 TB the window formulation is
+the only one that survives.  (Same idiom Flink calls a temporal join and
+DuckDB/Pandas call ASOF JOIN.)
+
+Reference parity note: the reference library has no relational joins at
+all (SURVEY.md §2.2); this operator belongs to the training-data-pipeline
+extension surface (feature attribution at event time).
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_LEFT_AFTER_RIGHT = (1 << 62)  # left-row tiebreak: sorts after any right id
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: List[str],
+              left_ts: str, right_ts: str,
+              right_id: Optional[str] = None,
+              suffix: str = "_r",
+              direction: str = "backward") -> DataFrame:
+    """Left as-of join.  Every left row is kept; matched right columns are
+    appended with ``suffix`` (NULL when no right row precedes).
+
+    ``right_id``: unique right column used to break ties when several
+    right rows share one (key, ts) — the highest id wins, keeping the
+    result deterministic on both engines.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+
+    r_payload = [c for c in right.columns if c not in on]
+    r_struct = F.struct(*[F.col(c) for c in r_payload])
+    r_struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
+
+    ts_order = F.col("_ts")
+    if direction == "forward":
+        # mirror time: the next right row at/after left_ts is the "last
+        # seen" row in reversed order
+        ts_order = F.col("_ts").desc()
+
+    l2 = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_ts"),
+        F.lit(_LEFT_AFTER_RIGHT).alias("_tb"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.lit(None).cast(r_struct_type).alias("_r"))
+    r_tb = F.col(right_id).cast("long") if right_id else F.lit(0)
+    r2 = right.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        r_tb.alias("_tb"),
+        F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
+        r_struct.alias("_r"))
+
+    # left rows always sort AFTER right rows at an equal timestamp (so an
+    # equal-ts right row is a valid match in either direction)
+    w = (Window.partitionBy(*on).orderBy(ts_order, F.col("_tb"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    u = l2.unionByName(r2)
+    matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+               .filter(F.col("_l").isNotNull()))
+    out_cols = ([F.col(f"_l.{c}").alias(c) for c in left.columns]
+                + [F.col(f"_m.{c}").alias(c + suffix) for c in r_payload])
+    return matched.select(*out_cols)

@@ -73,6 +73,22 @@ def cosine_neardup_pairs(df: DataFrame, threshold_num: int = 45,
                     F.col("b.id").alias("id_b")))
 
 
+def default_lsh_planes(n_planes: int = 5, dim: int = 64,
+                       seed: int = 20240813) -> List[List[float]]:
+    """Deterministic pseudo-random hyperplanes (64-bit LCG), identical
+    constants on the Spark side and in the generated SQL oracle — both
+    engines compute bit-identical bucket keys."""
+    s = seed
+    planes: List[List[float]] = []
+    for _ in range(n_planes):
+        p = []
+        for _ in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            p.append(((s >> 33) / float(1 << 31)) - 1.0)   # uniform [-1, 1)
+        planes.append(p)
+    return planes
+
+
 def hyperplane_lsh_buckets(df: DataFrame, planes: List[List[float]],
                            id_col: str = "vec_id",
                            vec_col: str = "embedding") -> DataFrame:

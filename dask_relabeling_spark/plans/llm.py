@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from ..operators import dedup as D
 from ..operators import similarity as S
 from ..operators import text as TX
+from ..operators.asof import asof_join
 from ..operators.multimodal import documents_as_media, media_metadata
 from ..streaming.events import sessionize_batch, windowed_event_counts
 from .relational import register, t
@@ -144,6 +145,44 @@ def ann_cosine_topk(spark, sf_dir):
     return S.cosine_topk(emb, [float(x) for x in qv], k=10)
 
 
+def _lsh_topk_sql() -> str:
+    planes = S.default_lsh_planes()
+    bits = " || ".join(
+        "(CASE WHEN list_dot_product(ve, ["
+        + ", ".join(repr(x) for x in p)
+        + "]) >= 0 THEN '1' ELSE '0' END)" for p in planes)
+    return f"""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
+b AS (SELECT vec_id, {bits} AS bucket FROM v),
+qb AS (SELECT bucket AS q_bucket FROM b WHERE vec_id = 0),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+cand AS (SELECT v.vec_id, v.ve
+         FROM v JOIN b ON v.vec_id = b.vec_id, qb
+         WHERE b.bucket = qb.q_bucket),
+s AS (SELECT vec_id,
+             list_dot_product(ve, qv)
+             / (sqrt(list_dot_product(ve, ve))
+                * sqrt(list_dot_product(qv, qv))) AS cos
+      FROM cand, q)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
+       vec_id
+FROM s ORDER BY rank LIMIT 10
+"""
+
+
+@register("ann_lsh_topk", _lsh_topk_sql())
+def ann_lsh_topk(spark, sf_dir):
+    """ANN scale path: score only the query's hyperplane-LSH bucket.
+    The oracle replays the identical bucketing (same plane constants),
+    so the approximation is deterministic and hash-checkable."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.lsh_cosine_topk(emb, [float(x) for x in qv],
+                             S.default_lsh_planes(), k=10)
+
+
 @register("embedding_neardup_pairs", """
 WITH v AS (
   SELECT vec_id AS id,
@@ -249,6 +288,28 @@ FROM events GROUP BY 1, 2
 """)
 def events_hourly_windows(spark, sf_dir):
     return windowed_event_counts(t(spark, sf_dir, "events"), "1 hour")
+
+
+@register("events_asof_last_click", """
+SELECT l.event_id, l.user_id,
+       r.event_id AS click_event_id, r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+def events_asof_last_click(spark, sf_dir):
+    """Point-in-time attribution: each purchase joined to the user's most
+    recent click at-or-before purchase time (union+window as-of join —
+    one shuffle, no range-join explosion)."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id", "event_id", "ts", "value")
+    j = asof_join(purchases, clicks, on=["user_id"],
+                  left_ts="ts", right_ts="ts", right_id="event_id")
+    return j.select("event_id", "user_id",
+                    F.col("event_id_r").alias("click_event_id"),
+                    F.col("value_r").alias("click_value"))
 
 
 @register("events_sessionize", """

@@ -1,0 +1,83 @@
+"""asof_join: backward/forward semantics, equal-ts matches, NULL fills,
+and tie-breaking by right_id."""
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from dask_relabeling_spark.operators.asof import asof_join
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture()
+def sides(spark):
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10)), (2, "u", _ts(20)), (3, "u", _ts(5)),
+         (4, "v", _ts(10))],
+        "lid int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, "u", _ts(8), 1.0), (101, "u", _ts(10), 2.0),
+         (102, "u", _ts(15), 3.0)],
+        "rid int, k string, rts timestamp, val double")
+    return left, right
+
+
+def test_backward(sides):
+    left, right = sides
+    got = {r.lid: r.rid_r for r in
+           asof_join(left, right, ["k"], "ts", "rts",
+                     right_id="rid").collect()}
+    # lid=1 at t10: rights at t8, t10 -> equal-ts match wins (rid 101)
+    # lid=2 at t20: latest right at t15 (rid 102)
+    # lid=3 at t5: nothing at/before -> NULL
+    # lid=4 key v: no rights for key -> NULL
+    assert got == {1: 101, 2: 102, 3: None, 4: None}
+
+
+def test_forward(sides):
+    left, right = sides
+    got = {r.lid: r.rid_r for r in
+           asof_join(left, right, ["k"], "ts", "rts",
+                     right_id="rid", direction="forward").collect()}
+    # lid=1 at t10: next right at/after is t10 itself (rid 101)
+    # lid=2 at t20: nothing after -> NULL
+    # lid=3 at t5: next right at t8 (rid 100)
+    assert got == {1: 101, 2: None, 3: 100, 4: None}
+
+
+def test_tie_break_highest_right_id(spark):
+    left = spark.createDataFrame([(1, "u", _ts(10))],
+                                 "lid int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(7, "u", _ts(9)), (9, "u", _ts(9)), (8, "u", _ts(9))],
+        "rid int, k string, rts timestamp")
+    [row] = asof_join(left, right, ["k"], "ts", "rts",
+                      right_id="rid").collect()
+    assert row.rid_r == 9
+
+
+def test_left_rows_all_kept_and_columns_suffixed(sides):
+    left, right = sides
+    out = asof_join(left, right, ["k"], "ts", "rts", right_id="rid")
+    assert out.count() == left.count()
+    assert set(out.columns) == {"lid", "k", "ts",
+                                "rid_r", "rts_r", "val_r"}
+
+
+def test_bad_direction(sides):
+    left, right = sides
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["k"], "ts", "rts", direction="sideways")
+
+
+def test_single_shuffle_plan(sides):
+    """The as-of join must be ONE exchange (on the key), not a range
+    join: assert no Cartesian/BroadcastNestedLoop node in the plan."""
+    left, right = sides
+    plan = (asof_join(left, right, ["k"], "ts", "rts")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
