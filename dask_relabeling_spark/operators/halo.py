@@ -67,12 +67,61 @@ def pad_edge_tiles(ts: TileSet) -> TileSet:
     return ts.with_df(ts.df.mapInPandas(gen, TILE_SCHEMA))
 
 
+def _emit_rows(tile, cls, loc, grid, depth) -> list:
+    """Piece rows one tile contributes to the exchange: its own body at the
+    center position plus one margin slice per existing neighbor."""
+    from itertools import product as iproduct
+    nd = tile.ndim
+    recs = [_piece_rec(loc, (0,) * nd, tile, cls)]
+    for d in iproduct((-1, 0, 1), repeat=nd):
+        if all(x == 0 for x in d):
+            continue
+        dest = tuple(l + x for l, x in zip(loc, d))
+        if any(not (0 <= c < g) for c, g in zip(dest, grid)):
+            continue
+        pos = tuple(-x for x in d)
+        sel = tuple(
+            slice(tile.shape[ax] - depth[ax], None)
+            if pos[ax] == -1 else
+            (slice(0, depth[ax]) if pos[ax] == 1
+             else slice(None))
+            for ax in range(nd))
+        piece_cls = None if cls is None else cls[(slice(None),) + sel]
+        recs.append(_piece_rec(dest, pos, tile[sel], piece_cls))
+    return recs
+
+
+def _assemble_one(loc, pdf: pd.DataFrame, nd: int, grid):
+    """Inverse of ``_emit_rows``: (expanded_tile, expanded_classes) from one
+    key group of piece rows."""
+    pieces, cls_pieces, center, center_cls = {}, {}, None, None
+    for _, row in pdf.iterrows():
+        pos = tuple(int(row[c]) for c in
+                    ((["pz"] if nd == 3 else []) + ["py", "px"]))
+        tile = pdf_tile(row, nd)
+        cls = pdf_classes(row, nd)
+        if all(p == 0 for p in pos):
+            center, center_cls = tile, cls
+        else:
+            pieces[pos] = tile
+            cls_pieces[pos] = cls
+    expanded = assemble_expanded(center, loc, grid, pieces)
+    exp_cls = None
+    if center_cls is not None:
+        planes = []
+        for p in range(center_cls.shape[0]):
+            planes.append(assemble_expanded(
+                center_cls[p], loc, grid,
+                {k: v[p] for k, v in cls_pieces.items()}))
+        exp_cls = np.stack(planes)
+    return expanded, exp_cls
+
+
 def halo_exchange(ts: TileSet, overlaps: Sequence[int]) -> TileSet:
     """Grow every tile by ``overlaps`` pixels per inner side with margins
     pulled from its (up to 3^nd - 1) neighbors.  One shuffle."""
     nd, grid = ts.nd, ts.grid
     depth = tuple(int(o) for o in overlaps)
-    from itertools import product as iproduct
 
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -81,49 +130,13 @@ def halo_exchange(ts: TileSet, overlaps: Sequence[int]) -> TileSet:
                 tile = pdf_tile(row, nd)
                 cls = pdf_classes(row, nd)
                 loc = tuple(int(row[c]) for c in key_cols(nd))
-                # own tile at the center position
-                recs.append(_piece_rec(loc, (0,) * nd, tile, cls))
-                for d in iproduct((-1, 0, 1), repeat=nd):
-                    if all(x == 0 for x in d):
-                        continue
-                    dest = tuple(l + x for l, x in zip(loc, d))
-                    if any(not (0 <= c < g) for c, g in zip(dest, grid)):
-                        continue
-                    pos = tuple(-x for x in d)
-                    sel = tuple(
-                        slice(tile.shape[ax] - depth[ax], None)
-                        if pos[ax] == -1 else
-                        (slice(0, depth[ax]) if pos[ax] == 1
-                         else slice(None))
-                        for ax in range(nd))
-                    piece_cls = None if cls is None \
-                        else cls[(slice(None),) + sel]
-                    recs.append(_piece_rec(dest, pos, tile[sel], piece_cls))
+                recs.extend(_emit_rows(tile, cls, loc, grid, depth))
             yield pd.DataFrame.from_records(
                 recs, columns=_PIECE_SCHEMA.fieldNames())
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         loc = tuple(int(k) for k in key)
-        pieces, cls_pieces, center, center_cls = {}, {}, None, None
-        for _, row in pdf.iterrows():
-            pos = tuple(int(row[c]) for c in
-                        ((["pz"] if nd == 3 else []) + ["py", "px"]))
-            tile = pdf_tile(row, nd)
-            cls = pdf_classes(row, nd)
-            if all(p == 0 for p in pos):
-                center, center_cls = tile, cls
-            else:
-                pieces[pos] = tile
-                cls_pieces[pos] = cls
-        expanded = assemble_expanded(center, loc, grid, pieces)
-        exp_cls = None
-        if center_cls is not None:
-            planes = []
-            for p in range(center_cls.shape[0]):
-                planes.append(assemble_expanded(
-                    center_cls[p], loc, grid,
-                    {k: v[p] for k, v in cls_pieces.items()}))
-            exp_cls = np.stack(planes)
+        expanded, exp_cls = _assemble_one(loc, pdf, nd, grid)
         return pd.DataFrame.from_records(
             [tile_record(loc, expanded, exp_cls)],
             columns=[f.name for f in TILE_FIELDS])
@@ -132,6 +145,59 @@ def halo_exchange(ts: TileSet, overlaps: Sequence[int]) -> TileSet:
     out = contribs.groupBy(*key_cols(nd)).applyInPandas(assemble,
                                                         TILE_SCHEMA)
     return ts.with_df(out, overlaps=depth)
+
+
+def fused_double_exchange(ts: TileSet, overlaps: Sequence[int],
+                          pre_fn, mid_fn, final_fn) -> TileSet:
+    """The whole pad->overlap->kernels->overlap->kernels pipeline in THREE
+    Python passes and TWO shuffles (dask-style task fusion for the Arrow
+    boundary; reference pipeline shape SURVEY §3.1):
+
+        mapInPandas:    pre_fn(tile) -> emit margins           (pass 1)
+        groupBy key ->  assemble -> mid_fn -> emit margins     (pass 2)
+        groupBy key ->  assemble -> final_fn -> tile           (pass 3)
+
+    Unfused, the same pipeline is ~10 Python/Arrow round-trips of full
+    tile payloads; the kernels are identical, only the staging changes —
+    golden byte-equality is preserved.  All fns: (tile, cls, loc) ->
+    (tile, cls).
+    """
+    nd, grid = ts.nd, ts.grid
+    depth = tuple(int(o) for o in overlaps)
+    keys = key_cols(nd)
+
+    def emit1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                tile = pdf_tile(row, nd)
+                cls = pdf_classes(row, nd)
+                loc = tuple(int(row[c]) for c in keys)
+                tile, cls = pre_fn(tile, cls, loc)
+                recs.extend(_emit_rows(tile, cls, loc, grid, depth))
+            yield pd.DataFrame.from_records(
+                recs, columns=_PIECE_SCHEMA.fieldNames())
+
+    def mid(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        loc = tuple(int(k) for k in key)
+        tile, cls = _assemble_one(loc, pdf, nd, grid)
+        tile, cls = mid_fn(tile, cls, loc)
+        return pd.DataFrame.from_records(
+            _emit_rows(tile, cls, loc, grid, depth),
+            columns=_PIECE_SCHEMA.fieldNames())
+
+    def fin(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        loc = tuple(int(k) for k in key)
+        tile, cls = _assemble_one(loc, pdf, nd, grid)
+        tile, cls = final_fn(tile, cls, loc)
+        return pd.DataFrame.from_records(
+            [tile_record(loc, tile, cls)],
+            columns=[f.name for f in TILE_FIELDS])
+
+    p1 = ts.df.mapInPandas(emit1, _PIECE_SCHEMA)
+    a1 = p1.groupBy(*keys).applyInPandas(mid, _PIECE_SCHEMA)
+    a2 = a1.groupBy(*keys).applyInPandas(fin, TILE_SCHEMA)
+    return ts.with_df(a2, overlaps=(0,) * nd)
 
 
 def _piece_rec(dest, pos, piece: np.ndarray,

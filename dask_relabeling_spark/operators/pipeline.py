@@ -13,8 +13,16 @@ from __future__ import annotations
 
 from typing import Callable, List, Optional, Union
 
+import numpy as np
+
+from ..kernels.ccl import segment_fn as default_segment_fn
+from ..kernels.halo import pad_tile
+from ..kernels.relabel import (merge_tiles as merge_kernel,
+                               remove_overlapped_objects,
+                               zero_classes_where_removed)
 from ..sources.tiles import TileSet
-from .halo import crop_to_image, halo_exchange, pad_edge_tiles
+from .halo import (crop_to_image, fused_double_exchange, halo_exchange,
+                   pad_edge_tiles)
 from .annotate_ops import annotate_labeled_tiles
 from .relabel_ops import (merge_overlapped_tiles, remove_overlapped_labels,
                           segment_overlapped_input, sort_label_indices)
@@ -46,18 +54,65 @@ def image2labels(ts: TileSet, seg_fn: Optional[Callable] = None,
     reference's dask-array kwargs); each goes through the same
     pad+overlap preparation, then equi-joins on the tile key
     (``relabeling.py:206-213``).
+
+    Physical plan (no tile kwargs): ``fused_double_exchange`` — the whole
+    pipeline in 3 Python passes / 2 shuffles, kernels unchanged (golden
+    byte-equality).  With aligned tile kwargs the equi-join forces a
+    materialization between exchange 1 and the segmentation UDF, so that
+    path keeps the stage-per-operator composition.
     """
-    overlapped = prepare_input(ts, overlaps)
-    extra = None
     if segmentation_tile_kwargs:
+        overlapped = prepare_input(ts, overlaps)
         extra = {name: prepare_input(other, overlaps)
                  for name, other in segmentation_tile_kwargs.items()}
-    segmented = segment_overlapped_input(
-        overlapped, seg_fn=seg_fn, returns_classes=returns_classes,
-        segmentation_fn_kwargs=segmentation_fn_kwargs, extra_tiles=extra)
-    deduped = remove_overlapped_labels(segmented, threshold=threshold)
-    merged = merge_overlapped_tiles(deduped)
-    return crop_to_image(merged)
+        segmented = segment_overlapped_input(
+            overlapped, seg_fn=seg_fn, returns_classes=returns_classes,
+            segmentation_fn_kwargs=segmentation_fn_kwargs,
+            extra_tiles=extra)
+        deduped = remove_overlapped_labels(segmented, threshold=threshold)
+        merged = merge_overlapped_tiles(deduped)
+        return crop_to_image(merged)
+
+    ov = _norm_overlaps(overlaps, ts.nd)
+    fn = seg_fn or default_segment_fn
+    kwargs = dict(segmentation_fn_kwargs or {})
+    grid, chunk, img = ts.grid, ts.chunk_shape, ts.image_shape
+
+    def pre(tile, cls, loc):
+        tile = pad_tile(tile, chunk)
+        if cls is not None:
+            cls = np.stack([pad_tile(p, chunk) for p in cls])
+        return tile, cls
+
+    def mid(tile, cls, loc):
+        out = np.asarray(fn(tile, **kwargs))
+        if returns_classes:
+            seg, seg_cls = out[0].astype(np.int64), out[1:].astype(np.int64)
+        else:
+            seg, seg_cls = out.astype(np.int64), None
+        removed = remove_overlapped_objects(seg, ov, threshold, loc, grid)
+        new_cls = None
+        if seg_cls is not None:
+            new_cls = np.stack([zero_classes_where_removed(removed, p)
+                                for p in seg_cls])
+        return removed, new_cls
+
+    def fin(tile, cls, loc):
+        merged = merge_kernel(tile, ov, loc, grid, classes=cls)
+        if cls is not None:
+            m, mc = merged[0], merged[1:]
+        else:
+            m, mc = merged, None
+        trim = tuple(slice(o if c > 0 else 0, -o if c < g - 1 else None)
+                     for c, g, o in zip(loc, grid, ov))
+        crop = tuple(slice(0, min((l + 1) * c, s) - l * c)
+                     for l, c, s in zip(loc, chunk, img))
+        m = m[trim][crop]
+        mc = None if mc is None else mc[(slice(None),) + trim][
+            (slice(None),) + crop]
+        return m, mc
+
+    return fused_double_exchange(ts, ov, pre, mid, fin)
 
 
 def labels2geojson(ts: TileSet, overlaps: Union[int, List[int]] = 50,

@@ -32,9 +32,11 @@ GRID = (H // CHUNK, W // CHUNK)
 
 def _mask_tiles(spark: SparkSession, sf_dir: str) -> TileSet:
     li = t(spark, sf_dir, "lineitem")
+    # no .distinct(): the build kernel writes 1s idempotently, so duplicate
+    # points are harmless and skipping the dedup saves a full shuffle+agg
+    # of the point set before the groupBy-by-tile shuffle
     pts = (li.select((F.col("l_orderkey") % H).cast("int").alias("y"),
                      (F.col("l_partkey") % W).cast("int").alias("x"))
-           .distinct()
            .withColumn("cy", (F.col("y") / CHUNK).cast("int"))
            .withColumn("cx", (F.col("x") / CHUNK).cast("int")))
 
