@@ -196,6 +196,27 @@ def top_customers_per_nation(spark, sf_dir):
             .filter(F.col("rnk") <= 3))
 
 
+@register("topk_orders_per_customer", """
+SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rank
+  FROM orders) WHERE rank <= 3
+""")
+def topk_orders_per_customer(spark, sf_dir):
+    """Top-3 orders per customer via the SKEW-RESISTANT two-phase top-k
+    (``functions.skew.grouped_topk``): partial top-k per (scan-partition,
+    key), then exact top-k of the survivors — bounded fan-in on hot keys
+    instead of a full per-key window sort.  Bit-identical to the window
+    formulation (total order via the o_orderkey tiebreak), which is what
+    the oracle runs."""
+    from ..functions.skew import grouped_topk
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice")
+    return grouped_topk(o, ["o_custkey"],
+                        [F.desc("o_totalprice"), F.asc("o_orderkey")], 3)
+
+
 # --------------------------------------------------------------- 8. max_by
 @register("richest_supplier_per_nation", """
 SELECT s_nationkey, max_by(s_name, s_acctbal) AS top_supplier,
