@@ -216,6 +216,60 @@ def _piece_rec(dest, pos, piece: np.ndarray,
     }
 
 
+def fused_exchange_records(ts: TileSet, overlaps: Sequence[int],
+                           pre_fn, finish, out_schema) -> DataFrame:
+    """One halo exchange with kernels fused on both sides (2 Python
+    passes, 1 shuffle): ``pre_fn(tile, cls, loc) -> (tile, cls)`` runs
+    before the margin emit; ``finish(expanded, cls, loc) -> list[dict]``
+    runs on the assembled view and produces the output rows directly
+    (arbitrary ``out_schema`` — e.g. annotation records)."""
+    nd, grid = ts.nd, ts.grid
+    depth = tuple(int(o) for o in overlaps)
+    keys = key_cols(nd)
+    cols = out_schema.fieldNames()
+
+    def emit1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                tile = pdf_tile(row, nd)
+                cls = pdf_classes(row, nd)
+                loc = tuple(int(row[c]) for c in keys)
+                tile, cls = pre_fn(tile, cls, loc)
+                recs.extend(_emit_rows(tile, cls, loc, grid, depth))
+            yield pd.DataFrame.from_records(
+                recs, columns=_PIECE_SCHEMA.fieldNames())
+
+    def fin(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        loc = tuple(int(k) for k in key)
+        tile, cls = _assemble_one(loc, pdf, nd, grid)
+        return pd.DataFrame.from_records(finish(tile, cls, loc),
+                                         columns=cols)
+
+    p1 = ts.df.mapInPandas(emit1, _PIECE_SCHEMA)
+    return p1.groupBy(*keys).applyInPandas(fin, out_schema)
+
+
+def map_tiles_records(ts: TileSet, finish, out_schema) -> DataFrame:
+    """Narrow fused map producing arbitrary records:
+    ``finish(tile, cls, loc) -> list[dict]`` per tile, one Python pass,
+    no shuffle."""
+    nd = ts.nd
+    cols = out_schema.fieldNames()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                tile = pdf_tile(row, nd)
+                cls = pdf_classes(row, nd)
+                loc = tuple(int(row[c]) for c in key_cols(nd))
+                recs.extend(finish(tile, cls, loc))
+            yield pd.DataFrame.from_records(recs, columns=cols)
+
+    return ts.df.mapInPandas(gen, out_schema)
+
+
 def map_tiles(ts: TileSet, fn, with_loc: bool = True) -> TileSet:
     """Narrow per-tile map: ``fn(tile, classes, loc) -> (tile, classes)``.
     No shuffle; stays in one Arrow batch round-trip."""

@@ -115,17 +115,76 @@ def image2labels(ts: TileSet, seg_fn: Optional[Callable] = None,
     return fused_double_exchange(ts, ov, pre, mid, fin)
 
 
+def _geojson_finish(grid, chunk, ov, object_classes, threshold,
+                    seg=None, returns_classes=False, seg_kwargs=None):
+    """Fused (segment) -> border-dedup -> annotate kernel chain, emitting
+    one annotation record per tile (NULL for empty, the reference's
+    scalar-0 sentinel)."""
+    import json
+
+    from ..kernels.annotate import annotation_offset, labels_to_annotations
+    from ..kernels.halo import tile_origin
+
+    kwargs = dict(seg_kwargs or {})
+    classes_map = {0: "cell"} if object_classes is None else object_classes
+
+    def finish(tile, cls, loc):
+        if seg is not None:
+            out = np.asarray(seg(tile, **kwargs))
+            if returns_classes:
+                tile, cls = out[0].astype(np.int64), out[1:].astype(np.int64)
+            else:
+                tile, cls = out.astype(np.int64), None
+        removed = remove_overlapped_objects(tile, ov, threshold, loc, grid)
+        if cls is not None:
+            cls = np.stack([zero_classes_where_removed(removed, p)
+                            for p in cls])
+        origin = tile_origin(loc, grid, chunk, ov)
+        off = annotation_offset(loc, origin, ov)
+        ann = labels_to_annotations(removed, classes_map,
+                                    classes=cls, offset=off)
+        return [{"cz": None, "cy": loc[-2], "cx": loc[-1],
+                 "annotation": None if ann is None else json.dumps(ann)}]
+
+    return finish
+
+
 def labels2geojson(ts: TileSet, overlaps: Union[int, List[int]] = 50,
                    threshold: float = 0.5,
                    object_classes: Optional[dict] = None,
                    pre_overlapped: bool = False):
     """(overlap) -> dedup -> annotate; no merge stage — annotation bakes the
     overlap bookkeeping into its coordinate offsets (reference
-    ``relabeling.py:245-276``, threshold default 0.5)."""
-    if not pre_overlapped:
-        ts = prepare_input(ts, overlaps)
-    deduped = remove_overlapped_labels(ts, threshold=threshold)
-    return annotate_labeled_tiles(deduped, object_classes=object_classes)
+    ``relabeling.py:245-276``, threshold default 0.5).
+
+    Physical plan: dedup+annotate fuse into ONE Python pass; with
+    ``pre_overlapped=False`` the pad+emit of the halo exchange fuses in
+    front (2 passes, 1 shuffle total)."""
+    from .halo import fused_exchange_records, map_tiles_records
+    from .annotate_ops import ANNOTATION_SCHEMA
+    if ts.nd != 2:
+        raise NotImplementedError("annotation is 2D-only (as the reference "
+                                  "goldens; 3D returns None there)")
+    if pre_overlapped:
+        ov = ts.overlaps
+        finish = _geojson_finish(ts.grid, ts.chunk_shape, ov,
+                                 object_classes, threshold)
+        return map_tiles_records(ts, finish, ANNOTATION_SCHEMA)
+    ov = _norm_overlaps(overlaps, ts.nd)
+    finish = _geojson_finish(ts.grid, ts.chunk_shape, ov,
+                             object_classes, threshold)
+
+    chunk = ts.chunk_shape
+
+    def pre(tile, cls, loc):
+        # NB: close over chunk, not ts — the TileSet holds the DataFrame
+        # (and through it the SparkContext), which cannot be pickled
+        tile = pad_tile(tile, chunk)
+        if cls is not None:
+            cls = np.stack([pad_tile(p, chunk) for p in cls])
+        return tile, cls
+
+    return fused_exchange_records(ts, ov, pre, finish, ANNOTATION_SCHEMA)
 
 
 def image2geojson(ts: TileSet, seg_fn: Optional[Callable] = None,
@@ -135,14 +194,32 @@ def image2geojson(ts: TileSet, seg_fn: Optional[Callable] = None,
                   object_classes: Optional[dict] = None,
                   segmentation_fn_kwargs: Optional[dict] = None):
     """pad -> overlap -> segment -> dedup -> annotate (reference
-    ``relabeling.py:279-309``)."""
-    overlapped = prepare_input(ts, overlaps)
-    segmented = segment_overlapped_input(
-        overlapped, seg_fn=seg_fn, returns_classes=returns_classes,
-        segmentation_fn_kwargs=segmentation_fn_kwargs)
-    return labels2geojson(overlapped.with_df(segmented.df),
-                          overlaps=overlapped.overlaps, threshold=threshold,
-                          object_classes=object_classes, pre_overlapped=True)
+    ``relabeling.py:279-309``) — fused into 2 Python passes / 1 shuffle:
+    mapInPandas(pad+emit) -> groupBy(key) -> applyInPandas(assemble+
+    segment+dedup+annotate)."""
+    from .halo import fused_exchange_records
+    from .annotate_ops import ANNOTATION_SCHEMA
+    if ts.nd != 2:
+        raise NotImplementedError("annotation is 2D-only (as the reference "
+                                  "goldens; 3D returns None there)")
+    ov = _norm_overlaps(overlaps, ts.nd)
+    fn = seg_fn or default_segment_fn
+    finish = _geojson_finish(ts.grid, ts.chunk_shape, ov, object_classes,
+                             threshold, seg=fn,
+                             returns_classes=returns_classes,
+                             seg_kwargs=segmentation_fn_kwargs)
+
+    chunk = ts.chunk_shape
+
+    def pre(tile, cls, loc):
+        # NB: close over chunk, not ts — the TileSet holds the DataFrame
+        # (and through it the SparkContext), which cannot be pickled
+        tile = pad_tile(tile, chunk)
+        if cls is not None:
+            cls = np.stack([pad_tile(p, chunk) for p in cls])
+        return tile, cls
+
+    return fused_exchange_records(ts, ov, pre, finish, ANNOTATION_SCHEMA)
 
 
 __all__ = ["prepare_input", "image2labels", "labels2geojson",
