@@ -15,6 +15,11 @@ from .operators.pipeline import (annotate_labeled_tiles, image2geojson,
                                  segment_overlapped_input)
 from .operators.relabel_ops import sort_label_indices
 from .operators.annotate_ops import zip_annotated_tiles
+from .operators.asof import asof_join
+from .operators import dedup, multimodal, similarity, text
+from .functions.ids import dense_ids
+from .functions.skew import grouped_topk
+from .sources.bucketed import read_table, write_bucketed
 
 __version__ = "0.1.0"
 
@@ -24,4 +29,6 @@ __all__ = [
     "labels2geojson", "segment_overlapped_input",
     "remove_overlapped_labels", "merge_overlapped_tiles",
     "annotate_labeled_tiles", "sort_label_indices", "zip_annotated_tiles",
+    "asof_join", "dense_ids", "grouped_topk", "write_bucketed",
+    "read_table", "dedup", "similarity", "text", "multimodal",
 ]

@@ -40,6 +40,19 @@ def streaming_windowed_counts(stream: DataFrame,
                                  window)
 
 
+def dedup_exact_stream(stream: DataFrame, key_cols=("fingerprint",),
+                       ts_col: str = "ts",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: keep the first row per key, with state
+    bounded by the watermark (``dropDuplicatesWithinWatermark`` purges a
+    key's entry once the watermark passes it — without that, a dedup over
+    an unbounded stream accumulates state forever, which at 100 TB/day of
+    documents is the difference between a working pipeline and an OOM).
+    The batch equivalent is ``dropDuplicates`` on the same keys."""
+    return (stream.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(list(key_cols)))
+
+
 def sessionize_batch(df: DataFrame, gap_min: int = SESSION_GAP_MIN
                      ) -> DataFrame:
     """Batch sessionization: a session breaks when the gap to the previous

@@ -21,3 +21,13 @@ def test_dense_ids_start_offset(spark):
     df = spark.createDataFrame([(5,), (2,), (9,), (2,)], ["v"])
     got = dict(dense_ids(df, "v", num_partitions=2).collect())
     assert got == {2: 0, 5: 1, 9: 2}
+
+
+def test_approx_count_distinct_tolerance(spark):
+    """SURVEY §2.3.6: the HLL sketch path. Not oracle-hashable across
+    engines (sketches differ), so pinned here against the exact count."""
+    df = spark.range(100_000).select((F.col("id") % 12_345).alias("v"))
+    exact = df.select(F.count_distinct("v")).first()[0]
+    approx = df.select(F.approx_count_distinct("v", rsd=0.02)).first()[0]
+    assert exact == 12_345
+    assert abs(approx - exact) / exact < 0.05

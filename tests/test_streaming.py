@@ -61,3 +61,26 @@ def test_stateful_sessionize_emits_closed_sessions(spark, events_stream_dir):
         "SELECT user_id, session_idx, n_events, first_event, last_event "
         "FROM sessions").collect()}
     assert got == expected
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    import shutil
+    from dask_relabeling_spark.streaming.events import dedup_exact_stream
+    src = str(tmp_path / "dup_events")
+    ev = t(spark, SF_DIR, "events").filter(F.col("user_id") < 8)
+    # duplicate every row: dedup must return each event exactly once
+    ev.unionAll(ev).coalesce(1).write.parquet(src)
+    try:
+        batch_df = spark.read.parquet(src)
+        expected = batch_df.dropDuplicates(["event_id"]).count()
+        stream = spark.readStream.schema(batch_df.schema).parquet(src)
+        q = (dedup_exact_stream(stream, key_cols=("event_id",))
+             .writeStream.format("memory").queryName("dedup_stream")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT event_id) AS d "
+            "FROM dedup_stream").first()
+        assert (got.n, got.d) == (expected, expected)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
