@@ -26,6 +26,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # events).  Everything else still runs in the correctness gate.
 HEADLINE = [
     "relabel_components",
+    "relabel_components_3d",   # BASELINE.md geometry: 60x256x256, 2x2 grid
     "scan_filter_project",
     "q1_pricing_summary",
     "broadcast_join_brand_revenue",

@@ -20,6 +20,7 @@ from .operators import dedup, multimodal, similarity, text
 from .functions.ids import dense_ids
 from .functions.skew import grouped_topk
 from .sources.bucketed import read_table, write_bucketed
+from .sources.tables import load_table
 
 __version__ = "0.1.0"
 
@@ -30,5 +31,6 @@ __all__ = [
     "remove_overlapped_labels", "merge_overlapped_tiles",
     "annotate_labeled_tiles", "sort_label_indices", "zip_annotated_tiles",
     "asof_join", "dense_ids", "grouped_topk", "write_bucketed",
-    "read_table", "dedup", "similarity", "text", "multimodal",
+    "read_table", "load_table", "dedup", "similarity", "text",
+    "multimodal",
 ]

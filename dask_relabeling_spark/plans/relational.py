@@ -16,6 +16,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import load_table
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 REGISTRY: Dict[str, Tuple[QueryFn, Optional[str]]] = {}
 
@@ -28,18 +30,7 @@ def register(name: str, oracle: Optional[str]):
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if name == "events":
-        # the events table is written with TIMESTAMP(NANOS), which Spark's
-        # parquet reader rejects; read nanos as long and convert (micros —
-        # the synthetic data has no sub-microsecond precision)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return load_table(spark, sf_dir, name)
 
 
 # ---------------------------------------------------------------- 1. scan

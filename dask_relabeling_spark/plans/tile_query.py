@@ -72,3 +72,67 @@ def relabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.filter("data", lambda v: v != 0)))
         .alias("n_objects_touching"))
     return out.orderBy("cy", "cx")
+
+
+# 3D flagship matching the reference baseline geometry (BASELINE.md: a
+# 60x256x256 uint16 volume, chunks (60,128,128) => 2x2 grid, overlaps
+# [0,64,64], end-to-end 17.1 s single-machine) — same volume shape, grid
+# and halo here, with the CCL segmenter standing in for Cellpose so the
+# number isolates the TILING machinery, not the model.
+#
+# NB on exactness: at sf0.1 the mask is dense enough (~14 %) that rare
+# corner-straddling objects hit the reference algorithm's parity x
+# threshold edge case (an object whose share in the only even-parity
+# chunk is sub-threshold is dropped by all four chunks — verified
+# bit-for-bit against the reference's own remove kernel; see
+# tests/test_kernels_golden.py::test_corner_object_sub_threshold_parity_loss).
+# The per-tile counts here reproduce the reference's answer, including
+# that loss.
+D3, H3, W3 = 60, 256, 256
+CHUNK3 = (60, 128, 128)
+OVERLAP3 = (0, 64, 64)
+GRID3 = (1, H3 // CHUNK3[1], W3 // CHUNK3[2])
+
+
+def _mask_tiles_3d(spark: SparkSession, sf_dir: str) -> TileSet:
+    li = t(spark, sf_dir, "lineitem")
+    pts = (li.select((F.col("l_suppkey") % D3).cast("int").alias("z"),
+                     (F.col("l_orderkey") % H3).cast("int").alias("y"),
+                     (F.col("l_partkey") % W3).cast("int").alias("x"))
+           .withColumn("cz", F.lit(0))
+           .withColumn("cy", (F.col("y") / CHUNK3[1]).cast("int"))
+           .withColumn("cx", (F.col("x") / CHUNK3[2]).cast("int")))
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        cz, cy, cx = (int(key[0]), int(key[1]), int(key[2]))
+        tile = np.zeros(CHUNK3, dtype=np.int64)
+        tile[pdf["z"].to_numpy(),
+             pdf["y"].to_numpy() - cy * CHUNK3[1],
+             pdf["x"].to_numpy() - cx * CHUNK3[2]] = 1
+        return pd.DataFrame.from_records(
+            [tile_record((cz, cy, cx), tile)],
+            columns=[f.name for f in TILE_SCHEMA.fields])
+
+    grid_df = spark.range(GRID3[1] * GRID3[2]).select(
+        F.lit(0).alias("cz"),
+        (F.col("id") / GRID3[2]).cast("int").alias("cy"),
+        (F.col("id") % GRID3[2]).cast("int").alias("cx"),
+        F.lit(-1).cast("int").alias("z"),
+        F.lit(-1).cast("int").alias("y"), F.lit(-1).cast("int").alias("x"))
+    pts = pts.unionByName(grid_df)
+    tiles_df = (pts.groupBy("cz", "cy", "cx").applyInPandas(
+        lambda key, pdf: build(key, pdf[pdf["z"] >= 0]), TILE_SCHEMA))
+    return TileSet(df=tiles_df, nd=3, grid=GRID3, chunk_shape=CHUNK3,
+                   overlaps=(0, 0, 0), image_shape=(D3, H3, W3))
+
+
+@register("relabel_components_3d", None)  # CCL: not SQL-expressible
+def relabel_components_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ts = _mask_tiles_3d(spark, sf_dir)
+    labeled = image2labels(ts, overlaps=OVERLAP3, threshold=0.05)
+    out = labeled.df.select(
+        "cz", "cy", "cx",
+        F.size(F.filter("data", lambda v: v != 0)).alias("n_fg_pixels"),
+        F.size(F.array_distinct(F.filter("data", lambda v: v != 0)))
+        .alias("n_objects_touching"))
+    return out.orderBy("cz", "cy", "cx")

@@ -127,3 +127,35 @@ def test_annotate_golden(case):
         exp = st["ann"][loc].item()
         exp = None if exp == 0 else exp
         assert got == exp, f"ann mismatch at {loc}: {got} != {exp}"
+
+
+def test_corner_object_sub_threshold_parity_loss():
+    """Reference-parity edge case (verified against the reference's own
+    remove_overlapped_objects kernel, bit-for-bit): an object straddling
+    a 2x2 chunk corner whose share inside the only even-parity chunk is
+    below ``threshold`` is dropped by ALL four chunks — the even chunk
+    removes it as sub-threshold, every odd chunk drops it by the
+    checkerboard rule, and no chunk remains to be merged from.  Pixel
+    conservation can therefore fail for corner objects; the port must
+    reproduce exactly this (losing it is parity, keeping it would be a
+    divergence)."""
+    import numpy as np
+    from dask_relabeling_spark.kernels.ccl import label as ccl_label
+    from dask_relabeling_spark.kernels.relabel import \
+        remove_overlapped_objects
+
+    vox = [[5, 32, 32], [6, 28, 33], [6, 28, 34], [6, 29, 34], [6, 31, 32],
+           [6, 31, 33], [6, 32, 32], [6, 33, 31], [6, 33, 32], [7, 29, 33],
+           [7, 29, 34], [7, 30, 33], [7, 30, 34], [7, 31, 33], [7, 31, 34]]
+    mask = np.zeros((16, 64, 64), dtype=bool)
+    for z, y, x in vox:
+        mask[z, y, x] = True
+    grid, ov = (1, 2, 2), (0, 16, 16)
+    for cy in range(2):
+        for cx in range(2):
+            y0, y1 = max(cy * 32 - 16, 0), min((cy + 1) * 32 + 16, 64)
+            x0, x1 = max(cx * 32 - 16, 0), min((cx + 1) * 32 + 16, 64)
+            seg = ccl_label(mask[:, y0:y1, x0:x1]).astype(np.int64)
+            out = remove_overlapped_objects(seg, ov, 0.05, (0, cy, cx),
+                                            grid)
+            assert out.max() == 0, (cy, cx)
