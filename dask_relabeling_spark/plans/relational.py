@@ -325,6 +325,65 @@ def nested_json_docs(spark, sf_dir):
         F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("payload"))
 
 
+@register("events_props_extract", """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS prop_k
+FROM events WHERE event_type = 'purchase'
+""")
+def events_props_extract(spark, sf_dir):
+    """JSON path extraction from a string column (get_json_object) —
+    semi-structured props riding a typed table."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.filter(F.col("event_type") == "purchase")
+            .select("event_id",
+                    F.get_json_object("props", "$.k").cast("int")
+                    .alias("prop_k")))
+
+
+@register("pivot_status_by_priority", """
+SELECT o_orderpriority,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+       CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
+       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+         AS total_f
+FROM orders GROUP BY o_orderpriority
+""")
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (wide conditional aggregation).  Spark's ``pivot`` with an
+    explicit value list is a single hash aggregation — no extra shuffle
+    versus plain groupBy; the oracle spells it as FILTERed aggregates."""
+    o = t(spark, sf_dir, "orders")
+    p = (o.groupBy("o_orderpriority")
+         .pivot("o_orderstatus", ["F", "O", "P"])
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.round(F.sum("o_totalprice"), 2).alias("total")))
+    return p.select(
+        "o_orderpriority",
+        F.col("F_n").alias("n_f"), F.col("O_n").alias("n_o"),
+        F.col("P_n").alias("n_p"), F.col("F_total").alias("total_f"))
+
+
+@register("lineitem_price_quantiles", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+FROM lineitem GROUP BY l_returnflag
+""")
+def lineitem_price_quantiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``, same linear-interpolation definition).  The
+    approx_percentile sketch path is pinned separately in tests (not
+    oracle-hashable across engines)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(*[F.round(F.expr(
+                f"percentile(l_extendedprice, {q})"), 4)
+                .alias(f"p{int(q*100)}")
+                for q in (0.25, 0.50, 0.75)]))
+
+
 # ------------------------------------------------------- 15. global sort
 @register("global_sorted_orders", """
 SELECT o_orderkey, o_totalprice FROM orders
