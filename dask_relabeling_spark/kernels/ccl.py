@@ -8,36 +8,37 @@ pixels belong to one component iff they are axis-adjacent AND hold the same
 nonzero value, and components are numbered 1..N in order of first appearance
 in raster (C-order) scan — exactly skimage's output convention.
 
-Strategy: run-length CCL.  Foreground runs are extracted per scan-line with
-vectorized NumPy; a union-find over *runs* (orders of magnitude fewer than
-pixels) merges runs that overlap column-wise on adjacent lines along every
-non-last axis.  This keeps the Python-level loop proportional to the number
-of runs, not pixels, which is what makes it usable inside an Arrow-batched
-Spark UDF on large tiles.
+Strategy: run-length CCL, fully vectorized.  Foreground runs are extracted
+per scan-line with vectorized NumPy; run ids are painted back into the
+volume, cross-line adjacencies become array comparisons of axis-shifted
+views, and the resulting run-graph edges are resolved by min-label
+propagation with pointer jumping (O(log diameter) vectorized passes, each
+O(edges)) — zero Python-level loops over runs or lines, which is what
+makes the kernel usable inside an Arrow-batched Spark UDF on large tiles.
 """
 from __future__ import annotations
 
 import numpy as np
 
 
-def _find(parent: np.ndarray, i: int) -> int:
-    root = i
-    while parent[root] != root:
-        root = parent[root]
-    # path compression
-    while parent[i] != root:
-        parent[i], i = root, parent[i]
-    return root
-
-
-def _union(parent: np.ndarray, a: int, b: int) -> None:
-    ra, rb = _find(parent, a), _find(parent, b)
-    if ra != rb:
-        # keep the smaller (earlier-in-raster-order) run index as root
-        if ra < rb:
-            parent[rb] = ra
-        else:
-            parent[ra] = rb
+def _resolve_min_labels(n: int, ea: np.ndarray, eb: np.ndarray) -> np.ndarray:
+    """Connected components of the run graph: for each of ``n`` nodes with
+    undirected edges (ea, eb), return the minimum node index reachable —
+    min-label propagation + pointer jumping, all vectorized."""
+    lab = np.arange(n, dtype=np.int64)
+    while True:
+        prev = lab
+        nxt = lab.copy()
+        # propagate the neighbor's current label if smaller
+        np.minimum.at(nxt, ea, lab[eb])
+        np.minimum.at(nxt, eb, lab[ea])
+        # pointer jumping: follow labels-of-labels (labels only decrease,
+        # so this converges and preserves the min-index invariant)
+        nxt = np.minimum(nxt, nxt[nxt])
+        nxt = np.minimum(nxt, nxt[nxt])
+        if np.array_equal(nxt, prev):
+            return nxt
+        lab = nxt
 
 
 def label(img: np.ndarray, connectivity: int = 1) -> np.ndarray:
@@ -78,59 +79,51 @@ def label(img: np.ndarray, connectivity: int = 1) -> np.ndarray:
     run_e = end_col + 1
     run_v = flat[run_line, run_s]
 
-    # index of first run per line (runs are already in raster order)
-    line_first = np.searchsorted(run_line, np.arange(n_lines))
-    line_count = np.diff(np.append(line_first, n_runs))
-
-    parent = np.arange(n_runs, dtype=np.int64)
-
-    if img.ndim == 1:
-        pass  # runs along the only axis; nothing to merge
-    else:
-        lead_shape = img.shape[:-1]
-        # for every leading axis, union runs on lines adjacent along that axis
-        line_coords = np.unravel_index(np.arange(n_lines), lead_shape)
-        for ax in range(len(lead_shape)):
-            if lead_shape[ax] <= 1:
-                continue
-            coords = line_coords[ax]
-            stride = int(np.prod(lead_shape[ax + 1:], dtype=np.int64))
-            has_next = coords < lead_shape[ax] - 1
-            for a_line in np.nonzero(has_next)[0]:
-                b_line = a_line + stride
-                ca, na = line_first[a_line], line_count[a_line]
-                cb, nb = line_first[b_line], line_count[b_line]
-                if na == 0 or nb == 0:
-                    continue
-                i, j = 0, 0
-                while i < na and j < nb:
-                    ra, rb = ca + i, cb + j
-                    if run_s[ra] < run_e[rb] and run_s[rb] < run_e[ra] \
-                            and run_v[ra] == run_v[rb]:
-                        _union(parent, ra, rb)
-                    # advance the run that ends first
-                    if run_e[ra] < run_e[rb]:
-                        i += 1
-                    else:
-                        j += 1
-
-    # resolve roots, then number components by first appearance (root index
-    # is already the minimum run index in the component => raster order)
-    roots = np.empty(n_runs, dtype=np.int64)
-    for i in range(n_runs):
-        roots[i] = _find(parent, i)
-    uniq_roots, comp_of_run = np.unique(roots, return_inverse=True)
-    # uniq_roots is sorted ascending == order of first raster appearance
-    run_label = (comp_of_run + 1).astype(np.int32)
-
-    # paint runs back (vectorized per run via repeat-based scatter)
+    # paint RUN INDEX + 1 into the volume (0 = background); cross-line
+    # adjacency then falls out of axis-shifted view comparisons
     lengths = run_e - run_s
     flat_pos = run_line.astype(np.int64) * width + run_s
     starts_rep = np.repeat(flat_pos, lengths)
     offsets = np.arange(int(lengths.sum()), dtype=np.int64) - \
         np.repeat(np.cumsum(lengths) - lengths, lengths)
-    labels_out.reshape(-1)[starts_rep + offsets] = np.repeat(run_label,
-                                                             lengths)
+    scatter_idx = starts_rep + offsets
+
+    run_id = np.zeros(flat.size, dtype=np.int64)
+    run_id[scatter_idx] = np.repeat(
+        np.arange(1, n_runs + 1, dtype=np.int64), lengths)
+    run_id = run_id.reshape(img.shape)
+
+    edges = []
+    if img.ndim > 1:
+        vol = img
+        for ax in range(img.ndim - 1):     # last axis handled by runs
+            lo = [slice(None)] * img.ndim
+            hi = [slice(None)] * img.ndim
+            lo[ax], hi[ax] = slice(None, -1), slice(1, None)
+            a_id, b_id = run_id[tuple(lo)], run_id[tuple(hi)]
+            a_v, b_v = vol[tuple(lo)], vol[tuple(hi)]
+            m = (a_id != 0) & (b_id != 0) & (a_v == b_v)
+            if m.any():
+                edges.append((a_id[m] - 1, b_id[m] - 1))
+
+    if edges:
+        ea = np.concatenate([e[0] for e in edges])
+        eb = np.concatenate([e[1] for e in edges])
+        # dedupe voxel-level contacts down to unique run pairs
+        key = ea * np.int64(n_runs) + eb
+        uniq = np.unique(key)
+        ea, eb = uniq // n_runs, uniq % n_runs
+        roots = _resolve_min_labels(n_runs, ea, eb)
+    else:
+        roots = np.arange(n_runs, dtype=np.int64)
+
+    # number components by first appearance: the component root is the
+    # minimum run index => ascending roots == raster order (skimage's
+    # numbering convention)
+    uniq_roots, comp_of_run = np.unique(roots, return_inverse=True)
+    run_label = (comp_of_run + 1).astype(np.int32)
+
+    labels_out.reshape(-1)[scatter_idx] = np.repeat(run_label, lengths)
     return labels_out.reshape(img.shape)
 
 
