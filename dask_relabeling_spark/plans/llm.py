@@ -279,6 +279,21 @@ def multimodal_metadata(spark, sf_dir):
               .withColumn("height", F.col("height").cast("int"))
 
 
+@register("multimodal_features", None)  # binary decode: not SQL-expressible
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched decode -> fixed-width feature vectors over binary
+    payloads (deterministic fake decode standing in for PIL/ffmpeg;
+    the Spark-side plumbing — schema, batching, UDF signature — is what
+    this exercises).  Rows-only check: the decode step is the genuinely
+    non-SQL part of the multimodal surface."""
+    from ..operators.multimodal import decode_and_featurize
+    media = documents_as_media(t(spark, sf_dir, "documents"))
+    feats = decode_and_featurize(media, decode="fake")
+    return feats.select("media_id", "n_bytes",
+                        F.round(F.element_at("feature", 1), 6)
+                        .alias("f0"))
+
+
 # ------------------------------------------------------- events / time
 @register("events_hourly_windows", """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
