@@ -10,6 +10,13 @@ Output: per-tile object/pixel counts — deterministic, but CCL is not
 SQL-expressible, so this entry carries no DuckDB oracle (rows-only check;
 golden parity for the pipeline itself is covered by tests/ against the
 reference fixtures).
+
+NB: at sf0.1 the 2D mask is ~90 % full, so connected components dwarf the
+16 px halo — far outside the reference algorithm's one-hop-merge
+contract (max object diameter <= overlap, SURVEY §4.1).  The pipeline is
+still deterministic there (same counts every run, and identical to what
+the reference's kernels compute), which is all the bench requires; the
+sf0.01 gate data is sparse enough that pixel conservation is exact.
 """
 from __future__ import annotations
 
@@ -31,33 +38,67 @@ GRID = (H // CHUNK, W // CHUNK)
 
 
 def _mask_tiles(spark: SparkSession, sf_dir: str) -> TileSet:
+    """Build the tile table with MAP-SIDE PARTIAL AGGREGATION of a custom
+    aggregate: each input partition collapses its points into per-tile
+    bitmaps (one bit per pixel), and the shuffle moves those partials —
+    grid_tiles x n_partitions x chunk/8 bytes, ~10x less than the raw
+    point rows — to a per-tile OR + expand.  The same shape Spark gives
+    algebraic aggs for free, hand-built for a bitmap union."""
+    import pyspark.sql.types as T
     li = t(spark, sf_dir, "lineitem")
-    # no .distinct(): the build kernel writes 1s idempotently, so duplicate
-    # points are harmless and skipping the dedup saves a full shuffle+agg
-    # of the point set before the groupBy-by-tile shuffle
-    pts = (li.select((F.col("l_orderkey") % H).cast("int").alias("y"),
-                     (F.col("l_partkey") % W).cast("int").alias("x"))
-           .withColumn("cy", (F.col("y") / CHUNK).cast("int"))
-           .withColumn("cx", (F.col("x") / CHUNK).cast("int")))
+    pts = li.select((F.col("l_orderkey") % H).cast("int").alias("y"),
+                    (F.col("l_partkey") % W).cast("int").alias("x"))
+
+    partial_schema = T.StructType([
+        T.StructField("cy", T.IntegerType(), False),
+        T.StructField("cx", T.IntegerType(), False),
+        T.StructField("bits", T.BinaryType(), False),
+    ])
+    nbytes = CHUNK * CHUNK // 8
+
+    def to_partials(batches: Iterator[pd.DataFrame]
+                    ) -> Iterator[pd.DataFrame]:
+        acc = {}
+        for pdf in batches:
+            y = pdf["y"].to_numpy()
+            x = pdf["x"].to_numpy()
+            cy, cx = y // CHUNK, x // CHUNK
+            key = cy * GRID[1] + cx
+            local = (y - cy * CHUNK) * CHUNK + (x - cx * CHUNK)
+            for k in np.unique(key):
+                bm = acc.get(int(k))
+                if bm is None:
+                    bm = acc.setdefault(int(k), np.zeros(nbytes,
+                                                         dtype=np.uint8))
+                sel = local[key == k]
+                np.bitwise_or.at(bm, sel // 8,
+                                 np.left_shift(1, sel % 8).astype(np.uint8))
+        if acc:
+            yield pd.DataFrame.from_records(
+                [{"cy": k // GRID[1], "cx": k % GRID[1],
+                  "bits": bm.tobytes()} for k, bm in acc.items()],
+                columns=["cy", "cx", "bits"])
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cy, cx = int(key[0]), int(key[1])
-        tile = np.zeros((CHUNK, CHUNK), dtype=np.int64)
-        tile[pdf["y"].to_numpy() - cy * CHUNK,
-             pdf["x"].to_numpy() - cx * CHUNK] = 1
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        for b in pdf["bits"]:
+            if b is not None:
+                bits |= np.frombuffer(b, dtype=np.uint8)
+        tile = np.unpackbits(bits, bitorder="little") \
+            .astype(np.int64).reshape(CHUNK, CHUNK)
         return pd.DataFrame.from_records(
             [tile_record((cy, cx), tile)],
             columns=[f.name for f in TILE_SCHEMA.fields])
 
+    partials = pts.mapInPandas(to_partials, partial_schema)
     # every tile of the full grid must exist (empty tiles included)
     grid_df = spark.range(GRID[0] * GRID[1]).select(
         (F.col("id") / GRID[1]).cast("int").alias("cy"),
         (F.col("id") % GRID[1]).cast("int").alias("cx"),
-        F.lit(-1).cast("int").alias("y"), F.lit(-1).cast("int").alias("x"))
-    pts = pts.unionByName(grid_df).filter(F.col("y") >= -1)
-    tiles_df = (pts.groupBy("cy", "cx").applyInPandas(
-        lambda key, pdf: build(
-            key, pdf[pdf["y"] >= 0]), TILE_SCHEMA))
+        F.lit(None).cast("binary").alias("bits"))
+    tiles_df = (partials.unionByName(grid_df)
+                .groupBy("cy", "cx").applyInPandas(build, TILE_SCHEMA))
     return TileSet(df=tiles_df, nd=2, grid=GRID, chunk_shape=(CHUNK, CHUNK),
                    overlaps=(0, 0), image_shape=(H, W))
 

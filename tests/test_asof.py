@@ -81,3 +81,39 @@ def test_single_shuffle_plan(sides):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_random_against_pandas_merge_asof(spark):
+    """Property: asof_join(backward) == pandas.merge_asof on random data
+    (pandas is an independent trusted implementation of as-of)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(123)
+    nl, nr = 400, 300
+    lpdf = pd.DataFrame({
+        "k": rng.integers(0, 8, nl).astype("int64"),
+        "ts": pd.to_datetime(rng.integers(0, 10_000, nl), unit="s"),
+        "lid": np.arange(nl, dtype="int64"),
+    })
+    rpdf = pd.DataFrame({
+        "k": rng.integers(0, 8, nr).astype("int64"),
+        "rts": pd.to_datetime(
+            rng.choice(np.arange(10_000), nr, replace=False), unit="s"),
+        "rid": np.arange(nr, dtype="int64"),
+        "val": rng.random(nr).round(6),
+    })
+    got = (asof_join(spark.createDataFrame(lpdf),
+                     spark.createDataFrame(rpdf),
+                     ["k"], "ts", "rts", right_id="rid")
+           .toPandas())
+    exp = pd.merge_asof(lpdf.sort_values("ts"),
+                        rpdf.sort_values("rts"),
+                        left_on="ts", right_on="rts", by="k",
+                        direction="backward")
+    g = got.sort_values("lid")[["lid", "rid_r", "val_r"]] \
+        .reset_index(drop=True)
+    e = exp.sort_values("lid")[["lid", "rid", "val"]] \
+        .rename(columns={"rid": "rid_r", "val": "val_r"}) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, e, check_dtype=False)
