@@ -141,21 +141,65 @@ def merge_overlapped_tiles(ts: TileSet) -> TileSet:
     return trim_overlap(merged)
 
 
-def sort_label_indices(ts: TileSet) -> TileSet:
+def sort_label_indices(ts: TileSet, distributed: bool = False) -> TileSet:
     """Dense re-index of all labels to 0..N in sorted order.
 
-    Global dictionary = ``explode(data) -> distinct`` (distributed partial +
-    final aggregation); only the distinct labels (tiny vs pixels) reach the
-    driver, are sorted, and ship back inside the remap closure — the Spark
-    rendition of a broadcast join against a ``dense_rank`` dictionary.
-    Reference ``relabeling.py:312-346``.
+    Default path: global dictionary = ``explode(data) -> distinct``
+    (distributed partial + final aggregation); only the distinct labels
+    (tiny vs pixels) reach the driver, are sorted, and ship back inside
+    the remap closure — the Spark rendition of a broadcast join against a
+    ``dense_rank`` dictionary.  Reference ``relabeling.py:312-346``.
+
+    ``distributed=True`` is the scale path for when even the distinct
+    label set is too large to collect/broadcast: dense ids come from
+    ``functions.ids.dense_ids`` (range-partitioned two-pass indexing — no
+    single-partition window, no driver materialization), each tile joins
+    only ITS OWN labels' dictionary entries back (shuffle is O(distinct
+    labels per tile), not O(global dictionary) per task), and the remap
+    runs per tile against that local fragment.  Results are identical.
     """
-    uniq = (ts.df.select(F.explode("data").alias("label"))
-            .distinct().collect())
-    dictionary = np.sort(np.array([r.label for r in uniq], dtype=np.int64))
-    bc = ts.df.sparkSession.sparkContext.broadcast(dictionary)
+    if not distributed:
+        uniq = (ts.df.select(F.explode("data").alias("label"))
+                .distinct().collect())
+        dictionary = np.sort(np.array([r.label for r in uniq],
+                                      dtype=np.int64))
+        bc = ts.df.sparkSession.sparkContext.broadcast(dictionary)
 
-    def fn(tile, cls, loc):
-        return sort_indices(tile, bc.value), cls
+        def fn(tile, cls, loc):
+            return sort_indices(tile, bc.value), cls
 
-    return map_tiles(ts, fn)
+        return map_tiles(ts, fn)
+
+    from ..functions.ids import dense_ids
+    nd = ts.nd
+    keys = key_cols(nd)
+    tile_labels = (ts.df.select(*keys, F.explode("data").alias("label"))
+                   .distinct())
+    dictionary = dense_ids(tile_labels.select("label").distinct(), "label")
+    frag = (tile_labels.join(dictionary, "label")
+            .groupBy(*keys)
+            .agg(F.sort_array(F.collect_list(
+                F.struct("label", "id"))).alias("_dict")))
+    joined = ts.df.join(frag, list(keys))
+
+    def gen(batches):
+        import pandas as pd
+        from ..sources.tiles import TILE_FIELDS, pdf_tile, pdf_classes, \
+            tile_record
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                tile = pdf_tile(row, nd)
+                cls = pdf_classes(row, nd)
+                loc = tuple(int(row[c]) for c in keys)
+                ents = row["_dict"]
+                labs = np.array([e["label"] for e in ents], dtype=np.int64)
+                ids = np.array([e["id"] for e in ents], dtype=np.int64)
+                remapped = ids[np.searchsorted(labs, tile)] \
+                    .astype(tile.dtype)
+                recs.append(tile_record(loc, remapped, cls))
+            yield pd.DataFrame.from_records(
+                recs, columns=[f.name for f in TILE_FIELDS])
+
+    from ..sources.tiles import TILE_SCHEMA
+    return ts.with_df(joined.mapInPandas(gen, TILE_SCHEMA))

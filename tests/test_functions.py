@@ -31,3 +31,24 @@ def test_approx_count_distinct_tolerance(spark):
     approx = df.select(F.approx_count_distinct("v", rsd=0.02)).first()[0]
     assert exact == 12_345
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_sort_label_indices_distributed_matches_driver(spark):
+    """The no-driver-materialization scale path of sort_label_indices must
+    agree exactly with the broadcast-dictionary path on pipeline output."""
+    import numpy as np
+    from dask_relabeling_spark.operators.pipeline import image2labels
+    from dask_relabeling_spark.operators.relabel_ops import \
+        sort_label_indices
+    from dask_relabeling_spark.plans.tile_query import _mask_tiles
+
+    ts = _mask_tiles(spark, "/root/testdata/sf0.001")
+    labeled = image2labels(ts, overlaps=16, threshold=0.05)
+    cached = labeled.with_df(labeled.df.cache())
+    a = {(r.cy, r.cx): np.asarray(r.data) for r in
+         sort_label_indices(cached).df.collect()}
+    b = {(r.cy, r.cx): np.asarray(r.data) for r in
+         sort_label_indices(cached, distributed=True).df.collect()}
+    assert sorted(a) == sorted(b)
+    assert all(np.array_equal(a[k], b[k]) for k in a)
+    assert any(v.max() > 0 for v in a.values())
