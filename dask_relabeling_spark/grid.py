@@ -77,9 +77,16 @@ def region_dim(region: Region) -> int:
 
 def core_slice(coord: int, axis_chunks: int, ov: int) -> slice:
     """Slice of this axis that strips the halo (halo exists on inner sides
-    only).  Reference ``chunkops.py:27-32``."""
+    only).  Reference ``chunkops.py:27-32``.
+
+    The ``-ov or None`` guard diverges from the reference's literal
+    arithmetic ONLY for ``ov == 0`` on a multi-chunk axis, where the
+    reference computes ``slice(0, -0)`` and silently empties the tile —
+    a regime outside its operating envelope (its notebooks use ov=0 only
+    on single-chunk axes).  Here a zero-overlap axis means "no halo":
+    the core is the whole axis."""
     return slice(ov if coord > 0 else 0,
-                 -ov if coord < axis_chunks - 1 else None)
+                 (-ov or None) if coord < axis_chunks - 1 else None)
 
 
 def source_slice(coord: int, axis_chunks: int, ov: int,

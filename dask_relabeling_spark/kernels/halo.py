@@ -88,7 +88,9 @@ def pad_tile(tile: np.ndarray, target_shape: Sequence[int]) -> np.ndarray:
 def trim_halo(tile: np.ndarray, loc: Sequence[int], grid: Sequence[int],
               overlaps: Sequence[int]) -> np.ndarray:
     """Strip a tile's halo (inner sides only)."""
-    sel = tuple(slice(ov if c > 0 else 0, -ov if c < g - 1 else None)
+    # `-ov or None`: zero overlap must not become slice(0, -0) == empty
+    sel = tuple(slice(ov if c > 0 else 0,
+                      (-ov or None) if c < g - 1 else None)
                 for c, g, ov in zip(loc, grid, overlaps))
     return tile[sel]
 

@@ -54,6 +54,12 @@ def remove_overlapped_objects(labeled: np.ndarray, overlaps: Sequence[int],
     mark[prop < threshold] = -(nd + 1)
 
     for region in overlap_regions(chunk_loc, grid, nd):
+        # an axis with zero overlap has no halo: regions constraining it
+        # do not exist (without this, source_slice(ov=0) selects the WHOLE
+        # axis and checkerboard parity claims every label on it)
+        if any(lvl is not None and overlaps[ax] == 0
+               for ax, lvl in enumerate(region)):
+            continue
         drop = any(chunk_loc[ax] % 2 != 0
                    for ax, lvl in enumerate(region) if lvl is not None)
         rdim = region_dim(region)
@@ -103,6 +109,9 @@ def merge_tiles(expanded: np.ndarray, overlaps: Sequence[int],
         merged_classes = classes[(slice(None),) + core_sel].copy()
 
     for region in merging_regions(chunk_loc, grid, nd):
+        if any(lvl is not None and overlaps[ax] == 0
+               for ax, lvl in enumerate(region)):
+            continue  # zero-overlap axis: no halo, nothing to pull
         dst = tuple(dest_slice(c, g, ov, lvl)
                     for c, g, ov, lvl
                     in zip(chunk_loc, grid, overlaps, region))

@@ -22,8 +22,9 @@ from typing import List, Optional
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
-_LEFT_AFTER_RIGHT = (1 << 62)  # left-row tiebreak: sorts after any right id
+_NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
 def asof_join(left: DataFrame, right: DataFrame, on: List[str],
@@ -36,10 +37,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
 
     ``right_id``: unique right column used to break ties when several
     right rows share one (key, ts) — the highest id wins, keeping the
-    result deterministic on both engines.
+    result deterministic on both engines.  Must be an integer column
+    (a silent cast of e.g. a UUID string would NULL every tiebreak).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if right_id is not None:
+        id_type = right.schema[right_id].dataType
+        if not isinstance(id_type, _NUMERIC):
+            raise TypeError(
+                f"right_id column '{right_id}' must be integral, got "
+                f"{id_type.simpleString()} (a non-numeric tiebreak would "
+                f"cast to NULL and silently lose determinism)")
 
     r_payload = [c for c in right.columns if c not in on]
     r_struct = F.struct(*[F.col(c) for c in r_payload])
@@ -54,10 +63,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     l2 = left.select(
         *[F.col(c) for c in on],
         F.col(left_ts).alias("_ts"),
-        F.lit(_LEFT_AFTER_RIGHT).alias("_tb"),
+        F.lit(None).cast("long").alias("_tb"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
         F.lit(None).cast(r_struct_type).alias("_r"))
-    r_tb = F.col(right_id).cast("long") if right_id else F.lit(0)
+    # NULL ids (if any) coalesce to long-min: they lose every tie
+    # deterministically instead of mixing with the left rows' NULL marker
+    r_tb = (F.coalesce(F.col(right_id).cast("long"),
+                       F.lit(-(1 << 63)))
+            if right_id else F.lit(0))
     r2 = right.select(
         *[F.col(c) for c in on],
         F.col(right_ts).alias("_ts"),
@@ -65,9 +78,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
         F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
         r_struct.alias("_r"))
 
-    # left rows always sort AFTER right rows at an equal timestamp (so an
-    # equal-ts right row is a valid match in either direction)
-    w = (Window.partitionBy(*on).orderBy(ts_order, F.col("_tb"))
+    # left rows carry a NULL tiebreak and sort with asc_nulls_last, so
+    # they always come AFTER right rows at an equal timestamp (an
+    # equal-ts right row is a valid match in either direction) — robust
+    # for any right id magnitude, no sentinel value to collide with
+    w = (Window.partitionBy(*on).orderBy(ts_order,
+                                         F.col("_tb").asc_nulls_last())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = l2.unionByName(r2)
     matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))

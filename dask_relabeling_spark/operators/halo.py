@@ -321,7 +321,9 @@ def trim_overlap(ts: TileSet) -> TileSet:
     nd, grid, ov = ts.nd, ts.grid, ts.overlaps
 
     def fn(tile, cls, loc):
-        sel = tuple(slice(o if c > 0 else 0, -o if c < g - 1 else None)
+        # `-o or None`: a zero overlap must not become slice(0, -0) == empty
+        sel = tuple(slice(o if c > 0 else 0,
+                          (-o or None) if c < g - 1 else None)
                     for c, g, o in zip(loc, grid, ov))
         new_cls = None if cls is None else cls[(slice(None),) + sel]
         return tile[sel], new_cls

@@ -103,7 +103,10 @@ def image2labels(ts: TileSet, seg_fn: Optional[Callable] = None,
             m, mc = merged[0], merged[1:]
         else:
             m, mc = merged, None
-        trim = tuple(slice(o if c > 0 else 0, -o if c < g - 1 else None)
+        # NB `-o or None`: with a zero overlap on an axis slice(0, -0)
+        # would silently empty the tile
+        trim = tuple(slice(o if c > 0 else 0,
+                           (-o or None) if c < g - 1 else None)
                      for c, g, o in zip(loc, grid, ov))
         crop = tuple(slice(0, min((l + 1) * c, s) - l * c)
                      for l, c, s in zip(loc, chunk, img))

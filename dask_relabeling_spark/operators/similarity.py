@@ -84,7 +84,11 @@ def default_lsh_planes(n_planes: int = 5, dim: int = 64,
         p = []
         for _ in range(dim):
             s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            p.append(((s >> 33) / float(1 << 31)) - 1.0)   # uniform [-1, 1)
+            # top 32 bits / 2^31 in [0, 2) -> uniform [-1, 1).  (A previous
+            # revision shifted by 33, leaving every coordinate in [-1, 0):
+            # all-negative planes are mutually correlated and collapse most
+            # vectors into 2 of the 2^n buckets, defeating the pruning.)
+            p.append(((s >> 32) / float(1 << 31)) - 1.0)
         planes.append(p)
     return planes
 
@@ -108,10 +112,18 @@ def lsh_cosine_topk(df: DataFrame, query_vec: Sequence[float],
                     id_col: str = "vec_id", vec_col: str = "embedding"
                     ) -> DataFrame:
     """ANN top-k: score only the query's LSH bucket (falls back to exact
-    rank semantics only within the bucket — the documented ANN trade-off)."""
-    import numpy as np
-    qb = "".join("1" if float(np.dot(query_vec, p)) >= 0 else "0"
-                 for p in planes)
+    rank semantics only within the bucket — the documented ANN trade-off).
+
+    The query's bucket is computed with the SAME Spark expression as the
+    corpus buckets (one single-row job) — numpy's pairwise summation can
+    round a near-zero dot product to the opposite sign of the engine's
+    sequential fold, which would put the query in a bucket none of its
+    corpus neighbors occupy."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(0, list(float(v) for v in query_vec))],
+                                f"{id_col} int, {vec_col} array<double>")
+    qb = hyperplane_lsh_buckets(qdf, planes, id_col, vec_col) \
+        .first()["bucket"]
     bucketed = hyperplane_lsh_buckets(df, planes, id_col, vec_col)
     cand = df.join(bucketed.filter(F.col("bucket") == qb)
                    .select(id_col), id_col)

@@ -309,17 +309,28 @@ def events_hourly_windows(spark, sf_dir):
 SELECT l.event_id, l.user_id,
        r.event_id AS click_event_id, r.value AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
-ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
-  ON l.user_id = r.user_id AND l.ts >= r.ts
+ASOF LEFT JOIN (
+  SELECT user_id, ts, max(event_id) AS event_id,
+         arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+) r ON l.user_id = r.user_id AND l.ts >= r.ts
 """)
 def events_asof_last_click(spark, sf_dir):
     """Point-in-time attribution: each purchase joined to the user's most
     recent click at-or-before purchase time (union+window as-of join —
-    one shuffle, no range-join explosion)."""
+    one shuffle, no range-join explosion).
+
+    Both sides pre-collapse clicks to one row per (user_id, ts) keeping
+    the max event_id: DuckDB's ASOF JOIN tie choice among equal r.ts
+    rows is unspecified, so the oracle would be nondeterministic on tied
+    data without this (the current seed data has no ties; this is
+    insurance against regenerated data)."""
     ev = t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")
-    clicks = ev.filter(F.col("event_type") == "click") \
-        .select("user_id", "event_id", "ts", "value")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("event_id"),
+                   F.max_by("value", "event_id").alias("value")))
     j = asof_join(purchases, clicks, on=["user_id"],
                   left_ts="ts", right_ts="ts", right_id="event_id")
     return j.select("event_id", "user_id",

@@ -117,3 +117,10 @@ def test_random_against_pandas_merge_asof(spark):
         .rename(columns={"rid": "rid_r", "val": "val_r"}) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(g, e, check_dtype=False)
+
+
+def test_non_numeric_right_id_rejected(sides):
+    left, right = sides
+    bad = right.withColumn("rid_s", F.col("rid").cast("string"))
+    with pytest.raises(TypeError, match="must be integral"):
+        asof_join(left, bad, ["k"], "ts", "rts", right_id="rid_s")

@@ -68,3 +68,19 @@ def test_rows_only_queries_run(spark):
     for name in sorted(set(QUERIES) - set(ORACLES)):
         df = QUERIES[name](spark, SF_DIR)
         assert df.count() >= 0, name
+
+
+def test_lsh_buckets_spread(spark):
+    """Regression: hyperplane LSH must actually spread vectors across
+    buckets (a prior bug generated all-negative correlated planes that
+    collapsed most vectors into 2 of 32 buckets — invisible to the
+    oracle gate, which replays the same constants)."""
+    from dask_relabeling_spark.operators import similarity as S
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    b = S.hyperplane_lsh_buckets(emb, S.default_lsh_planes())
+    counts = [r["count"] for r in b.groupBy("bucket").count().collect()]
+    n = sum(counts)
+    assert len(counts) >= 16            # most of the 32 buckets populated
+    assert max(counts) < n * 0.2        # no bucket dominates
+    flat = [x for p in S.default_lsh_planes() for x in p]
+    assert min(flat) < -0.5 and max(flat) > 0.5

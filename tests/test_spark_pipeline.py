@@ -120,3 +120,40 @@ def test_labels2geojson_and_zip_golden(spark, tmp_path):
         for n in names:
             loc = tuple(int(c) for c in n[:-len(".geojson")].split("-"))
             assert json.loads(zf.read(n)) == exp_tiles[loc].item()
+
+
+def test_zero_overlap_axis_multi_chunk_not_emptied(spark):
+    """overlaps=0 on an axis with multiple chunks must not trim tiles to
+    empty (slice(0, -0) regression): with no halo on that axis the
+    pipeline degrades to independent per-chunk labeling there, but every
+    pixel must survive."""
+    import numpy as np
+    import pandas as pd
+    from dask_relabeling_spark.operators.pipeline import image2labels
+    from dask_relabeling_spark.sources.tiles import (TILE_SCHEMA, TileSet,
+                                                     tile_record)
+
+    rng = np.random.default_rng(5)
+    vol = (rng.random((8, 16, 16)) < 0.2).astype(np.int64)
+    recs = []
+    for cz in range(2):
+        for cy in range(2):
+            for cx in range(2):
+                recs.append(tile_record(
+                    (cz, cy, cx),
+                    vol[cz*4:(cz+1)*4, cy*8:(cy+1)*8, cx*8:(cx+1)*8]))
+    df = spark.createDataFrame(
+        pd.DataFrame.from_records(
+            recs, columns=[f.name for f in TILE_SCHEMA.fields]),
+        TILE_SCHEMA)
+    ts = TileSet(df=df, nd=3, grid=(2, 2, 2), chunk_shape=(4, 8, 8),
+                 overlaps=(0, 0, 0), image_shape=(8, 16, 16))
+    out = image2labels(ts, overlaps=(0, 2, 2), threshold=0.05)
+    tiles = {(r.cz, r.cy, r.cx):
+             np.asarray(r.data).reshape(r.d, r.h, r.w)
+             for r in out.df.collect()}
+    assert len(tiles) == 8
+    assert all(t.shape == (4, 8, 8) for t in tiles.values())
+    # pixels on the zero-overlap axis are never lost
+    total_fg = sum(int((t != 0).sum()) for t in tiles.values())
+    assert total_fg >= int(vol.sum()) * 0.9  # y/x corner losses only
