@@ -41,6 +41,28 @@ def prepare_input(ts: TileSet, overlaps: Union[int, List[int]]) -> TileSet:
     return halo_exchange(pad_edge_tiles(ts), ov)
 
 
+def _pad_pre(chunk):
+    """Per-tile pad-to-chunk kernel for the fused exchanges (closes over
+    the chunk shape only — a TileSet holds the DataFrame and through it
+    the unpicklable SparkContext)."""
+    def pre(tile, cls, loc):
+        tile = pad_tile(tile, chunk)
+        if cls is not None:
+            cls = np.stack([pad_tile(p, chunk) for p in cls])
+        return tile, cls
+    return pre
+
+
+def _split_seg_output(out, returns_classes):
+    """Normalize a segmentation function's output to (labels, classes):
+    plane 0 is labels when the fn returns a stacked classes array
+    (reference contract, ``relabeling.py:22-24``)."""
+    out = np.asarray(out)
+    if returns_classes:
+        return out[0].astype(np.int64), out[1:].astype(np.int64)
+    return out.astype(np.int64), None
+
+
 def image2labels(ts: TileSet, seg_fn: Optional[Callable] = None,
                  overlaps: Union[int, List[int]] = 50,
                  threshold: float = 0.05,
@@ -77,19 +99,11 @@ def image2labels(ts: TileSet, seg_fn: Optional[Callable] = None,
     fn = seg_fn or default_segment_fn
     kwargs = dict(segmentation_fn_kwargs or {})
     grid, chunk, img = ts.grid, ts.chunk_shape, ts.image_shape
-
-    def pre(tile, cls, loc):
-        tile = pad_tile(tile, chunk)
-        if cls is not None:
-            cls = np.stack([pad_tile(p, chunk) for p in cls])
-        return tile, cls
+    pre = _pad_pre(chunk)
 
     def mid(tile, cls, loc):
-        out = np.asarray(fn(tile, **kwargs))
-        if returns_classes:
-            seg, seg_cls = out[0].astype(np.int64), out[1:].astype(np.int64)
-        else:
-            seg, seg_cls = out.astype(np.int64), None
+        seg, seg_cls = _split_seg_output(fn(tile, **kwargs),
+                                         returns_classes)
         removed = remove_overlapped_objects(seg, ov, threshold, loc, grid)
         new_cls = None
         if seg_cls is not None:
@@ -133,11 +147,8 @@ def _geojson_finish(grid, chunk, ov, object_classes, threshold,
 
     def finish(tile, cls, loc):
         if seg is not None:
-            out = np.asarray(seg(tile, **kwargs))
-            if returns_classes:
-                tile, cls = out[0].astype(np.int64), out[1:].astype(np.int64)
-            else:
-                tile, cls = out.astype(np.int64), None
+            tile, cls = _split_seg_output(seg(tile, **kwargs),
+                                          returns_classes)
         removed = remove_overlapped_objects(tile, ov, threshold, loc, grid)
         if cls is not None:
             cls = np.stack([zero_classes_where_removed(removed, p)
@@ -177,15 +188,7 @@ def labels2geojson(ts: TileSet, overlaps: Union[int, List[int]] = 50,
     finish = _geojson_finish(ts.grid, ts.chunk_shape, ov,
                              object_classes, threshold)
 
-    chunk = ts.chunk_shape
-
-    def pre(tile, cls, loc):
-        # NB: close over chunk, not ts — the TileSet holds the DataFrame
-        # (and through it the SparkContext), which cannot be pickled
-        tile = pad_tile(tile, chunk)
-        if cls is not None:
-            cls = np.stack([pad_tile(p, chunk) for p in cls])
-        return tile, cls
+    pre = _pad_pre(ts.chunk_shape)
 
     return fused_exchange_records(ts, ov, pre, finish, ANNOTATION_SCHEMA)
 
@@ -212,15 +215,7 @@ def image2geojson(ts: TileSet, seg_fn: Optional[Callable] = None,
                              returns_classes=returns_classes,
                              seg_kwargs=segmentation_fn_kwargs)
 
-    chunk = ts.chunk_shape
-
-    def pre(tile, cls, loc):
-        # NB: close over chunk, not ts — the TileSet holds the DataFrame
-        # (and through it the SparkContext), which cannot be pickled
-        tile = pad_tile(tile, chunk)
-        if cls is not None:
-            cls = np.stack([pad_tile(p, chunk) for p in cls])
-        return tile, cls
+    pre = _pad_pre(ts.chunk_shape)
 
     return fused_exchange_records(ts, ov, pre, finish, ANNOTATION_SCHEMA)
 
