@@ -256,6 +256,35 @@ def text_quality(spark, sf_dir):
     return TX.with_quality_score(t(spark, sf_dir, "documents"))
 
 
+@register("text_bpe_token_stats", """
+SELECT doc_id,
+       CAST(len(tk) AS INT) AS n_bpe_tokens,
+       CAST(len(list_filter(tk, x -> x ~ '^[0-9]+$')) AS INT)
+         AS n_number_tokens,
+       CAST(len(list_filter(tk, x -> x ~ '^[^A-Za-z0-9]$')) AS INT)
+         AS n_punct_tokens
+FROM (SELECT doc_id,
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')
+               AS tk
+      FROM documents)
+""")
+def text_bpe_token_stats(spark, sf_dir):
+    """BPE-ish subword pre-tokenization counts: letter runs, digit runs,
+    single punctuation — the split a byte-pair tokenizer starts from.
+    The pattern uses only constructs Java regex and RE2 interpret
+    identically (no backrefs, no lookaround), so DuckDB replays it."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.expr(
+        r"regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+    return d.select(
+        "doc_id",
+        F.size(tk).cast("int").alias("n_bpe_tokens"),
+        F.size(F.filter(tk, lambda x: x.rlike("^[0-9]+$")))
+        .cast("int").alias("n_number_tokens"),
+        F.size(F.filter(tk, lambda x: x.rlike("^[^A-Za-z0-9]$")))
+        .cast("int").alias("n_punct_tokens"))
+
+
 @register("text_fingerprint", """
 SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
        AS fingerprint
