@@ -98,6 +98,43 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 
+def winnowing_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 8,
+                           w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every k-char gram, slide a window of ``w`` consecutive gram
+    hashes, keep each window's minimum — the distinct minima are the
+    document's fingerprint set.  Guarantees any shared substring of
+    length >= k + w - 1 contributes at least one common fingerprint,
+    while storing ~2/(w+1) of the gram hashes.
+
+    All JVM-side array expressions (substring/md5/min over slices); a
+    narrow map fused with the scan.  Output: (id, n_fingerprints,
+    min_fingerprint) — set-level stats that hash-compare across engines.
+    """
+    txt = F.col(text_col)
+    n_grams = F.greatest(F.length(txt) - (k - 1), F.lit(0))
+    gram_hash = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.conv(F.substr(F.md5(txt.substr(i, F.lit(k))),
+                                  F.lit(1), F.lit(8)), 16, 10)
+        .cast("long"))
+    with_h = df.select(F.col(id_col).alias("id"),
+                       F.when(n_grams > 0, gram_hash)
+                       .otherwise(F.array().cast("array<long>"))
+                       .alias("gh"))
+    gh = F.col("gh")
+    n_windows = F.greatest(F.size(gh) - (w - 1), F.lit(0))
+    mins = F.transform(F.sequence(F.lit(1), n_windows),
+                       lambda i: F.array_min(F.slice(gh, i, w)))
+    fps = F.array_distinct(F.when(n_windows > 0, mins)
+                           .otherwise(F.array().cast("array<long>")))
+    return (with_h.select("id", fps.alias("fps"))
+            .select("id",
+                    F.size("fps").cast("int").alias("n_fingerprints"),
+                    F.array_min("fps").alias("min_fingerprint")))
+
+
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus word frequencies: explode -> partial+final hash agg."""
     return (df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))

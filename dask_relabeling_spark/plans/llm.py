@@ -285,6 +285,29 @@ def text_bpe_token_stats(spark, sf_dir):
         .cast("int").alias("n_punct_tokens"))
 
 
+@register("text_winnowing", """
+WITH g AS (
+  SELECT doc_id AS id,
+         list_transform(generate_series(1, greatest(length(text)-7, 0)),
+           i -> CAST('0x' || substr(md5(substr(text, i, 8)), 1, 8)
+                AS BIGINT)) AS gh
+  FROM documents),
+f AS (
+  SELECT id, list_distinct(
+           list_transform(generate_series(1, greatest(len(gh)-3, 0)),
+             i -> list_min(gh[i:i+3]))) AS fps
+  FROM g)
+SELECT id, CAST(len(fps) AS INT) AS n_fingerprints,
+       list_min(fps) AS min_fingerprint FROM f
+""")
+def text_winnowing(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints: k=8 char grams,
+    window w=4, distinct window minima.  Any shared substring of length
+    >= k+w-1 = 11 yields a common fingerprint."""
+    return TX.winnowing_fingerprints(t(spark, sf_dir, "documents"),
+                                     k=8, w=4)
+
+
 @register("text_fingerprint", """
 SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
        AS fingerprint

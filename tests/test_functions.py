@@ -52,3 +52,34 @@ def test_sort_label_indices_distributed_matches_driver(spark):
     assert sorted(a) == sorted(b)
     assert all(np.array_equal(a[k], b[k]) for k in a)
     assert any(v.max() > 0 for v in a.values())
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing invariant: two docs sharing a substring of length
+    >= k + w - 1 must share at least one fingerprint; and the
+    fingerprint set is a subset of the gram-hash minima (size <= grams).
+    """
+    from dask_relabeling_spark.operators.text import winnowing_fingerprints
+    shared = "the quick brown fox jumps"  # len 25 >= 8+4-1
+    df = spark.createDataFrame(
+        [(1, "AAAA " + shared + " BBBB"),
+         (2, "xyz " + shared + " 123456"),
+         (3, "completely different content here"),
+         (4, "tiny")],  # shorter than k -> zero fingerprints
+        ["doc_id", "text"])
+    out = {r.id: r for r in winnowing_fingerprints(df, k=8, w=4).collect()}
+    assert out[4].n_fingerprints == 0 and out[4].min_fingerprint is None
+    assert out[1].n_fingerprints > 0 and out[3].n_fingerprints > 0
+
+    # independent reimplementation: check the overlap guarantee and that
+    # Spark's set-level stats agree with it
+    txts = {1: "AAAA " + shared + " BBBB", 2: "xyz " + shared + " 123456"}
+    import hashlib
+    def fps(text, k=8, w=4):
+        gh = [int(hashlib.md5(text[i:i+k].encode()).hexdigest()[:8], 16)
+              for i in range(len(text) - k + 1)]
+        return {min(gh[i:i+w]) for i in range(len(gh) - w + 1)}
+    s1, s2 = fps(txts[1]), fps(txts[2])
+    assert s1 & s2, "shared substring of len k+w-1 must share a fingerprint"
+    assert out[1].n_fingerprints == len(s1)
+    assert out[1].min_fingerprint == min(s1)
