@@ -408,3 +408,64 @@ FROM s GROUP BY user_id, session_idx
 """)
 def events_sessionize(spark, sf_dir):
     return sessionize_batch(t(spark, sf_dir, "events"))
+
+
+@register("docs_stratified_sample", """
+SELECT doc_id, lang, source
+FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+      % 100 < CASE WHEN lang = 'en' THEN 10 ELSE 40 END
+""")
+def docs_stratified_sample(spark, sf_dir):
+    """Deterministic stratified Bernoulli sampling by content-stable hash
+    (down-sample the dominant language, keep more of the rest) — the
+    reproducible training-mix rebalance.  Pure narrow filter fused into
+    the scan: no shuffle, no RNG state, identical sample on re-run and
+    across engines."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                 1, 8), 16, 10).cast("long") % 100)
+    rate = F.when(F.col("lang") == "en", 10).otherwise(40)
+    return d.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+@register("events_hourly_gapfill", """
+WITH span AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events),
+hours AS (
+  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+types AS (SELECT DISTINCT event_type FROM events),
+agg AS (
+  SELECT date_trunc('hour', ts) AS hour, event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2)
+SELECT t.event_type, h.hour,
+       coalesce(a.n_events, 0) AS n_events,
+       coalesce(a.sum_value, 0.0) AS sum_value
+FROM hours h CROSS JOIN types t
+LEFT JOIN agg a ON a.hour = h.hour AND a.event_type = t.event_type
+""")
+def events_hourly_gapfill(spark, sf_dir):
+    """Time-series resample with zero-filled gaps: generate the dense
+    hour x event_type grid (bounded: hours-in-span x n_types, always
+    tiny) and left-join the hourly aggregates onto it.  The aggregate is
+    partial-agg'd map-side; the dense grid stays broadcast-sized at any
+    raw-data scale, so the gap-fill join never shuffles the big table
+    twice."""
+    ev = t(spark, sf_dir, "events")
+    span = ev.agg(F.date_trunc("hour", F.min("ts")).alias("h0"),
+                  F.date_trunc("hour", F.max("ts")).alias("h1"))
+    hours = span.select(F.explode(
+        F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
+    types = ev.select("event_type").distinct()
+    agg = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                      "event_type")
+           .agg(F.count("*").cast("bigint").alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value")))
+    return (hours.crossJoin(F.broadcast(types))
+            .join(agg, ["hour", "event_type"], "left")
+            .select("event_type", "hour",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")))

@@ -525,3 +525,54 @@ def q5_supplier_nation_volume(spark, sf_dir):
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
+
+
+# --------------------------------------------- 23. set ops (INTERSECT/EXCEPT)
+@register("set_ops_customer_cohorts", """
+WITH y97 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1997),
+     y98 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE year(o_orderdate) = 1998)
+SELECT 'retained' AS cohort, o_custkey
+FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98)
+UNION ALL
+SELECT 'churned' AS cohort, o_custkey
+FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98)
+""")
+def set_ops_customer_cohorts(spark, sf_dir):
+    """INTERSECT / EXCEPT (distinct set semantics).  Both compile to
+    left-semi / left-anti hash joins over the deduplicated key sets —
+    partial-aggregated map-side, one shuffle each on o_custkey."""
+    o = t(spark, sf_dir, "orders")
+    y97 = (o.filter(F.year("o_orderdate") == 1997)
+           .select("o_custkey").distinct())
+    y98 = (o.filter(F.year("o_orderdate") == 1998)
+           .select("o_custkey").distinct())
+    retained = y97.intersect(y98).select(
+        F.lit("retained").alias("cohort"), "o_custkey")
+    churned = y97.exceptAll(y98).select(
+        F.lit("churned").alias("cohort"), "o_custkey")
+    return retained.unionByName(churned)
+
+
+# ------------------------------------------ 24. correlated EXISTS (q4 shape)
+@register("q4_late_ship_priority", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""")
+def q4_late_ship_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS subquery = left-semi join with a
+    compound (equi + range) condition.  The equi half (l_orderkey =
+    o_orderkey) keeps it a hash semi-join — one shuffle on orderkey, the
+    range predicate evaluated residually; no row explosion."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cond = ((li.l_orderkey == o.o_orderkey) &
+            (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")))
+    return (o.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("order_count")))
