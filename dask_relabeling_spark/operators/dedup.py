@@ -232,3 +232,68 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
              .filter(F.col("hamming") <= max_hamming)
              .select("id_a", "id_b", "hamming"))
     return pairs
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected candidate-pair edge list
+    ``(id_a, id_b)`` by min-label propagation: every node repeatedly takes
+    the minimum label among itself and its neighbours until fixpoint.
+    Output: ``(id, cluster_id)`` for every id appearing in ``pairs``,
+    ``cluster_id`` = the component's minimum id.
+
+    The same min-propagation idea as the tile CCL kernel
+    (`kernels/relabel.py`), lifted to a distributed edge list.  Each
+    iteration is one shuffle-join (edges x labels, both partitioned by
+    id) + one partial-agg'd groupBy min; iterations = component diameter
+    (near-dup clusters are shallow, so typically 2-4).  The label table
+    is localCheckpoint'd per iteration to truncate lineage — on a real
+    cluster, point ``spark.sparkContext.setCheckpointDir`` at durable
+    storage and swap in ``checkpoint()`` for executor-loss safety.
+    Convergence is detected by the exact (decimal, overflow-free) sum of
+    labels, which strictly decreases while any label changes — one
+    cheap aggregate action per iteration instead of a change-count join.
+    """
+    edges = (pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+             .unionByName(
+                 pairs.select(F.col("id_b").alias("s"),
+                              F.col("id_a").alias("d")))
+             .persist())
+    labels = (edges.select(F.col("s").alias("id")).distinct()
+              .select("id", F.col("id").alias("lbl")).localCheckpoint())
+    prev = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+    for _ in range(max_iter):
+        cand = (edges.join(labels.withColumnRenamed("id", "sid"),
+                           F.col("s") == F.col("sid"))
+                .groupBy(F.col("d").alias("id"))
+                .agg(F.min("lbl").alias("nbr_lbl")))
+        labels = (labels.join(cand, "id", "left")
+                  .select("id", F.least(
+                      F.col("lbl"),
+                      F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"))
+                  .localCheckpoint())
+        cur = labels.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
+        if cur == prev:
+            break
+        prev = cur
+    edges.unpersist()
+    return labels.withColumnRenamed("lbl", "cluster_id")
+
+
+def canonical_per_cluster(df: DataFrame, clusters: DataFrame,
+                          id_col: str = "doc_id",
+                          score_col: str = "n_chars") -> DataFrame:
+    """Per-cluster retention policy: keep the highest-``score_col`` member
+    (ties -> lowest id).  Output: (cluster_id, n_docs, keep_id).
+
+    One hash aggregation with ``max_by`` over a (score, -id) struct —
+    partial-agg'd map-side, no per-cluster sort, single shuffle on
+    cluster_id."""
+    member = (df.select(F.col(id_col).alias("id"),
+                        F.col(score_col).alias("score"))
+              .join(clusters, "id"))
+    return (member.groupBy("cluster_id")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.max_by("id", F.struct(F.col("score"),
+                                         (-F.col("id")).alias("neg")))
+                 .alias("keep_id")))

@@ -72,17 +72,23 @@ def _minhash_sig_sql() -> str:
     return _DUCK_SHINGLES + f", sig AS (SELECT id, {mins} FROM sh GROUP BY id)"
 
 
-def _minhash_pairs_sql() -> str:
+def _minhash_pairs_cte() -> str:
+    """All the MinHash-LSH plumbing as CTEs ending with ``pairs``."""
     bands = " UNION ALL ".join(
         f"SELECT id, {bi} AS band, CAST(mh{2*bi} AS VARCHAR) || '_' || "
         f"CAST(mh{2*bi+1} AS VARCHAR) AS bucket FROM sig"
         for bi in range(D.N_BANDS))
     return _minhash_sig_sql() + f""",
-bands AS ({bands})
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-"""
+bands AS ({bands}),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+)"""
+
+
+def _minhash_pairs_sql() -> str:
+    return _minhash_pairs_cte() + "\nSELECT id_a, id_b FROM pairs"
 
 
 @register("dedup_minhash_signatures", _minhash_sig_sql() +
@@ -469,3 +475,39 @@ def events_hourly_gapfill(spark, sf_dir):
             .select("event_type", "hour",
                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
                     F.coalesce("sum_value", F.lit(0.0)).alias("sum_value")))
+
+
+def _cluster_canonical_sql() -> str:
+    # transitive closure of the LSH pair graph via WITH RECURSIVE:
+    # every node collects all reachable ids, min = component label —
+    # the iterative min-propagation fixpoint expressed declaratively.
+    return _minhash_pairs_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """,
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+ranked AS (
+  SELECT c.cluster_id, c.id, row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY d.n_chars DESC, c.id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM comp c JOIN documents d ON d.doc_id = c.id)
+SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs, id AS keep_id
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("dedup_cluster_canonical", _cluster_canonical_sql())
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash-LSH candidate pairs ->
+    connected components (distributed min-label propagation) -> keep the
+    longest member per cluster.  The full 'collapse duplicate groups to
+    one canonical document' retention policy of a training-data dedup
+    pass."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    clusters = D.connected_components(pairs)
+    return D.canonical_per_cluster(docs, clusters)

@@ -83,3 +83,29 @@ def test_winnowing_shared_substring_guarantee(spark):
     assert s1 & s2, "shared substring of len k+w-1 must share a fingerprint"
     assert out[1].n_fingerprints == len(s1)
     assert out[1].min_fingerprint == min(s1)
+
+
+def test_connected_components_min_label(spark):
+    """Two chains and an isolated pair: every node gets its component's
+    min id; convergence needs diameter iterations (chain of 4)."""
+    from dask_relabeling_spark.operators.dedup import (
+        canonical_per_cluster, connected_components)
+    import pyspark.sql.functions as F
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),   # chain -> cluster 10
+         (2, 7),                          # pair  -> cluster 2
+         (20, 21), (21, 20)],             # dup edge both ways -> cluster 20
+        ["id_a", "id_b"])
+    got = dict(connected_components(pairs).collect())
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   2: 2, 7: 2, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame(
+        [(i, s) for i, s in [(10, 5), (11, 9), (12, 9), (13, 1),
+                             (2, 4), (7, 4), (20, 3), (21, 8)]],
+        ["doc_id", "n_chars"])
+    canon = {r.cluster_id: (r.n_docs, r.keep_id)
+             for r in canonical_per_cluster(
+                 docs, connected_components(pairs)).collect()}
+    # ties on score -> lowest id wins (11 vs 12 both score 9)
+    assert canon == {10: (4, 11), 2: (2, 2), 20: (2, 21)}
