@@ -38,3 +38,41 @@ def dense_ids(df: DataFrame, col: str, num_partitions: int = None,
                .zipWithIndex()
                .map(lambda vi: (vi[0], vi[1] + start)))
     return out_rdd.toDF([col, "id"])
+
+
+def exclusive_prefix_sum(df: DataFrame, key_col: str, val_col: str,
+                         out_col: str = "offset",
+                         num_partitions: int = None) -> DataFrame:
+    """Adds ``out_col`` = sum of ``val_col`` over all rows with a smaller
+    ``key_col`` (exclusive running total in global key order) — without
+    ever funnelling the data through one partition.
+
+    Same two-phase shape as ``dense_ids``: range-partition on the key (so
+    partitions are globally ordered), per-partition window cumsum (fully
+    parallel), then a partition-totals table — one row per partition —
+    prefix-summed on the driver side of a broadcast join.  The
+    repartitioned frame is persisted so both phases see the SAME sampled
+    range boundaries (recomputation could legally re-sample them).
+    """
+    from pyspark.sql import Window
+
+    part = (df.repartitionByRange(num_partitions, F.col(key_col))
+            if num_partitions else df.repartitionByRange(F.col(key_col)))
+    with_pid = part.withColumn("_pid", F.spark_partition_id()).persist()
+
+    w = (Window.partitionBy("_pid").orderBy(key_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    local = with_pid.withColumn(
+        "_local_off", F.coalesce(F.sum(val_col).over(w), F.lit(0)))
+
+    wp = (Window.orderBy("_pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = (with_pid.groupBy("_pid").agg(F.sum(val_col).alias("_t"))
+              .withColumn("_poff",
+                          F.coalesce(F.sum("_t").over(wp), F.lit(0)))
+              .drop("_t"))
+
+    return (local.join(F.broadcast(prefix), "_pid")
+            .withColumn(out_col, (F.col("_local_off")
+                                  + F.col("_poff")).cast("long"))
+            .drop("_pid", "_local_off", "_poff"))

@@ -139,3 +139,31 @@ def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Corpus word frequencies: explode -> partial+final hash agg."""
     return (df.select(F.explode(tokens_col(F.col(text_col))).alias("tok"))
             .groupBy("tok").agg(F.count("*").alias("cnt")))
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", budget: int = 2048) -> DataFrame:
+    """Concat-then-chunk sequence packing: documents taken in id order
+    form one contiguous token stream, split into fixed ``budget``-token
+    training sequences.  Per document: token count, global start offset,
+    first/last sequence index it lands in, and its offset inside the
+    first sequence — everything a pack-and-shard writer needs.
+
+    The global running offset uses the two-phase
+    ``exclusive_prefix_sum`` (range partition -> parallel local cumsum ->
+    broadcast partition-prefixes), so no single-partition window at any
+    scale; the arithmetic after that is narrow integer math.
+    """
+    from ..functions.ids import exclusive_prefix_sum
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.size(tokens_col(F.col(text_col))).cast("long").alias("n_tokens"))
+    off = exclusive_prefix_sum(base, "id", "n_tokens", out_col="start_off")
+    b = F.lit(budget)
+    return off.select(
+        "id", "n_tokens", "start_off",
+        F.expr(f"start_off div {budget}").alias("seq_first"),
+        F.expr(f"(start_off + greatest(n_tokens - 1, 0)) div {budget}")
+        .alias("seq_last"),
+        (F.col("start_off") % b).alias("offset_in_seq"))

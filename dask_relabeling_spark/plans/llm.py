@@ -511,3 +511,29 @@ def dedup_cluster_canonical(spark, sf_dir):
     pairs = D.minhash_lsh_pairs(docs)
     clusters = D.connected_components(pairs)
     return D.canonical_per_cluster(docs, clusters)
+
+
+@register("docs_pack_sequences", """
+WITH tk AS (
+  SELECT doc_id AS id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents),
+o AS (
+  SELECT id, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           0) AS BIGINT) AS start_off
+  FROM tk)
+SELECT id, n_tokens, start_off,
+       start_off // 2048 AS seq_first,
+       (start_off + greatest(n_tokens - 1, 0)) // 2048 AS seq_last,
+       start_off % 2048 AS offset_in_seq
+FROM o
+""")
+def docs_pack_sequences(spark, sf_dir):
+    """Sequence packing for training shards: concatenate documents in id
+    order, chunk the stream into 2048-token sequences, emit each doc's
+    placement.  Spark side never single-partitions (two-phase prefix
+    sum); the oracle is the equivalent one-window formulation."""
+    return TX.pack_sequences(t(spark, sf_dir, "documents"), budget=2048)

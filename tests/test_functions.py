@@ -109,3 +109,21 @@ def test_connected_components_min_label(spark):
                  docs, connected_components(pairs)).collect()}
     # ties on score -> lowest id wins (11 vs 12 both score 9)
     assert canon == {10: (4, 11), 2: (2, 2), 20: (2, 21)}
+
+
+def test_exclusive_prefix_sum_multi_partition(spark):
+    """Two-phase prefix sum must equal the single-window answer with the
+    data forced across several range partitions."""
+    import random
+    from dask_relabeling_spark.functions.ids import exclusive_prefix_sum
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 50)) for i in range(1000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "v"]).repartition(8)
+    got = {r.k: r.offset for r in
+           exclusive_prefix_sum(df, "k", "v", num_partitions=7).collect()}
+    acc, exp = 0, {}
+    for k, v in sorted(rows):
+        exp[k] = acc
+        acc += v
+    assert got == exp
