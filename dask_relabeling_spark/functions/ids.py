@@ -42,37 +42,44 @@ def dense_ids(df: DataFrame, col: str, num_partitions: int = None,
 
 def exclusive_prefix_sum(df: DataFrame, key_col: str, val_col: str,
                          out_col: str = "offset",
-                         num_partitions: int = None) -> DataFrame:
+                         num_partitions: int = None,
+                         group_col: str = None) -> DataFrame:
     """Adds ``out_col`` = sum of ``val_col`` over all rows with a smaller
     ``key_col`` (exclusive running total in global key order) — without
-    ever funnelling the data through one partition.
+    ever funnelling the data through one partition.  With ``group_col``,
+    the running total restarts per group (so ``val_col = 1`` yields a
+    scalable per-group ``row_number() - 1``) and no single group ever
+    occupies one partition either: groups may span range partitions.
 
-    Same two-phase shape as ``dense_ids``: range-partition on the key (so
-    partitions are globally ordered), per-partition window cumsum (fully
-    parallel), then a partition-totals table — one row per partition —
-    prefix-summed on the driver side of a broadcast join.  The
-    repartitioned frame is persisted so both phases see the SAME sampled
-    range boundaries (recomputation could legally re-sample them).
+    Same two-phase shape as ``dense_ids``: range-partition on
+    (group, key) so partitions are globally ordered, per-partition window
+    cumsum (fully parallel), then a partition-totals table — one row per
+    (partition, group-in-partition), still tiny — prefix-summed per group
+    on the small side of a broadcast join.  The repartitioned frame is
+    persisted so both phases see the SAME sampled range boundaries
+    (recomputation could legally re-sample them).
     """
     from pyspark.sql import Window
 
-    part = (df.repartitionByRange(num_partitions, F.col(key_col))
-            if num_partitions else df.repartitionByRange(F.col(key_col)))
+    grp = [group_col] if group_col else []
+    keys = [F.col(c) for c in grp + [key_col]]
+    part = (df.repartitionByRange(num_partitions, *keys)
+            if num_partitions else df.repartitionByRange(*keys))
     with_pid = part.withColumn("_pid", F.spark_partition_id()).persist()
 
-    w = (Window.partitionBy("_pid").orderBy(key_col)
+    w = (Window.partitionBy("_pid", *grp).orderBy(key_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     local = with_pid.withColumn(
         "_local_off", F.coalesce(F.sum(val_col).over(w), F.lit(0)))
 
-    wp = (Window.orderBy("_pid")
+    wp = (Window.partitionBy(*grp).orderBy("_pid")
           .rowsBetween(Window.unboundedPreceding, -1))
-    prefix = (with_pid.groupBy("_pid").agg(F.sum(val_col).alias("_t"))
+    prefix = (with_pid.groupBy("_pid", *grp).agg(F.sum(val_col).alias("_t"))
               .withColumn("_poff",
                           F.coalesce(F.sum("_t").over(wp), F.lit(0)))
               .drop("_t"))
 
-    return (local.join(F.broadcast(prefix), "_pid")
+    return (local.join(F.broadcast(prefix), ["_pid"] + grp)
             .withColumn(out_col, (F.col("_local_off")
                                   + F.col("_poff")).cast("long"))
             .drop("_pid", "_local_off", "_poff"))

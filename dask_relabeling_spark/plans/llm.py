@@ -537,3 +537,36 @@ def docs_pack_sequences(spark, sf_dir):
     placement.  Spark side never single-partitions (two-phase prefix
     sum); the oracle is the equivalent one-window formulation."""
     return TX.pack_sequences(t(spark, sf_dir, "documents"), budget=2048)
+
+
+@register("docs_weighted_interleave", """
+WITH b AS (
+  SELECT doc_id, source,
+         1 + CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 AS w,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents)
+SELECT doc_id, source,
+       CAST((rn - 1) // w AS BIGINT) AS mix_round,
+       CAST((rn - 1) % w AS BIGINT) AS mix_slot
+FROM b
+""")
+def docs_weighted_interleave(spark, sf_dir):
+    """Weighted source interleaving (training-mix schedule): source s with
+    weight w_s contributes w_s documents per mix round, in doc-id order.
+    (mix_round, source, mix_slot) is the deterministic global emit order
+    — a shard writer sorts by it to materialize the mix.  Per-source
+    numbering comes from the grouped two-phase prefix sum, so a dominant
+    source never serializes onto one partition (the oracle's
+    PARTITION BY source window would)."""
+    from ..functions.ids import exclusive_prefix_sum
+
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id", "source", F.lit(1).alias("one")))
+    rn = exclusive_prefix_sum(d, "doc_id", "one", out_col="rn0",
+                              group_col="source")
+    w = 1 + F.regexp_extract("source", "[0-9]+", 0).cast("int") % 4
+    return (rn.withColumn("w", w)
+            .select("doc_id", "source",
+                    F.expr("rn0 div w").cast("long").alias("mix_round"),
+                    (F.col("rn0") % F.col("w")).cast("long")
+                    .alias("mix_slot")))

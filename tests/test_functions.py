@@ -127,3 +127,22 @@ def test_exclusive_prefix_sum_multi_partition(spark):
         exp[k] = acc
         acc += v
     assert got == exp
+
+
+def test_exclusive_prefix_sum_grouped(spark):
+    """Grouped mode restarts the running total per group and must agree
+    with a per-group window even when groups span range partitions."""
+    import random
+    from dask_relabeling_spark.functions.ids import exclusive_prefix_sum
+    rng = random.Random(11)
+    rows = [(f"g{i % 3}", i, rng.randrange(0, 9)) for i in range(600)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, ["g", "k", "v"]).repartition(8)
+    got = {(r.g, r.k): r.offset for r in
+           exclusive_prefix_sum(df, "k", "v", num_partitions=7,
+                                group_col="g").collect()}
+    exp, acc = {}, {}
+    for g, k, v in sorted(rows):
+        exp[(g, k)] = acc.get(g, 0)
+        acc[g] = acc.get(g, 0) + v
+    assert got == exp
