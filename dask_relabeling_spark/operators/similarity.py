@@ -128,3 +128,61 @@ def lsh_cosine_topk(df: DataFrame, query_vec: Sequence[float],
     cand = df.join(bucketed.filter(F.col("bucket") == qb)
                    .select(id_col), id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivf_cells(df: DataFrame, n_centroids: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding"
+              ) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid cell by cosine (ties -> lowest centroid id).  Centroids are
+    the ``n_centroids`` lowest-id vectors — a deterministic quantizer
+    both engines can replay (a trained k-means drop-in just swaps the
+    centroid frame).
+
+    One broadcast nested-loop over the tiny centroid set + a fine-grained
+    ``max_by`` aggregation keyed by vector id: the corpus never shuffles
+    on anything coarser than its own id, so no skew regardless of how
+    lopsided the cells are.  Output: (id, cell).  At scale, persist this
+    (or write it bucketed by cell) so probes prune at the scan.
+    """
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (vecs.filter(F.col("id") < n_centroids)
+             .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    scored = (vecs.crossJoin(F.broadcast(cents))
+              .select("id", "cid",
+                      cosine(F.col("v"), F.col("cv")).alias("cos")))
+    return (scored.groupBy("id")
+            .agg(F.max_by("cid", F.struct(F.col("cos"),
+                                          (-F.col("cid")).alias("neg")))
+                 .alias("cell")))
+
+
+def ivf_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+                    n_centroids: int = 8, n_probe: int = 2,
+                    id_col: str = "vec_id", vec_col: str = "embedding"
+                    ) -> DataFrame:
+    """IVF ANN top-k: rank the query against the centroids, score only
+    vectors whose cell is among the ``n_probe`` nearest — the classic
+    inverted-file pruning (scan cost ~ n_probe/n_centroids of the
+    corpus).  Probe selection runs as a Spark job over the centroid
+    frame, never driver-side numpy, so the float fold order matches the
+    cell-assignment expression exactly (a pairwise-summed near-tie could
+    otherwise probe a different cell than assignment chose).
+    """
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(list(float(v) for v in query_vec),)],
+                                f"{vec_col} array<double>")
+    cents = (df.select(F.col(id_col).alias("cid"),
+                       F.col(vec_col).cast("array<double>").alias("cv"))
+             .filter(F.col("cid") < n_centroids))
+    probe = [r["cid"] for r in
+             (cents.crossJoin(F.broadcast(qdf))
+              .select("cid", cosine(F.col("cv"),
+                                    F.col(vec_col).cast("array<double>"))
+                      .alias("cos"))
+              .orderBy(F.desc("cos"), "cid").limit(n_probe).collect())]
+    cells = ivf_cells(df, n_centroids, id_col, vec_col)
+    cand = df.join(cells.filter(F.col("cell").isin(probe))
+                   .select(F.col("id").alias(id_col)), id_col)
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)

@@ -570,3 +570,46 @@ def docs_weighted_interleave(spark, sf_dir):
                     F.expr("rn0 div w").cast("long").alias("mix_round"),
                     (F.col("rn0") % F.col("w")).cast("long")
                     .alias("mix_slot")))
+
+
+def _ivf_topk_sql(n_centroids: int = 8, n_probe: int = 2) -> str:
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    return f"""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {n_centroids}),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+pc AS (SELECT v.vec_id, c.cid,
+              {cos.format(a="v.ve", b="c.cv")} AS cos
+       FROM v, c),
+cell AS (SELECT vec_id, cid AS cell FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid) AS rn
+  FROM pc) WHERE rn = 1),
+probe AS (SELECT cid FROM (
+  SELECT c.cid, row_number() OVER (
+           ORDER BY {cos.format(a="c.cv", b="q.qv")} DESC, c.cid) AS rn
+  FROM c, q) WHERE rn <= {n_probe}),
+cand AS (SELECT v.vec_id, v.ve
+         FROM v JOIN cell ON v.vec_id = cell.vec_id
+                JOIN probe ON cell.cell = probe.cid),
+s AS (SELECT vec_id, {cos.format(a="ve", b="qv")} AS cos FROM cand, q)
+SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
+       vec_id
+FROM s ORDER BY rank LIMIT 10
+"""
+
+
+@register("ann_ivf_topk", _ivf_topk_sql())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN scale path: deterministic coarse quantizer (lowest-id
+    centroids), probe the 2 nearest of 8 cells, score only those
+    vectors.  The oracle replays the identical quantize->probe->score
+    pipeline."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.ivf_cosine_topk(emb, [float(x) for x in qv], k=10,
+                             n_centroids=8, n_probe=2)
