@@ -613,3 +613,23 @@ def ann_ivf_topk(spark, sf_dir):
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return S.ivf_cosine_topk(emb, [float(x) for x in qv], k=10,
                              n_centroids=8, n_probe=2)
+
+
+@register("events_view_click_attribution", """
+SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id
+FROM events v JOIN events c
+  ON v.user_id = c.user_id
+ AND v.event_type = 'view' AND c.event_type = 'click'
+ AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 30 MINUTE
+""")
+def events_view_click_attribution(spark, sf_dir):
+    """Interval attribution join (batch form of the watermarked
+    stream-stream join in streaming/events.py): each click pairs with
+    every same-user view in the preceding 30 min.  Equi-join on user_id
+    with the time range as residual — one shuffle."""
+    from ..streaming.events import view_click_attribution
+
+    ev = t(spark, sf_dir, "events")
+    return view_click_attribution(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"))

@@ -134,3 +134,45 @@ def sessionize_stateful(stream: DataFrame, gap_min: int = SESSION_GAP_MIN,
         stateStructType=_SESSION_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=conf))
+
+
+ATTR_WINDOW_MIN = 30
+
+
+def view_click_attribution(views: DataFrame, clicks: DataFrame,
+                           window_min: int = ATTR_WINDOW_MIN) -> DataFrame:
+    """All (view, click) attribution pairs: a click joins every view by
+    the same user in the preceding ``window_min`` minutes.  Identical
+    code path for batch and streaming inputs — on streams, watermark both
+    sides first (`streaming_view_click_attribution`), and the time-bound
+    join condition is exactly what lets Spark purge join state (an
+    unbounded-interval stream-stream join would buffer forever).
+
+    Batch physical plan: equi-join on user_id with the range condition as
+    a residual predicate — one shuffle, no interval explosion."""
+    v = views.select(F.col("user_id").alias("v_user"),
+                     F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"))
+    c = clicks.select(F.col("user_id").alias("c_user"),
+                      F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"))
+    cond = ((F.col("v_user") == F.col("c_user")) &
+            (F.col("view_ts") <= F.col("click_ts")) &
+            (F.col("view_ts") >= F.col("click_ts")
+             - F.expr(f"INTERVAL {window_min} MINUTES")))
+    return (v.join(c, cond)
+            .select(F.col("c_user").alias("user_id"),
+                    "view_id", "click_id"))
+
+
+def streaming_view_click_attribution(events_stream: DataFrame,
+                                     window_min: int = ATTR_WINDOW_MIN,
+                                     watermark: str = "2 hours") -> DataFrame:
+    """Watermarked stream-stream interval join.  Both sides carry a
+    watermark and the join range is bounded, so view-side state is
+    dropped once `click watermark - window_min` passes it."""
+    views = (events_stream.filter(F.col("event_type") == "view")
+             .withWatermark("ts", watermark))
+    clicks = (events_stream.filter(F.col("event_type") == "click")
+              .withWatermark("ts", watermark))
+    return view_click_attribution(views, clicks, window_min)

@@ -84,3 +84,22 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
         assert (got.n, got.d) == (expected, expected)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_stream_stream_attribution_matches_batch(spark, events_stream_dir):
+    from dask_relabeling_spark.streaming.events import (
+        streaming_view_click_attribution, view_click_attribution)
+    batch_df = spark.read.parquet(events_stream_dir)
+    expected = {tuple(r) for r in view_click_attribution(
+        batch_df.filter(F.col("event_type") == "view"),
+        batch_df.filter(F.col("event_type") == "click")).collect()}
+    assert expected, "fixture must produce at least one attribution pair"
+
+    stream = spark.readStream.schema(batch_df.schema) \
+        .parquet(events_stream_dir)
+    q = (streaming_view_click_attribution(stream)
+         .writeStream.format("memory").queryName("attrib")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in spark.sql("SELECT * FROM attrib").collect()}
+    assert got == expected
