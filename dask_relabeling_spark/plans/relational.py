@@ -576,3 +576,100 @@ def q4_late_ship_priority(spark, sf_dir):
     return (o.join(li, cond, "left_semi")
             .groupBy("o_orderpriority")
             .agg(F.count("*").cast("bigint").alias("order_count")))
+
+
+# ----------------------------------- 25. outer-join distribution (q13 shape)
+@register("q13_customer_order_distribution", """
+WITH per_cust AS (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""")
+def q13_customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join keeping order-less customers,
+    count per customer, then the distribution of those counts.  First agg
+    shuffles on custkey (map-side partial), second agg's domain is tiny
+    (distinct order counts)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (c.join(o, o.o_custkey == c.c_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").cast("bigint").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").cast("bigint").alias("custdist")))
+
+
+# ------------------------------------------ 26. IN subquery + HAVING (q18)
+@register("q18_large_volume_orders", """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_price,
+       round(sum(l.l_quantity), 2) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 150)
+GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+""")
+def q18_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery = left-semi
+    join against the qualifying key set.  The qualifying set is computed
+    once (partial-agg'd), and both the semi join and the final agg share
+    the l_orderkey/o_orderkey shuffle key, so AQE can reuse the exchange."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+           .filter(F.col("q") > 150).select("l_orderkey"))
+    return (o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
+                   "o_orderkey", "left_semi")
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderkey", "o_custkey", "o_totalprice")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("total_price"),
+                    "total_qty"))
+
+
+# ------------------------------------------------- 27. table profiling
+@register("profile_orders", """
+SELECT 'o_custkey' AS col,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+       round(min(o_custkey), 2) AS min_val,
+       round(max(o_custkey), 2) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(count(o_totalprice) AS BIGINT),
+       CAST(count(DISTINCT o_totalprice) AS BIGINT),
+       round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+FROM orders
+""")
+def profile_orders(spark, sf_dir):
+    """Data-profiling pass: per-column row/non-null/distinct counts and
+    min/max, all columns in parallel over a SINGLE scan + aggregation
+    (count(DISTINCT x), count(DISTINCT y) in one agg expand — not one
+    job per column)."""
+    o = t(spark, sf_dir, "orders")
+    prof = o.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("o_custkey").cast("bigint").alias("nn_ck"),
+        F.count_distinct("o_custkey").cast("bigint").alias("nd_ck"),
+        F.round(F.min("o_custkey"), 2).alias("min_ck"),
+        F.round(F.max("o_custkey"), 2).alias("max_ck"),
+        F.count("o_totalprice").cast("bigint").alias("nn_tp"),
+        F.count_distinct("o_totalprice").cast("bigint").alias("nd_tp"),
+        F.round(F.min("o_totalprice"), 2).alias("min_tp"),
+        F.round(F.max("o_totalprice"), 2).alias("max_tp"))
+    ck = prof.select(F.lit("o_custkey").alias("col"), "n_rows",
+                     F.col("nn_ck").alias("n_nonnull"),
+                     F.col("nd_ck").alias("n_distinct"),
+                     F.col("min_ck").cast("double").alias("min_val"),
+                     F.col("max_ck").cast("double").alias("max_val"))
+    tp = prof.select(F.lit("o_totalprice").alias("col"), "n_rows",
+                     F.col("nn_tp").alias("n_nonnull"),
+                     F.col("nd_tp").alias("n_distinct"),
+                     F.col("min_tp").alias("min_val"),
+                     F.col("max_tp").alias("max_val"))
+    return ck.unionByName(tp)
