@@ -105,3 +105,97 @@ def media_metadata(df: DataFrame) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),
+    T.StructField("payload", T.BinaryType(), False),
+    T.StructField("meta", MEDIA_SCHEMA["meta"].dataType, True),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("frame_idx", T.IntegerType(), False),
+    T.StructField("frame", T.BinaryType(), False),
+])
+
+
+def resize_media(df: DataFrame, out_w: int = 16, out_h: int = 16,
+                 decode: str = "fake") -> DataFrame:
+    """Resize stage: decode -> resample to (out_w, out_h) -> re-encode,
+    meta updated to the new dimensions.  Narrow ``mapInPandas`` that
+    pipelines with the scan; output payloads are fixed-size so the
+    downstream batch memory footprint is exactly predictable.
+
+    ``decode='real'`` is the PIL/cv2 integration point (unavailable
+    here); ``decode='fake'`` treats the payload as a row-major uint8
+    image of ``meta.width x meta.height`` (padded/truncated), resampled
+    by nearest-neighbor index arithmetic — deterministic, so the
+    contract is testable end-to-end.
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                if decode == "real":
+                    raise NotImplementedError(
+                        "plug PIL/cv2 resize here")
+                meta = row["meta"]
+                w = int(meta["width"] or 8)
+                h = int(meta["height"] or 8)
+                px = np.frombuffer(bytes(row["payload"]), dtype=np.uint8)
+                img = np.resize(px, (h, w))  # pad/cycle to declared dims
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                out = img[np.ix_(ys, xs)]
+                recs.append({
+                    "media_id": int(row["media_id"]), "kind": row["kind"],
+                    "payload": out.tobytes(),
+                    "meta": {"width": out_w, "height": out_h,
+                             "sample_rate": meta["sample_rate"],
+                             "n_frames": meta["n_frames"]}})
+            yield pd.DataFrame.from_records(
+                recs, columns=["media_id", "kind", "payload", "meta"])
+
+    return df.mapInPandas(gen, RESIZED_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_k: int = 4,
+                  decode: str = "fake") -> DataFrame:
+    """Frame sampling: one output row per kept frame (every ``every_k``-th,
+    always including frame 0).  The fan-out ``mapInPandas`` shape of a
+    video pipeline — per-item output count is n_frames/k, payload bytes
+    stay executor-side throughout.
+
+    ``decode='real'`` is the ffmpeg/pyav integration point; the fake
+    substrate splits the payload into ``meta.n_frames`` equal byte
+    slices (last frame keeps the remainder).
+    """
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+
+    def gen(batches):
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                if decode == "real":
+                    raise NotImplementedError(
+                        "plug ffmpeg/pyav frame extraction here")
+                payload = bytes(row["payload"])
+                n = int(row["meta"]["n_frames"] or 1)
+                n = max(n, 1)
+                step = max(len(payload) // n, 1)
+                for fi in range(0, n, every_k):
+                    lo = fi * step
+                    hi = len(payload) if fi == n - 1 else (fi + 1) * step
+                    recs.append({"media_id": int(row["media_id"]),
+                                 "frame_idx": fi,
+                                 "frame": payload[lo:hi]})
+            yield pd.DataFrame.from_records(
+                recs, columns=["media_id", "frame_idx", "frame"])
+
+    return df.mapInPandas(gen, FRAME_SCHEMA)

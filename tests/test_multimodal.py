@@ -41,3 +41,47 @@ def test_real_decode_is_marked_stub(spark):
         decode_and_featurize(media, decode="real").collect()
     assert "NotImplementedError" in str(exc_info.value) or \
         isinstance(exc_info.value, NotImplementedError)
+
+
+def test_resize_media_fixed_output(spark):
+    from dask_relabeling_spark.operators.multimodal import resize_media
+    docs = t(spark, SF_DIR, "documents").limit(10)
+    media = documents_as_media(docs)
+    out = {r.media_id: r for r in
+           resize_media(media, out_w=16, out_h=12).collect()}
+    src = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    assert set(out) == set(src)
+    for mid, r in out.items():
+        assert len(bytes(r.payload)) == 16 * 12
+        assert (r.meta.width, r.meta.height) == (16, 12)
+        # nearest-neighbor replay (declared dims are 64x64)
+        px = np.frombuffer(src[mid], dtype=np.uint8)
+        img = np.resize(px, (64, 64))
+        ys = (np.arange(12) * 64) // 12
+        xs = (np.arange(16) * 64) // 16
+        assert bytes(r.payload) == img[np.ix_(ys, xs)].tobytes()
+
+
+def test_sample_frames_fanout(spark):
+    from dask_relabeling_spark.operators.multimodal import sample_frames
+    import pyspark.sql.functions as F
+    docs = t(spark, SF_DIR, "documents").limit(6)
+    media = (documents_as_media(docs)
+             .withColumn("kind", F.lit("video"))
+             .withColumn("meta", F.struct(
+                 F.col("meta.width"), F.col("meta.height"),
+                 F.col("meta.sample_rate"),
+                 F.lit(10).alias("n_frames"))))
+    rows = sample_frames(media, every_k=4).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    src = {r.doc_id: r.text.encode("utf-8") for r in docs.collect()}
+    for mid, frames in by_id.items():
+        assert sorted(f.frame_idx for f in frames) == [0, 4, 8]
+        step = max(len(src[mid]) // 10, 1)
+        for f in frames:
+            lo = f.frame_idx * step
+            hi = len(src[mid]) if f.frame_idx == 9 else lo + step
+            assert bytes(f.frame) == src[mid][lo:hi]
+    assert set(by_id) == set(src)
