@@ -1,0 +1,63 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(pushdown, broadcast, map-side partial aggregation, semi joins) must not
+silently regress.  These read `.explain` output — no data is moved."""
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name):
+    df = entry_mod.queries()[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read the full 11-column lineitem
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "l_comment" not in scan and "l_partkey" not in scan
+
+
+def test_broadcast_small_dims(spark):
+    plan = plan_of(spark, "q5_supplier_nation_volume")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_map_side(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_semi_join_not_inner_explosion(spark):
+    plan = plan_of(spark, "q4_late_ship_priority")
+    assert "LeftSemi" in plan
+    # the range predicate must ride the equi-join as a residual, never a
+    # cartesian/nested-loop over orders x lineitem
+    assert "CartesianProduct" not in plan
+
+
+def test_gapfill_streams_big_table_once(spark):
+    plan = plan_of(spark, "events_hourly_gapfill")
+    # the raw events scan feeds exactly one shuffling aggregate; the dense
+    # grid joins via broadcast
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("FileScan parquet") == 3  # span, types, agg branches
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_pairs_never_cross_join(spark):
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_exact", "word_counts",
+                                  "dedup_simhash"])
+def test_no_single_partition_exchange(spark, name):
+    plan = plan_of(spark, name)
+    assert "Exchange SinglePartition" not in plan
