@@ -167,3 +167,71 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
         F.expr(f"(start_off + greatest(n_tokens - 1, 0)) div {budget}")
         .alias("seq_last"),
         (F.col("start_off") % b).alias("offset_in_seq"))
+
+
+def repetition_signals(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    duplicate-trigram mass and the share of the single most frequent
+    bigram.  All counts stay integers so the contract hash-compares
+    across engines; callers derive ratios.
+
+    Two narrow explode->hash-agg pipelines joined on id: partial
+    aggregation makes the shuffle per-doc-distinct-gram sized, and the
+    join keys are the doc id (no skew beyond document length itself).
+    """
+    toks = tokens_col(F.col(text_col))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1),
+                              F.element_at(toks, i + 2)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("tk"),
+                     tri.alias("tri"))
+    tri_stats = base.select(
+        "id",
+        F.size("tri").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("tri")).cast("long")
+        .alias("n_distinct_trigrams"))
+    bi = base.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(F.col("tk")) - 1,
+                                            F.lit(0))),
+            lambda i: F.concat_ws(" ", F.element_at(F.col("tk"), i),
+                                  F.element_at(F.col("tk"), i + 1))))
+        .alias("bg"))
+    bi_stats = (bi.groupBy("id", "bg").agg(F.count("*").alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").cast("long").alias("n_bigrams"),
+                     F.max("c").cast("long").alias("max_bigram_count")))
+    return (tri_stats.join(bi_stats, "id", "left")
+            .select("id", "n_trigrams", "n_distinct_trigrams",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("max_bigram_count", F.lit(0))
+                    .alias("max_bigram_count")))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 64,
+                    stride: int = 48) -> DataFrame:
+    """Overlapping token-window chunking (the RAG indexing shape): windows
+    of ``chunk_tokens`` tokens every ``stride`` tokens, last window
+    partial.  Emits (id, chunk_idx, n_chunk_tokens, chunk_hash) — the
+    hash stands in for the chunk text in cross-engine comparison; a real
+    indexer would keep the text column instead.
+
+    Narrow explode fused with the scan — the fan-out is
+    ceil(n_tokens/stride) rows per document, no shuffle at all.
+    """
+    toks = tokens_col(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(stride))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("tk"),
+                     F.explode(starts).alias("start"))
+    chunk = F.slice(F.col("tk"), F.col("start"), chunk_tokens)
+    return base.select(
+        "id",
+        ((F.col("start") - 1) / stride).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"))

@@ -633,3 +633,59 @@ def events_view_click_attribution(spark, sf_dir):
     return view_click_attribution(
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "click"))
+
+
+@register("text_repetition", """
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+tri AS (
+  SELECT id, list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS tri
+  FROM tk),
+tri_stats AS (
+  SELECT id, CAST(len(tri) AS BIGINT) AS n_trigrams,
+         CAST(len(list_distinct(tri)) AS BIGINT) AS n_distinct_trigrams
+  FROM tri),
+bg AS (
+  SELECT id, unnest(list_transform(
+           generate_series(1, greatest(len(tk) - 1, 0)),
+           i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM tk),
+bi_stats AS (
+  SELECT id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(max(c) AS BIGINT) AS max_bigram_count
+  FROM (SELECT id, bg, count(*) AS c FROM bg GROUP BY id, bg)
+  GROUP BY id)
+SELECT t.id, t.n_trigrams, t.n_distinct_trigrams,
+       coalesce(b.n_bigrams, 0) AS n_bigrams,
+       coalesce(b.max_bigram_count, 0) AS max_bigram_count
+FROM tri_stats t LEFT JOIN bi_stats b ON b.id = t.id
+""")
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-trigram mass
+    and most-frequent-bigram share, integer contract."""
+    return TX.repetition_signals(t(spark, sf_dir, "documents"))
+
+
+@register("doc_chunks", """
+WITH tk AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+s AS (
+  SELECT id, tk, unnest(generate_series(1, greatest(len(tk), 1), 48))
+         AS start
+  FROM tk)
+SELECT id, CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
+       CAST(len(tk[start:start+63]) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(tk[start:start+63], ' ')) AS chunk_hash
+FROM s
+""")
+def doc_chunks(spark, sf_dir):
+    """Overlapping 64-token / 48-stride document chunking (RAG indexing
+    fan-out); chunk text is hashed for the cross-engine contract."""
+    return TX.chunk_documents(t(spark, sf_dir, "documents"),
+                              chunk_tokens=64, stride=48)
