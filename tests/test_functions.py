@@ -146,3 +146,43 @@ def test_exclusive_prefix_sum_grouped(spark):
         exp[(g, k)] = acc.get(g, 0)
         acc[g] = acc.get(g, 0) + v
     assert got == exp
+
+
+def test_pack_and_chunk_invariants(spark):
+    """Packing: offsets are contiguous (start_{i+1} = start_i + n_i) and
+    seq ids consistent with the 2048 budget.  Chunking: every token is
+    covered, consecutive chunks overlap by chunk-stride, hashes replay."""
+    import hashlib
+    from dask_relabeling_spark.operators.text import (chunk_documents,
+                                                      pack_sequences)
+    docs = [(i, " ".join(f"t{j}" for j in range(cnt)))
+            for i, cnt in enumerate([5, 0, 100, 64, 49, 200, 1])]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    packed = sorted(pack_sequences(df, budget=2048).collect())
+    off = 0
+    for r in packed:
+        assert r.start_off == off
+        assert r.seq_first == off // 2048
+        assert r.seq_last == (off + max(r.n_tokens - 1, 0)) // 2048
+        assert r.offset_in_seq == off % 2048
+        off += r.n_tokens
+    assert off == sum(len(t.split()) for _, t in docs if t)
+
+    chunks = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.id, []).append(r)
+    for i, text in docs:
+        toks = text.split()
+        rows = sorted(by_doc[i], key=lambda r: r.chunk_idx)
+        starts = list(range(0, max(len(toks), 1), 48))
+        assert [r.chunk_idx for r in rows] == list(range(len(starts)))
+        covered = set()
+        for r, s in zip(rows, starts):
+            piece = toks[s:s + 64]
+            covered.update(range(s, s + len(piece)))
+            assert r.n_chunk_tokens == len(piece)
+            assert r.chunk_hash == hashlib.md5(
+                " ".join(piece).encode()).hexdigest()
+        assert covered == set(range(len(toks)))
