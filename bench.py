@@ -40,6 +40,8 @@ HEADLINE = [
     "ann_cosine_topk",
     "text_quality",
     "events_sessionize",
+    "docs_pack_sequences",      # two-phase prefix-sum packing
+    "events_hourly_gapfill",    # dense-grid resample
 ]
 
 
