@@ -673,3 +673,48 @@ def profile_orders(spark, sf_dir):
                      F.col("min_tp").alias("min_val"),
                      F.col("max_tp").alias("max_val"))
     return ck.unionByName(tp)
+
+
+# ---------------------------------------------- 28. statistical aggregates
+@register("lineitem_price_stats", """
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+       round(var_samp(l_quantity), 4) AS qty_var,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_covar
+FROM lineitem GROUP BY l_returnflag
+""")
+def lineitem_price_stats(spark, sf_dir):
+    """Moment-based statistics (stddev/variance/correlation/covariance)
+    in one partial-aggregated pass — Spark's declarative agg computes
+    these via single-pass co-moments, no second scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.stddev_samp("l_extendedprice"), 4)
+                 .alias("price_stddev"),
+                 F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("qty_price_corr"),
+                 F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4)
+                 .alias("qty_price_covar")))
+
+
+# ------------------------------------------------- 29. positional explode
+@register("part_token_positions", """
+SELECT p_partkey, CAST(s.i AS INT) AS pos, s.tok
+FROM (
+  SELECT p_partkey,
+         unnest(list_transform(generate_series(1, len(tk)),
+                               i -> {'i': i, 'tok': tk[i]})) AS s
+  FROM (SELECT p_partkey, string_split(p_name, ' ') AS tk
+        FROM part WHERE p_partkey <= 200))
+""")
+def part_token_positions(spark, sf_dir):
+    """posexplode: array element + its position (1-based to match SQL
+    ordinality) — the lateral-view fan-out shape."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return (p.select("p_partkey",
+                     F.posexplode(F.split("p_name", " "))
+                     .alias("pos0", "tok"))
+            .select("p_partkey", (F.col("pos0") + 1).cast("int")
+                    .alias("pos"), "tok"))
