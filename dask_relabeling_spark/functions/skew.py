@@ -49,3 +49,28 @@ def grouped_topk(df: DataFrame, keys: List[str], order_by: List[Column],
     w_final = Window.partitionBy(*keys).orderBy(*order_by)
     return (candidates.withColumn("rank", F.row_number().over(w_final))
             .filter(F.col("rank") <= k))
+
+
+def salted_join(left: DataFrame, right: DataFrame, key: str,
+                n_salts: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resistant large x large equi-join: explode the (smaller)
+    right side ``n_salts`` ways and spread the left side's hot keys
+    across those replicas with a uniform salt — each reducer sees at
+    most 1/n_salts of any hot key's rows.
+
+    This is the manual fallback for the case AQE's skew-join splitting
+    does not cover (e.g. a shuffle consumed by a later stage that pins
+    the partitioning).  Results are identical to ``left.join(right,
+    key, how)``; the salt columns never escape.  Supported ``how``:
+    inner / left (semantics that need no right-side null expansion
+    bookkeeping across replicas).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salt_l = (F.abs(F.hash(F.col(key), F.monotonically_increasing_id()))
+              % n_salts)
+    lhs = left.withColumn("_salt", salt_l)
+    rhs = right.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)])))
+    out = lhs.join(rhs, [key, "_salt"], how)
+    return out.drop("_salt")

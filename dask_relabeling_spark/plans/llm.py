@@ -689,3 +689,26 @@ def doc_chunks(spark, sf_dir):
     fan-out); chunk text is hashed for the cross-engine contract."""
     return TX.chunk_documents(t(spark, sf_dir, "documents"),
                               chunk_tokens=64, stride=48)
+
+
+@register("docs_fixed_per_lang_sample", """
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 20
+""")
+def docs_fixed_per_lang_sample(spark, sf_dir):
+    """Exactly-n-per-stratum sampling: order each language's docs by a
+    content-stable hash (a deterministic shuffle) and keep the first 20.
+    Uses the two-phase `grouped_topk` — a dominant language's rows never
+    funnel through one reducer, unlike the oracle's window form."""
+    from ..functions.skew import grouped_topk
+
+    d = (t(spark, sf_dir, "documents")
+         .select("lang", "doc_id",
+                 F.md5(F.col("doc_id").cast("string")).alias("h")))
+    return (grouped_topk(d, ["lang"], [F.asc("h"), F.asc("doc_id")], k=20)
+            .select("lang", "doc_id"))

@@ -39,3 +39,21 @@ def test_no_salt_column_leaks(spark):
     df = spark.createDataFrame([(1, 10, 1)], ["k", "v", "id"])
     out = grouped_topk(df, ["k"], [F.desc("v")], 1)
     assert set(out.columns) == {"k", "v", "id", "rank"}
+
+
+def test_salted_join_matches_plain(spark):
+    import pyspark.sql.functions as F
+    from dask_relabeling_spark.functions.skew import salted_join
+    # hot key 7: 5000 left rows; right has multiple rows per key
+    left = spark.range(0, 6000).select(
+        F.when(F.col("id") < 5000, F.lit(7)).otherwise(F.col("id") % 50)
+        .alias("k"), F.col("id").alias("lv"))
+    right = spark.range(0, 100).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("rv"))
+    for how in ("inner", "left"):
+        exp = sorted(tuple(r) for r in
+                     left.join(right, "k", how).collect())
+        got = sorted(tuple(r) for r in
+                     salted_join(left, right, "k", n_salts=8,
+                                 how=how).collect())
+        assert got == exp
