@@ -31,7 +31,8 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
               left_ts: str, right_ts: str,
               right_id: Optional[str] = None,
               suffix: str = "_r",
-              direction: str = "backward") -> DataFrame:
+              direction: str = "backward",
+              tolerance_seconds: Optional[int] = None) -> DataFrame:
     """Left as-of join.  Every left row is kept; matched right columns are
     appended with ``suffix`` (NULL when no right row precedes).
 
@@ -39,9 +40,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     right rows share one (key, ts) — the highest id wins, keeping the
     result deterministic on both engines.  Must be an integer column
     (a silent cast of e.g. a UUID string would NULL every tiebreak).
+
+    ``tolerance_seconds``: like pandas ``merge_asof(tolerance=...)`` —
+    a match farther than this from the left timestamp is discarded
+    (columns NULL).  Applied as a post-filter on the carried match, so
+    the plan shape (one shuffle, linear pass) is unchanged.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    if tolerance_seconds is not None and right_ts in on:
+        raise ValueError("tolerance requires right_ts as a payload column")
     if right_id is not None:
         id_type = right.schema[right_id].dataType
         if not isinstance(id_type, _NUMERIC):
@@ -88,6 +96,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     u = l2.unionByName(r2)
     matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
                .filter(F.col("_l").isNotNull()))
+    if tolerance_seconds is not None:
+        gap = F.abs(F.col(f"_m.{right_ts}").cast("double")
+                    - F.col("_ts").cast("double"))
+        matched = matched.withColumn(
+            "_m", F.when(gap <= float(tolerance_seconds), F.col("_m")))
     out_cols = ([F.col(f"_l.{c}").alias(c) for c in left.columns]
                 + [F.col(f"_m.{c}").alias(c + suffix) for c in r_payload])
     return matched.select(*out_cols)

@@ -712,3 +712,30 @@ def docs_fixed_per_lang_sample(spark, sf_dir):
                  F.md5(F.col("doc_id").cast("string")).alias("h")))
     return (grouped_topk(d, ["lang"], [F.asc("h"), F.asc("doc_id")], k=20)
             .select("lang", "doc_id"))
+
+
+@register("events_asof_next_purchase", """
+SELECT c.event_id AS click_id, c.user_id,
+       (SELECT p.event_id FROM events p
+        WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        ORDER BY p.ts, p.event_id DESC LIMIT 1) AS purchase_id
+FROM events c WHERE c.event_type = 'click'
+""")
+def events_asof_next_purchase(spark, sf_dir):
+    """Forward as-of with tolerance: each click matched to the NEXT
+    same-user purchase within 30 min (conversion attribution).  Same
+    union+window linear plan as the backward form — direction just flips
+    the window order; tolerance is a narrow post-filter.  The oracle is
+    the correlated-subquery formulation (DuckDB ASOF has no tolerance)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", F.col("ts").alias("p_ts"),
+                         F.col("event_id").alias("p_id")))
+    j = asof_join(clicks, purchases, on=["user_id"],
+                  left_ts="ts", right_ts="p_ts", right_id="p_id",
+                  direction="forward", tolerance_seconds=30 * 60)
+    return j.select("click_id", "user_id",
+                    F.col("p_id_r").alias("purchase_id"))
