@@ -739,3 +739,32 @@ def events_asof_next_purchase(spark, sf_dir):
                   direction="forward", tolerance_seconds=30 * 60)
     return j.select("click_id", "user_id",
                     F.col("p_id_r").alias("purchase_id"))
+
+
+@register("events_sliding_windows", """
+WITH offs AS (SELECT unnest([0, 15, 30, 45]) AS off_min),
+w AS (
+  SELECT e.event_type,
+         date_trunc('hour', e.ts - to_minutes(o.off_min))
+           + to_minutes(o.off_min) AS window_start,
+         e.value
+  FROM events e, offs o
+  WHERE e.ts >= date_trunc('hour', e.ts - to_minutes(o.off_min))
+                + to_minutes(o.off_min))
+SELECT event_type, window_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM w GROUP BY event_type, window_start
+""")
+def events_sliding_windows(spark, sf_dir):
+    """Sliding 1-hour windows every 15 min: each event lands in 4
+    overlapping windows (`F.window(ts, '1 hour', '15 minutes')` — the
+    built-in generates the window set JVM-side; the oracle replays it as
+    an explicit 4-offset fan-out)."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                       "event_type")
+            .agg(F.count("*").cast("bigint").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select("event_type", F.col("w.start").alias("window_start"),
+                    "n_events", "total_value"))
