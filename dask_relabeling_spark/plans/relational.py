@@ -718,3 +718,54 @@ def part_token_positions(spark, sf_dir):
                      .alias("pos0", "tok"))
             .select("p_partkey", (F.col("pos0") + 1).cast("int")
                     .alias("pos"), "tok"))
+
+
+# --------------------------------------------- 30. equal-width histogram
+@register("orders_price_histogram", """
+WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM orders)
+SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9)
+            AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders, mm GROUP BY 1
+""")
+def orders_price_histogram(spark, sf_dir):
+    """Equal-width 10-bucket histogram: classic two-pass — a tiny global
+    min/max aggregate broadcast back over the scan, then one partial-agg
+    groupBy on the bucket id.  The broadcast keeps pass 2 shuffle-free
+    until the 10-row final agg."""
+    o = t(spark, sf_dir, "orders")
+    mm = o.agg(F.min("o_totalprice").alias("lo"),
+               F.max("o_totalprice").alias("hi"))
+    return (o.crossJoin(F.broadcast(mm))
+            .select(F.least(F.floor((F.col("o_totalprice") - F.col("lo"))
+                                    / ((F.col("hi") - F.col("lo")) / 10)),
+                            F.lit(9)).cast("bigint").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count("*").cast("bigint").alias("n")))
+
+
+# --------------------------------------------- 31. z-score anomaly flags
+@register("events_value_anomalies", """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       round((e.value - s.mu) / s.sigma, 4) AS zscore
+FROM events e JOIN stats s ON s.event_type = e.event_type
+WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+""")
+def events_value_anomalies(spark, sf_dir):
+    """Per-type z-score outliers: aggregate stats once (tiny — one row
+    per type), broadcast them back over the stream, flag |z| > 2.5.
+    No window, no second shuffle of the big table."""
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (ev.join(F.broadcast(stats),
+                    ev.event_type == F.col("s_type"))
+            .filter(F.abs(z) > 2.5)
+            .select("event_id", "event_type",
+                    F.round(z, 4).alias("zscore")))
