@@ -769,3 +769,94 @@ def events_value_anomalies(spark, sf_dir):
             .filter(F.abs(z) > 2.5)
             .select("event_id", "event_type",
                     F.round(z, 4).alias("zscore")))
+
+
+# ------------------------------------------ 32. explicit GROUPING SETS
+@register("grouping_sets_revenue", """
+SELECT r.r_name, n.n_name,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY GROUPING SETS ((r.r_name, n.n_name), (r.r_name), ())
+""")
+def grouping_sets_revenue(spark, sf_dir):
+    """Explicit GROUPING SETS (vs CUBE/ROLLUP elsewhere): Catalyst expands
+    the sets in ONE Expand+partial-agg pass over the joined scan — no
+    re-read of the fact table per grouping, unlike a UNION ALL of three
+    aggregates.  Dims are broadcast; only the final agg exchanges."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    o = t(spark, sf_dir, "orders")
+    joined = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
+    return (joined.groupingSets([["r_name", "n_name"], ["r_name"], []],
+                                "r_name", "n_name")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+# ----------------------------------------------- 33. ntile bucketing
+@register("ntile_customer_quartiles", """
+SELECT quartile,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(c_acctbal), 2) AS avg_bal,
+       round(min(c_acctbal), 2) AS min_bal,
+       round(max(c_acctbal), 2) AS max_bal
+FROM (SELECT c_acctbal,
+             ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+      FROM customer)
+GROUP BY quartile
+""")
+def ntile_customer_quartiles(spark, sf_dir):
+    """ntile(4) equi-depth bucketing over a global order.  A global
+    ORDER BY window is a single-partition sort at scale — fine for the
+    capability check here; the scale path for equi-depth buckets is
+    approxQuantile / equal-frequency histogram (see
+    lineitem_price_quantiles), which stays fully parallel."""
+    c = t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+            .groupBy("quartile")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+                 F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+                 F.round(F.max("c_acctbal"), 2).alias("max_bal")))
+
+
+# ------------------------------------------------ 34. ordered funnel
+@register("events_funnel", """
+WITH stage AS (
+  SELECT user_id,
+         min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+         min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+         min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+  FROM events GROUP BY user_id)
+SELECT CAST(count(t_view) AS BIGINT) AS n_view,
+       CAST(count(CASE WHEN t_click > t_view THEN 1 END) AS BIGINT)
+         AS n_view_click,
+       CAST(count(CASE WHEN t_click > t_view AND t_purchase > t_click
+                       THEN 1 END) AS BIGINT) AS n_view_click_purchase
+FROM stage
+""")
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): one
+    conditional-min agg per user (partial+final, single shuffle on
+    user_id), then a tiny global rollup of stage reach.  No self-joins:
+    the classic 3-way funnel join would shuffle the events table three
+    times; this shape scans it once."""
+    ev = t(spark, sf_dir, "events")
+    first = lambda typ: F.min(F.when(F.col("event_type") == typ,
+                                     F.col("ts")))
+    stage = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_purchase"))
+    vc = F.col("t_click") > F.col("t_view")
+    vcp = vc & (F.col("t_purchase") > F.col("t_click"))
+    return stage.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(vc, 1)).alias("n_view_click"),
+        F.count(F.when(vcp, 1)).alias("n_view_click_purchase"))
