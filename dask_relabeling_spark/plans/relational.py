@@ -860,3 +860,34 @@ def events_funnel(spark, sf_dir):
         F.count("t_view").alias("n_view"),
         F.count(F.when(vc, 1)).alias("n_view_click"),
         F.count(F.when(vcp, 1)).alias("n_view_click_purchase"))
+
+
+# -------------------------------------------- 35. cohort retention
+@register("events_user_retention_cohorts", """
+WITH per_user AS (
+  SELECT user_id,
+         date_trunc('week', min(ts)) AS cohort_week,
+         list_distinct(list(date_trunc('week', ts))) AS weeks
+  FROM events GROUP BY user_id)
+SELECT CAST(cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', cohort_week, w) / 7 AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM per_user, unnest(weeks) AS t(w)
+GROUP BY 1, 2
+""")
+def events_user_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention in ONE shuffle of the events table: the
+    per-user pass computes the cohort week (min ts) AND the distinct
+    active weeks in the same user-keyed aggregation, then explodes the
+    (small) week set — no second shuffle-join of activity back onto
+    cohorts, which is the naive two-scan formulation."""
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("week", F.col("ts"))).alias("weeks"))
+    return (per_user
+            .select("cohort_week", F.explode("weeks").alias("w"))
+            .groupBy(F.to_date("cohort_week").alias("cohort_week"),
+                     (F.datediff("w", "cohort_week") / 7).cast("int")
+                     .alias("week_offset"))
+            .agg(F.count("*").alias("n_users")))

@@ -1,0 +1,74 @@
+"""Generic file-format sources and sinks.
+
+The reference consumes in-memory dask arrays plus ``.npz`` fixtures and
+writes a zipped GeoJSON sink (``relabeling.py:126-163``); its relational
+analog here reads/writes the standard lake formats.  ``read_any`` /
+``write_any`` wrap ``spark.read``/``df.write`` with the defaults a
+100 TB pipeline wants:
+
+- **parquet** (default): columnar, predicate pushdown + column pruning
+  reach the scan; always the hot-path format.
+- **csv / json**: ingest-only formats.  Schema is REQUIRED unless
+  ``infer=True`` — schema inference is a full extra pass over the data
+  and must never run implicitly at scale.
+- partitioned writes (``partition_by``) lay out ``k=v/`` directories so
+  downstream reads get partition pruning for free.
+
+Timestamps are normalized to UTC session time so round-trips hash
+identically across engines.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "csv", "json")
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet",
+             schema: Union[StructType, str, None] = None,
+             infer: bool = False, **options) -> DataFrame:
+    """Read ``path`` in ``fmt``.  For csv/json a ``schema`` must be given
+    unless ``infer=True`` (inference = an extra full scan: opt-in only).
+    CSV defaults: header on, RFC-4180 quoting."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt != "parquet":
+        if not infer:
+            raise ValueError(
+                f"{fmt} read without schema: pass schema= or infer=True "
+                "(inference is a full extra pass over the data)")
+        reader = reader.option(
+            "inferSchema" if fmt == "csv" else "primitivesAsString",
+            "true" if fmt == "csv" else "false")
+        if fmt == "json":
+            reader = reader.option("inferTimestamp", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def write_any(df: DataFrame, path: str, fmt: str = "parquet",
+              mode: str = "error",
+              partition_by: Optional[Sequence[str]] = None,
+              **options) -> None:
+    """Write ``df`` to ``path`` in ``fmt``.  ``partition_by`` produces a
+    hive-style ``k=v/`` layout (partition pruning on re-read)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    writer = df.write.format(fmt).mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)

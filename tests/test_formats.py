@@ -1,0 +1,54 @@
+"""Round-trip tests for the generic format sources/sinks."""
+import pytest
+from pyspark.sql import functions as F
+
+from dask_relabeling_spark.sources.formats import read_any, write_any
+from dask_relabeling_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def canon(df, keys):
+    return [tuple(r) for r in
+            df.select(*sorted(df.columns)).orderBy(*keys).collect()]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_round_trip_preserves_values(spark, tmp_path, fmt):
+    src = load_table(spark, SF, "nation")
+    path = str(tmp_path / f"nation_{fmt}")
+    write_any(src, path, fmt=fmt)
+    back = read_any(spark, path, fmt=fmt,
+                    schema=src.schema if fmt != "parquet" else None)
+    assert back.schema == src.schema
+    assert canon(back, ["n_nationkey"]) == canon(src, ["n_nationkey"])
+
+
+def test_csv_without_schema_requires_optin(spark, tmp_path):
+    src = load_table(spark, SF, "region")
+    path = str(tmp_path / "region_csv")
+    write_any(src, path, fmt="csv")
+    with pytest.raises(ValueError, match="schema"):
+        read_any(spark, path, fmt="csv")
+    inferred = read_any(spark, path, fmt="csv", infer=True)
+    assert inferred.count() == src.count()
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    src = load_table(spark, SF, "orders")
+    path = str(tmp_path / "orders_part")
+    write_any(src, path, fmt="parquet", partition_by=["o_orderpriority"])
+    back = read_any(spark, path)
+    one = back.filter(F.col("o_orderpriority") == "1-URGENT")
+    # partition pruning: the filter must appear as a PartitionFilter on
+    # the scan, not a post-scan Filter over all files
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "1-URGENT" in plan
+    expected = src.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert one.count() == expected
+
+
+def test_unknown_format_rejected(spark, tmp_path):
+    src = load_table(spark, SF, "region")
+    with pytest.raises(ValueError, match="unsupported"):
+        write_any(src, str(tmp_path / "x"), fmt="avro")
