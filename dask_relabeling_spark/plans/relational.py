@@ -891,3 +891,29 @@ def events_user_retention_cohorts(spark, sf_dir):
                      (F.datediff("w", "cohort_week") / 7).cast("int")
                      .alias("week_offset"))
             .agg(F.count("*").alias("n_users")))
+
+
+# ------------------------------------- 36. RANGE-frame rolling window
+@register("events_rolling_hour_stats", """
+SELECT event_id,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_hour,
+       round(sum(value) OVER w, 4) AS sum_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def events_rolling_hour_stats(spark, sf_dir):
+    """Per-event trailing-hour stats via a RANGE window frame over
+    microsecond epoch (integer order key -> identical tie semantics in
+    every engine; RANGE frames are tie-inclusive so the result is
+    deterministic without a tiebreak).  One shuffle on user_id; the
+    frame is evaluated with a sliding two-pointer pass per partition —
+    no self-join fan-out, unlike the interval-join formulation."""
+    ev = t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros("ts"))
+         .rangeBetween(-3_600_000_000, 0))
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).alias("n_trailing_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_trailing_hour"))
