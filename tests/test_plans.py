@@ -61,3 +61,38 @@ def test_lsh_pairs_never_cross_join(spark):
 def test_no_single_partition_exchange(spark, name):
     plan = plan_of(spark, name)
     assert "Exchange SinglePartition" not in plan
+
+
+def test_grouping_sets_single_expand_scan(spark):
+    plan = plan_of(spark, "grouping_sets_revenue")
+    # the three grouping sets must come from ONE Expand over one joined
+    # scan, not a UNION ALL re-reading orders per grouping
+    assert "Expand" in plan
+    scan = [l for l in plan.splitlines()
+            if "FileScan parquet" in l and "orders" in l]
+    assert len(scan) == 1
+    assert "SortMergeJoin" not in plan  # all dims broadcast
+
+
+def test_retention_single_events_shuffle(spark):
+    plan = plan_of(spark, "events_user_retention_cohorts")
+    # one user-keyed exchange for the combined min/collect_set agg, one
+    # tiny final agg exchange — no join back onto the events table
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_rolling_window_no_self_join(spark):
+    plan = plan_of(spark, "events_rolling_hour_stats")
+    # RANGE frame = per-partition sliding evaluation, not an interval
+    # self-join fan-out
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_funnel_single_scan(spark):
+    plan = plan_of(spark, "events_funnel")
+    assert "Join" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1
