@@ -91,6 +91,38 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                      best.alias("best_score"))
 
 
+def with_curation_signals(df: DataFrame,
+                          text_col: str = "text") -> DataFrame:
+    """All curation signals — token count, language-ID, normalized-text
+    fingerprint — in ONE select over one scan.
+
+    Column expressions compose where the df-level helpers
+    (``with_quality_score`` / ``with_lang_id`` / ``with_fingerprint``)
+    would each re-scan the table and need doc_id joins: at 100 TB that is
+    three reads plus two shuffles vs. this operator's single pass."""
+    toks = tokens_col(F.col(text_col))
+
+    def count_in(markers):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = {lang: count_in(markers)
+              for lang, markers in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*scores.values())
+    pred = None
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        cond = scores[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None \
+            else F.when(cond, F.lit(lang)).otherwise(pred)
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        pred.alias("pred_lang"),
+        best.alias("best_score"),
+        F.md5(norm).alias("fingerprint"))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 over the normalized (lowercased,
     whitespace-collapsed) text — the hash-groupBy dedup key."""

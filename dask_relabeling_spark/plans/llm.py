@@ -768,3 +768,50 @@ def events_sliding_windows(spark, sf_dir):
                  F.round(F.sum("value"), 4).alias("total_value"))
             .select("event_type", F.col("w.start").alias("window_start"),
                     "n_events", "total_value"))
+
+
+# --------------------------------------- composed curation pipeline
+def _curation_sql() -> str:
+    score = {lang: ("len(list_filter(tk, x -> list_contains(["
+                    + ", ".join(f"'{m}'" for m in ms) + "], x)))")
+             for lang, ms in sorted(TX.LANG_MARKERS.items())}
+    langs = sorted(TX.LANG_MARKERS)
+    best = f"greatest({', '.join('s_' + l for l in langs)})"
+    pred = "CASE " + " ".join(
+        f"WHEN s_{l} = best THEN '{l}'" for l in langs) + " END"
+    sums = ", ".join(f"CAST({e} AS INT) AS s_{l}"
+                     for l, e in score.items())
+    return f"""
+WITH sig AS (
+  SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens, {sums},
+         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+  FROM (SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        FROM documents)),
+scored AS (SELECT *, {best} AS best FROM sig)
+SELECT fingerprint,
+       min(doc_id) AS doc_id,
+       arg_min({pred}, doc_id) AS pred_lang,
+       arg_min(n_tokens, doc_id) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM scored WHERE n_tokens >= 8 AND best >= 2
+GROUP BY fingerprint
+"""
+
+
+@register("docs_curation_pipeline", _curation_sql())
+def docs_curation_pipeline(spark, sf_dir):
+    """End-to-end curation pass: quality gate (token count) + language
+    confidence gate (>= 2 marker hits) + exact dedup keeping the lowest
+    doc_id — composed from ONE scan of documents via
+    ``with_curation_signals`` (single select; no joins), then one
+    fingerprint-keyed aggregation.  The shape of a real training-data
+    filter job: at 100 TB this is scan -> narrow map -> one shuffle."""
+    sig = TX.with_curation_signals(t(spark, sf_dir, "documents"))
+    gated = sig.filter((F.col("n_tokens") >= 8) &
+                       (F.col("best_score") >= 2))
+    return (gated.groupBy("fingerprint")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by("pred_lang", "doc_id").alias("pred_lang"),
+                 F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+                 F.count("*").cast("bigint").alias("n_dups")))

@@ -96,3 +96,11 @@ def test_funnel_single_scan(spark):
     assert "Join" not in plan
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1
+
+
+def test_curation_pipeline_single_scan_one_shuffle(spark):
+    plan = plan_of(spark, "docs_curation_pipeline")
+    assert "Join" not in plan
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1
+    assert plan.count("Exchange hashpartitioning") == 1
