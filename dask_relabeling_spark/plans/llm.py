@@ -815,3 +815,35 @@ def docs_curation_pipeline(spark, sf_dir):
                  F.min_by("pred_lang", "doc_id").alias("pred_lang"),
                  F.min_by("n_tokens", "doc_id").alias("n_tokens"),
                  F.count("*").cast("bigint").alias("n_dups")))
+
+
+# ------------------------------------ deterministic corpus shuffle
+@register("docs_deterministic_shuffle", """
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('42|' || CAST(doc_id AS VARCHAR))
+                  || '|' || lpad(CAST(doc_id AS VARCHAR), 12, '0'))
+            - 1 AS BIGINT) AS shuffle_pos
+FROM documents
+""")
+def docs_deterministic_shuffle(spark, sf_dir):
+    """Deterministic global shuffle of the corpus — the 'randomize
+    example order before training' pass.  Position = rank in md5(seed |
+    doc_id) order (seeded, reproducible, engine-portable; doc_id
+    tie-break makes even a hash collision deterministic).  The rank is
+    computed with the grouped two-phase prefix sum, NOT a global
+    row_number window: range-partition on the hash key, per-partition
+    cumsum, broadcast partition offsets — no single-partition stage at
+    any scale.  The oracle replays it as the (small-data) global
+    window."""
+    from ..functions.ids import exclusive_prefix_sum
+    d = (t(spark, sf_dir, "documents")
+         .select("doc_id",
+                 F.concat(F.md5(F.concat(F.lit("42|"),
+                                         F.col("doc_id").cast("string"))),
+                          F.lit("|"),
+                          F.lpad(F.col("doc_id").cast("string"), 12, "0"))
+                 .alias("k"),
+                 F.lit(1).alias("one")))
+    ranked = exclusive_prefix_sum(d, "k", "one", out_col="shuffle_pos")
+    return ranked.select("doc_id", "shuffle_pos")
