@@ -847,3 +847,30 @@ def docs_deterministic_shuffle(spark, sf_dir):
                  F.lit(1).alias("one")))
     ranked = exclusive_prefix_sum(d, "k", "one", out_col="shuffle_pos")
     return ranked.select("doc_id", "shuffle_pos")
+
+
+# ------------------------------------- per-class embedding centroids
+@register("embedding_label_centroids", """
+SELECT label, CAST(u.s.i AS INT) AS dim,
+       round(avg(CAST(u.s.v AS DOUBLE)), 3) AS centroid,
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM embeddings e,
+     unnest(list_transform(generate_series(1, len(e.embedding)),
+            i -> {'i': i, 'v': e.embedding[i]})) AS u(s)
+GROUP BY 1, 2
+""")
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label mean embedding — the centroid-update step of k-means /
+    IVF coarse-quantizer training, as one posexplode + partial-agg'd
+    groupBy.  (label, dim) keys spread every vector's components across
+    the cluster, so a hot label cannot pin a partition the way a
+    per-label collect would.  Rounded at 1e-3: double accumulation over
+    float32 inputs is order-stable far below that."""
+    em = t(spark, sf_dir, "embeddings")
+    return (em.select("label",
+                      F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("label",
+                     (F.col("pos") + 1).cast("int").alias("dim"))
+            .agg(F.round(F.avg(F.col("v").cast("double")), 3)
+                 .alias("centroid"),
+                 F.count("*").alias("n_vecs")))
