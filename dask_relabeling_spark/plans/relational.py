@@ -917,3 +917,42 @@ def events_rolling_hour_stats(spark, sf_dir):
         "event_id",
         F.count("*").over(w).alias("n_trailing_hour"),
         F.round(F.sum("value").over(w), 4).alias("sum_trailing_hour"))
+
+
+# ------------------------------------------------ 37. full outer join
+@register("orders_vs_shipments_by_day", """
+WITH od AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1995-02-01'
+  GROUP BY 1),
+sd AS (
+  SELECT CAST(l_shipdate AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n_shipments
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-15'
+    AND l_shipdate <  TIMESTAMP '1995-02-15'
+  GROUP BY 1)
+SELECT coalesce(od.d, sd.d) AS d, od.n_orders, sd.n_shipments
+FROM od FULL OUTER JOIN sd ON od.d = sd.d
+""")
+def orders_vs_shipments_by_day(spark, sf_dir):
+    """FULL OUTER join of two day-level aggregates over deliberately
+    half-overlapping date windows, so the result exercises matched,
+    left-only, and right-only rows (null-padded).  Both inputs shrink to
+    ~30 rows before the join — aggregate-then-join, never join raw fact
+    tables when only their rollups meet."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    od = (o.filter((F.col("o_orderdate") >= "1995-01-01") &
+                   (F.col("o_orderdate") < "1995-02-01"))
+          .groupBy(F.to_date("o_orderdate").alias("d"))
+          .agg(F.count("*").alias("n_orders")))
+    sd = (li.filter((F.col("l_shipdate") >= "1995-01-15") &
+                    (F.col("l_shipdate") < "1995-02-15"))
+          .groupBy(F.to_date("l_shipdate").alias("d"))
+          .agg(F.count("*").alias("n_shipments")))
+    return (od.join(sd, "d", "full_outer")
+            .select("d", "n_orders", "n_shipments"))
