@@ -1,0 +1,121 @@
+"""Scale probe: replicate the sf0.1 tables Kx (keys offset per replica so
+cardinalities grow with data volume) and measure how the headline plans
+scale.  A plan that "would still work at 1000 executors" must scale
+~linearly here; anything superlinear is a partitioning/shuffle bug to fix
+before it matters.
+
+Usage:  python tools/scale_probe.py [K]          (default K=10)
+Writes replicated parquet under .scratch/sfx{K}/ (gitignored); prints a
+table of 1x vs Kx wall times and the time ratio per query.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dask_relabeling_spark.session import get_spark  # noqa: E402
+from dask_relabeling_spark.sources.tables import load_table  # noqa: E402
+from dask_relabeling_spark.plans import REGISTRY  # noqa: E402
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".scratch")
+
+# (table, id columns to offset per replica).  Offsetting keeps join keys
+# consistent within a replica while growing global key cardinality —
+# a pure UNION ALL duplicate would instead grow every group x K with
+# constant group count, which under-stresses the shuffle.
+TABLES = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "nation": [],
+    "region": [],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+OFFSET = 100_000_000
+
+PROBES = [
+    "q1_pricing_summary",
+    "broadcast_join_brand_revenue",
+    "q3_shipping_priority",
+    "top_customers_per_nation",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "docs_curation_pipeline",
+    "docs_pack_sequences",
+    "docs_deterministic_shuffle",
+    "events_user_retention_cohorts",
+    "events_sessionize",
+    "word_counts",
+]
+
+
+def replicate(spark, k: int) -> str:
+    out = os.path.join(ROOT, f"sfx{k}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for name, idcols in TABLES.items():
+        src = load_table(spark, BASE, name)
+        if not idcols:
+            rep = src
+        else:
+            parts = []
+            for i in range(k):
+                p = src
+                for c in idcols:
+                    p = p.withColumn(c, F.col(c) + F.lit(i * OFFSET))
+                parts.append(p)
+            rep = parts[0]
+            for p in parts[1:]:
+                rep = rep.unionByName(p)
+        rep.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    return out
+
+
+def timed(fn, spark, sf_dir, runs=2):
+    fn(spark, sf_dir).count()  # warm codegen/footers
+    best = None
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark(app_name="scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    big = replicate(spark, k)
+    rows = []
+    for name in PROBES:
+        fn, _ = REGISTRY[name]
+        t1 = timed(fn, spark, BASE)
+        tk = timed(fn, spark, big)
+        rows.append({"query": name, "t_1x": round(t1, 2),
+                     f"t_{k}x": round(tk, 2),
+                     "ratio": round(tk / t1, 1)})
+        print(f"# {name}: 1x={t1:.2f}s {k}x={tk:.2f}s "
+              f"ratio={tk / t1:.1f}", file=sys.stderr)
+    print(json.dumps({"k": k, "probes": rows}))
+    if os.environ.get("SCALE_PROBE_KEEP") != "1":
+        shutil.rmtree(big, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
