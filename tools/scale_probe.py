@@ -99,11 +99,14 @@ def timed(fn, spark, sf_dir, runs=2):
 
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    probes = PROBES
+    if os.environ.get("SCALE_PROBE_QUERIES"):
+        probes = os.environ["SCALE_PROBE_QUERIES"].split(",")
     spark = get_spark(app_name="scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     big = replicate(spark, k)
     rows = []
-    for name in PROBES:
+    for name in probes:
         fn, _ = REGISTRY[name]
         t1 = timed(fn, spark, BASE)
         tk = timed(fn, spark, big)
