@@ -42,6 +42,7 @@ HEADLINE = [
     "events_sessionize",
     "docs_pack_sequences",      # two-phase prefix-sum packing
     "events_hourly_gapfill",    # dense-grid resample
+    "docs_curation_pipeline",   # composed quality+langid+dedup, one scan
 ]
 
 
