@@ -874,3 +874,38 @@ def embedding_label_centroids(spark, sf_dir):
             .agg(F.round(F.avg(F.col("v").cast("double")), 3)
                  .alias("centroid"),
                  F.count("*").alias("n_vecs")))
+
+
+# ------------------------------------ blocked fuzzy (edit-distance) match
+@register("parts_fuzzy_name_pairs", """
+WITH names AS (
+  SELECT DISTINCT p_name,
+         len(p_name) AS ln, substr(p_name, 1, 1) AS blk
+  FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM names a JOIN names b
+  ON a.blk = b.blk AND abs(a.ln - b.ln) <= 2 AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+""")
+def parts_fuzzy_name_pairs(spark, sf_dir):
+    """Fuzzy matching, the scalable way: dedupe to distinct names, then a
+    BLOCKED self-join (same first letter, length within 2 — cheap
+    necessary conditions for edit distance <= 2) and the expensive
+    levenshtein verify only inside blocks.  The all-pairs formulation is
+    O(n^2) in distinct names; blocking bounds each key's fan-out, and a
+    skewed block would be salted (functions/skew.py).  Blocking misses
+    cross-block pairs by design — the standard recall trade, replayed
+    identically by the oracle."""
+    names = (t(spark, sf_dir, "part").select("p_name").distinct()
+             .select("p_name", F.length("p_name").alias("ln"),
+                     F.substring("p_name", 1, 1).alias("blk")))
+    a, b = names.alias("a"), names.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
+                   (F.abs(F.col("a.ln") - F.col("b.ln")) <= 2) &
+                   (F.col("a.p_name") < F.col("b.p_name")))
+            .filter(lev <= 2)
+            .select(F.col("a.p_name").alias("name_a"),
+                    F.col("b.p_name").alias("name_b"),
+                    lev.cast("int").alias("dist")))
