@@ -116,20 +116,35 @@ GRID3 = (1, H3 // CHUNK3[1], W3 // CHUNK3[2])
 
 
 def _mask_tiles_3d(spark: SparkSession, sf_dir: str) -> TileSet:
+    """Same JVM-side bitmap partial aggregation as the 2D builder, with
+    64-bit words: 600 k voxel points collapse to <= volume/64 (= 61 k)
+    ``(tile, word)`` rows before the shuffle, and Python only expands
+    words -> ndarray once per tile."""
     li = t(spark, sf_dir, "lineitem")
-    pts = (li.select((F.col("l_suppkey") % D3).cast("int").alias("z"),
-                     (F.col("l_orderkey") % H3).cast("int").alias("y"),
-                     (F.col("l_partkey") % W3).cast("int").alias("x"))
-           .withColumn("cz", F.lit(0))
-           .withColumn("cy", (F.col("y") / CHUNK3[1]).cast("int"))
-           .withColumn("cx", (F.col("x") / CHUNK3[2]).cast("int")))
+    local = ((F.col("z") * (CHUNK3[1] * CHUNK3[2]))
+             + (F.col("y") % CHUNK3[1]) * CHUNK3[2]
+             + (F.col("x") % CHUNK3[2]))
+    wordrows = (li.select(
+        (F.col("l_suppkey") % D3).cast("int").alias("z"),
+        (F.col("l_orderkey") % H3).cast("int").alias("y"),
+        (F.col("l_partkey") % W3).cast("int").alias("x"))
+        .select(F.lit(0).alias("cz"),
+                (F.col("y") / CHUNK3[1]).cast("int").alias("cy"),
+                (F.col("x") / CHUNK3[2]).cast("int").alias("cx"),
+                (local / 64).cast("int").alias("word"),
+                (local % 64).cast("int").alias("bit"))
+        .groupBy("cz", "cy", "cx", "word")
+        .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits")))
+    nwords = (CHUNK3[0] * CHUNK3[1] * CHUNK3[2]) // 64
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cz, cy, cx = (int(key[0]), int(key[1]), int(key[2]))
-        tile = np.zeros(CHUNK3, dtype=np.int64)
-        tile[pdf["z"].to_numpy(),
-             pdf["y"].to_numpy() - cy * CHUNK3[1],
-             pdf["x"].to_numpy() - cx * CHUNK3[2]] = 1
+        words = np.zeros(nwords, dtype=np.int64)
+        real = pdf[pdf["word"] >= 0]
+        words[real["word"].to_numpy()] = real["bits"].to_numpy()
+        tile = np.unpackbits(words.astype("<i8").view(np.uint8),
+                             bitorder="little") \
+            .astype(np.int64).reshape(CHUNK3)
         return pd.DataFrame.from_records(
             [tile_record((cz, cy, cx), tile)],
             columns=[f.name for f in TILE_SCHEMA.fields])
@@ -138,11 +153,10 @@ def _mask_tiles_3d(spark: SparkSession, sf_dir: str) -> TileSet:
         F.lit(0).alias("cz"),
         (F.col("id") / GRID3[2]).cast("int").alias("cy"),
         (F.col("id") % GRID3[2]).cast("int").alias("cx"),
-        F.lit(-1).cast("int").alias("z"),
-        F.lit(-1).cast("int").alias("y"), F.lit(-1).cast("int").alias("x"))
-    pts = pts.unionByName(grid_df)
-    tiles_df = (pts.groupBy("cz", "cy", "cx").applyInPandas(
-        lambda key, pdf: build(key, pdf[pdf["z"] >= 0]), TILE_SCHEMA))
+        F.lit(-1).cast("int").alias("word"),
+        F.lit(0).cast("long").alias("bits"))
+    tiles_df = (wordrows.unionByName(grid_df)
+                .groupBy("cz", "cy", "cx").applyInPandas(build, TILE_SCHEMA))
     return TileSet(df=tiles_df, nd=3, grid=GRID3, chunk_shape=CHUNK3,
                    overlaps=(0, 0, 0), image_shape=(D3, H3, W3))
 
