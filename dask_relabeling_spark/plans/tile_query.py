@@ -40,9 +40,9 @@ GRID = (H // CHUNK, W // CHUNK)
 def _mask_tiles(spark: SparkSession, sf_dir: str) -> TileSet:
     """Build the tile table with MAP-SIDE PARTIAL AGGREGATION of a bitmap:
     each point becomes (tile, byte-index, bit) and Spark's algebraic
-    ``bit_or`` collapses them per (tile, byte) in whole-stage codegen —
-    map-side combine shrinks the shuffle to <= grid_tiles x chunk²/8
-    rows of a few bytes, and NOT ONE POINT crosses into Python (an
+    ``bit_or`` collapses them per (tile, 64-px word) in whole-stage
+    codegen — map-side combine shrinks the shuffle to <= grid_tiles x
+    chunk²/64 rows of a few bytes, and NOT ONE POINT crosses into Python (an
     earlier hand-built mapInPandas partial did the same algebra ~2x
     slower: per-Arrow-batch Python overhead on the 600 k-point stream).
     The only Python is the per-tile byte->ndarray expansion."""
@@ -52,20 +52,19 @@ def _mask_tiles(spark: SparkSession, sf_dir: str) -> TileSet:
                          (F.col("l_partkey") % W).cast("int").alias("x"))
                .select((F.col("y") / CHUNK).cast("int").alias("cy"),
                        (F.col("x") / CHUNK).cast("int").alias("cx"),
-                       (local / 8).cast("int").alias("byte"),
-                       (local % 8).cast("int").alias("bit"))
-               .groupBy("cy", "cx", "byte")
-               .agg(F.bit_or(F.expr("shiftleft(1, bit)")).cast("int")
-                    .alias("bits")))
-    nbytes = CHUNK * CHUNK // 8
+                       (local / 64).cast("int").alias("word"),
+                       (local % 64).cast("int").alias("bit"))
+               .groupBy("cy", "cx", "word")
+               .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits")))
+    nwords = CHUNK * CHUNK // 64
 
     def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         cy, cx = int(key[0]), int(key[1])
-        bits = np.zeros(nbytes, dtype=np.uint8)
-        real = pdf[pdf["byte"] >= 0]
-        bits[real["byte"].to_numpy()] = \
-            real["bits"].to_numpy().astype(np.uint8)
-        tile = np.unpackbits(bits, bitorder="little") \
+        words = np.zeros(nwords, dtype=np.int64)
+        real = pdf[pdf["word"] >= 0]
+        words[real["word"].to_numpy()] = real["bits"].to_numpy()
+        tile = np.unpackbits(words.astype("<i8").view(np.uint8),
+                             bitorder="little") \
             .astype(np.int64).reshape(CHUNK, CHUNK)
         return pd.DataFrame.from_records(
             [tile_record((cy, cx), tile)],
@@ -75,8 +74,8 @@ def _mask_tiles(spark: SparkSession, sf_dir: str) -> TileSet:
     grid_df = spark.range(GRID[0] * GRID[1]).select(
         (F.col("id") / GRID[1]).cast("int").alias("cy"),
         (F.col("id") % GRID[1]).cast("int").alias("cx"),
-        F.lit(-1).cast("int").alias("byte"),
-        F.lit(0).cast("int").alias("bits"))
+        F.lit(-1).cast("int").alias("word"),
+        F.lit(0).cast("long").alias("bits"))
     tiles_df = (bitrows.unionByName(grid_df)
                 .groupBy("cy", "cx").applyInPandas(build, TILE_SCHEMA))
     return TileSet(df=tiles_df, nd=2, grid=GRID, chunk_shape=(CHUNK, CHUNK),
