@@ -909,3 +909,60 @@ def parts_fuzzy_name_pairs(spark, sf_dir):
             .select(F.col("a.p_name").alias("name_a"),
                     F.col("b.p_name").alias("name_b"),
                     lev.cast("int").alias("dist")))
+
+
+# --------------------------------------- benchmark contamination check
+@register("docs_contamination_check", """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(tk) - 2, 0)),
+           i -> array_to_string(tk[i:i+2], ' '))) AS shs
+  FROM tk),
+corpus_sh AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0),
+bench_sh AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 97 = 0)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(count(b.s) AS BIGINT) AS n_contaminated,
+       round(CAST(count(b.s) AS DOUBLE) / count(*), 6) AS contam_rate
+FROM corpus_sh c LEFT JOIN bench_sh b ON c.s = b.s
+GROUP BY c.doc_id
+HAVING count(b.s) > 0
+""")
+def docs_contamination_check(spark, sf_dir):
+    """Train/benchmark decontamination: flag corpus documents sharing any
+    5-token shingle with a held-out benchmark slice (doc_id % 97 == 0
+    stands in for the benchmark set).  The benchmark's distinct-shingle
+    table is tiny relative to the corpus, so the overlap probe is a
+    BROADCAST join against the exploded corpus shingles — the corpus
+    (the 100 TB side) is never shuffled; the per-doc aggregation that
+    follows is partial+final on doc_id."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", TX.tokens_col(F.col("text")).alias("tk"))
+    n = F.size("tk")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.array_join(F.slice("tk", i, 3), " "))
+    sh = tk.select(
+        "doc_id",
+        F.array_distinct(F.when(n > 2, grams)
+                         .otherwise(F.array().cast("array<string>")))
+        .alias("shs"))
+    corpus = (sh.filter(F.col("doc_id") % 97 != 0)
+              .select("doc_id", F.explode("shs").alias("s")))
+    bench = (sh.filter(F.col("doc_id") % 97 == 0)
+             .select(F.explode("shs").alias("bs")).distinct())
+    hit = F.count("bs")
+    return (corpus.join(F.broadcast(bench), corpus.s == bench.bs, "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shingles"),
+                 hit.alias("n_contaminated"),
+                 F.round(hit.cast("double") / F.count("*"), 6)
+                 .alias("contam_rate"))
+            .filter(F.col("n_contaminated") > 0))
