@@ -956,3 +956,36 @@ def orders_vs_shipments_by_day(spark, sf_dir):
           .agg(F.count("*").alias("n_shipments")))
     return (od.join(sd, "d", "full_outer")
             .select("d", "n_orders", "n_shipments"))
+
+
+# --------------------------------- 38. distribution windows (percentile)
+@register("events_value_percentiles", """
+WITH r AS (
+  SELECT event_type, value,
+         percent_rank() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS pr,
+         cume_dist() OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS cd
+  FROM events)
+SELECT event_type,
+       CAST(count(*) FILTER (WHERE pr >= 0.9) AS BIGINT) AS n_top_decile,
+       round(avg(value) FILTER (WHERE pr >= 0.9), 4) AS avg_top_decile,
+       round(max(cd), 6) AS max_cume_dist
+FROM r GROUP BY event_type
+""")
+def events_value_percentiles(spark, sf_dir):
+    """percent_rank / cume_dist distribution windows per event type, then
+    a top-decile rollup.  Partitioned by type so each window sorts only
+    its own partition; the deterministic (value, event_id) order makes
+    both engines agree on ties."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    r = ev.select("event_type", "value",
+                  F.percent_rank().over(w).alias("pr"),
+                  F.cume_dist().over(w).alias("cd"))
+    top = F.col("pr") >= 0.9
+    return (r.groupBy("event_type")
+            .agg(F.count(F.when(top, 1)).alias("n_top_decile"),
+                 F.round(F.avg(F.when(top, F.col("value"))), 4)
+                 .alias("avg_top_decile"),
+                 F.round(F.max("cd"), 6).alias("max_cume_dist")))

@@ -46,10 +46,9 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet",
             raise ValueError(
                 f"{fmt} read without schema: pass schema= or infer=True "
                 "(inference is a full extra pass over the data)")
-        reader = reader.option(
-            "inferSchema" if fmt == "csv" else "primitivesAsString",
-            "true" if fmt == "csv" else "false")
-        if fmt == "json":
+        if fmt == "csv":
+            reader = reader.option("inferSchema", "true")
+        else:
             reader = reader.option("inferTimestamp", "true")
     for k, v in options.items():
         reader = reader.option(k, v)
