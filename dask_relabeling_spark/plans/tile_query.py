@@ -39,7 +39,7 @@ GRID = (H // CHUNK, W // CHUNK)
 
 def _mask_tiles(spark: SparkSession, sf_dir: str) -> TileSet:
     """Build the tile table with MAP-SIDE PARTIAL AGGREGATION of a bitmap:
-    each point becomes (tile, byte-index, bit) and Spark's algebraic
+    each point becomes (tile, word-index, bit) and Spark's algebraic
     ``bit_or`` collapses them per (tile, 64-px word) in whole-stage
     codegen — map-side combine shrinks the shuffle to <= grid_tiles x
     chunk²/64 rows of a few bytes, and NOT ONE POINT crosses into Python (an
@@ -170,3 +170,22 @@ def relabel_components_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(F.filter("data", lambda v: v != 0)))
         .alias("n_objects_touching"))
     return out.orderBy("cz", "cy", "cx")
+
+
+@register("relabel_annotations", None)  # GeoJSON assembly: not SQL
+def relabel_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship variant ending in the reference's OTHER terminal:
+    ``image2geojson`` (pad -> overlap -> segment -> dedup -> annotate,
+    reference ``relabeling.py:279-309``) — 2 fused Python passes /
+    1 shuffle, emitting one GeoJSON FeatureCollection per tile.  Output:
+    per-tile feature counts (deterministic; the JSON itself is golden-
+    tested against the reference fixtures in tests/)."""
+    from ..operators.pipeline import image2geojson
+    ts = _mask_tiles(spark, sf_dir)
+    ann = image2geojson(ts, overlaps=OVERLAP, threshold=0.05)
+    return (ann.select(
+        "cy", "cx",
+        F.coalesce(F.json_array_length(
+            F.get_json_object("annotation", "$.features")),
+            F.lit(0)).alias("n_features"))
+        .orderBy("cy", "cx"))
