@@ -989,3 +989,30 @@ def events_value_percentiles(spark, sf_dir):
                  F.round(F.avg(F.when(top, F.col("value"))), 4)
                  .alias("avg_top_decile"),
                  F.round(F.max("cd"), 6).alias("max_cume_dist")))
+
+
+# --------------------------------------- 39. salted skew-resistant join
+@register("salted_brand_revenue", """
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""")
+def salted_brand_revenue(spark, sf_dir):
+    """The same join as ``broadcast_join_brand_revenue`` executed through
+    ``functions/skew.py::salted_join`` (replicate the dim 16x, salt the
+    fact side) — the manual fallback when a hot key defeats AQE skew
+    splitting and the dim is too big to broadcast.  The oracle is the
+    PLAIN join: identical results prove the salt never leaks into
+    semantics."""
+    from ..functions.skew import salted_join
+    li = t(spark, sf_dir, "lineitem")
+    part = (t(spark, sf_dir, "part")
+            .withColumnRenamed("p_partkey", "l_partkey"))
+    joined = salted_join(li, part, "l_partkey", n_salts=16)
+    return (joined.groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
