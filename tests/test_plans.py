@@ -104,3 +104,12 @@ def test_curation_pipeline_single_scan_one_shuffle(spark):
     scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
     assert len(scans) == 1
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_salted_join_spreads_without_plan_regression(spark):
+    plan = plan_of(spark, "salted_brand_revenue")
+    # the salt must ride the equi-join key (hash join on key+_salt), and
+    # the dim replication must not become a nested-loop/cartesian
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
