@@ -63,7 +63,7 @@ def main() -> None:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     warmup_runs = int(os.environ.get("BENCH_WARMUP_RUNS", "1"))
-    measured_runs = int(os.environ.get("BENCH_MEASURED_RUNS", "2"))
+    measured_runs = int(os.environ.get("BENCH_MEASURED_RUNS", "3"))
     timings = {}
     total = 0.0
     for name in HEADLINE:
