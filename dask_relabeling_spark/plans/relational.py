@@ -1016,3 +1016,430 @@ def salted_brand_revenue(spark, sf_dir):
                  F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
                  .alias("revenue")))
+
+
+# ==================================================================
+# Remaining classic TPC-H query shapes (adapted to the trimmed driver
+# schema: no partsupp table, no commit/receipt dates, no phone /
+# container columns — each adaptation keeps the ORIGINAL query's
+# optimizer shape and swaps only the column it predicates on).
+# ==================================================================
+
+
+# ------------------------------------ q6: full-pushdown single-row agg
+@register("q6_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: every predicate pushes to the parquet scan; the agg is
+    a map-side partial -> single-row final (no group keys, so the
+    exchange carries one row per task regardless of data size)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01") &
+                      (F.col("l_shipdate") < "1997-01-01") &
+                      (F.col("l_discount") >= 0.05) &
+                      (F.col("l_discount") <= 0.07) &
+                      (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 2)
+                 .alias("revenue")))
+
+
+# --------------------------- q7: bidirectional nation-pair volume flow
+@register("q7_volume_shipping", """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l.l_shipdate) AS INT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <= TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: the nation dimension joins twice under different roles
+    (supplier's vs customer's) — both broadcast; the disjunctive
+    nation-pair predicate lands AFTER both joins, so only the
+    lineitem->orders join shuffles the fact side."""
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") &
+        (F.col("l_shipdate") <= "1997-12-31"))
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"))
+    j = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+         .filter(((F.col("supp_nation") == "NATION_1") &
+                  (F.col("cust_nation") == "NATION_2")) |
+                 ((F.col("supp_nation") == "NATION_2") &
+                  (F.col("cust_nation") == "NATION_1"))))
+    return (j.withColumn("l_year",
+                         F.year("l_shipdate").cast("int"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+# ----------------------------- q8: market share (conditional ratio agg)
+@register("q8_market_share", """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate <= TIMESTAMP '1996-12-31'
+) all_nations
+GROUP BY o_year
+""")
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8: seven-table join where every dimension broadcasts and
+    the one fact-side shuffle (lineitem->orders) is shared; market share
+    is a conditional-sum / sum ratio in one aggregation pass."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") &
+        (F.col("o_orderdate") <= "1996-12-31"))
+    c = t(spark, sf_dir, "customer")
+    n1 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_regionkey").alias("n1_region"))
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("nation"))
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+         .join(o, li.l_orderkey == o.o_orderkey)
+         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (j.select(F.year("o_orderdate").cast("int").alias("o_year"),
+                     vol.alias("volume"), "nation")
+            .groupBy("o_year")
+            .agg(F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3",
+                             F.col("volume")).otherwise(0.0))
+                / F.sum("volume"), 6).alias("mkt_share")))
+
+
+# ------------------------------------------- q10: returned-item ranking
+@register("q10_returned_items", """
+SELECT c.c_custkey, c.c_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       n.n_name, c.c_acctbal
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10: fact-side shuffle join + broadcast dims + grouped
+    revenue + deterministic top-20 (integer custkey tie-break)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") &
+        (F.col("o_orderdate") < "1997-01-01"))
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R")
+    n = t(spark, sf_dir, "nation")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name",
+                    "c_acctbal")
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+# ---------------- q12 shape: lateness band x priority CASE aggregation
+@register("q12_late_priority_lines", """
+SELECT ship_band,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+              THEN 'LATE' ELSE 'ONTIME' END AS ship_band,
+         o.o_orderpriority
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+) bands
+GROUP BY ship_band
+""")
+def q12_late_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (l_shipmode/commit/receipt don't exist in this
+    schema, so the band is ship-lateness vs order date): join + derived
+    band + two conditional counts in one aggregation."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .withColumn("ship_band",
+                        F.when(F.col("l_shipdate") >
+                               F.col("o_orderdate")
+                               + F.expr("INTERVAL 60 DAY"),
+                               "LATE").otherwise("ONTIME"))
+            .groupBy("ship_band")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
+                 .alias("low_line_count")))
+
+
+# ------------------------------------ q14: promo revenue ratio (1 row)
+@register("q14_promo_revenue", """
+SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END)
+             / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
+       AS promo_revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+""")
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: broadcast join + conditional/total ratio collapsing to
+    one row — the month filter prunes before the join."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") &
+        (F.col("l_shipdate") < "1996-10-01"))
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(100.0 * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev), 6).alias("promo_revenue")))
+
+
+# --------------------- q15: top supplier (aggregate = scalar max of agg)
+@register("q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2)
+         AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15: grouped revenue reused twice — once for the scalar max
+    (one-row broadcast) and once for the equality probe.  Rounding to
+    cents BEFORE the max makes the equality engine-portable."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") &
+        (F.col("l_shipdate") < "1996-04-01"))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    s = t(spark, sf_dir, "supplier")
+    return (rev.join(F.broadcast(mx),
+                     rev.total_revenue == mx.max_revenue)
+            .join(F.broadcast(s),
+                  F.col("supplier_no") == s.s_suppkey)
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+# -------------- q17: small-quantity lines vs per-part average (1 row)
+@register("q17_small_quantity_revenue", """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN (SELECT l_partkey, round(avg(l_quantity), 6) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) a
+  ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#11' AND l.l_quantity < 0.2 * a.avg_qty
+""")
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17: the correlated per-part AVG subquery becomes a grouped
+    aggregate co-partitioned with the probe join on l_partkey (one
+    shuffle feeds both); the brand filter broadcasts.  avg is rounded to
+    6dp on both engines before the 0.2x threshold so summation order
+    can't flip a borderline row."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
+    avg_q = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
+             .agg(F.round(F.avg("l_quantity"), 6).alias("avg_qty")))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(avg_q, li.l_partkey == F.col("a_partkey"))
+            .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+# ------------------- q19: disjunction of conjunctive predicate blocks
+@register("q19_disjunctive_revenue", """
+SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+""")
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19: OR of conjunct blocks mixing columns from both sides.
+    Catalyst extracts the common join key and the per-side residuals
+    (brand/size prune the broadcast build; quantity bounds push to the
+    lineitem scan as a derived range)."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    b = [((F.col("p_brand") == "Brand#12") &
+          F.col("p_size").between(1, 5) &
+          F.col("l_quantity").between(1, 11)),
+         ((F.col("p_brand") == "Brand#2") &
+          F.col("p_size").between(1, 10) &
+          F.col("l_quantity").between(10, 20)),
+         ((F.col("p_brand") == "Brand#3") &
+          F.col("p_size").between(1, 15) &
+          F.col("l_quantity").between(20, 30))]
+    return (j.filter(b[0] | b[1] | b[2])
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+# --------- q21 shape: sole-late-supplier on multi-supplier 'F' orders
+@register("q21_waiting_suppliers", """
+SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10
+""")
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (lateness = shipped >60 days after order date):
+    the EXISTS / NOT-EXISTS pair over sibling lines becomes ONE grouped
+    aggregate per order (distinct suppliers, distinct LATE suppliers)
+    joined back on the already-shuffled orderkey — no correlated
+    re-scans of lineitem, and the per-order state is two ints however
+    wide the order is."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    lo = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .withColumn("late",
+                      F.col("l_shipdate") > F.col("o_orderdate")
+                      + F.expr("INTERVAL 60 DAY")))
+    per_order = (lo.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(
+                          F.when(F.col("late"), F.col("l_suppkey")))
+                      .alias("n_late_supp")))
+    return (lo.filter(F.col("late"))
+            .join(per_order.filter((F.col("n_supp") > 1) &
+                                   (F.col("n_late_supp") == 1)),
+                  "l_orderkey")
+            .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count("*").cast("bigint").alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(10))
+
+
+# ------- q22 shape: above-average idle customers by name-digit cohort
+@register("q22_idle_customers", """
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM (
+  SELECT substring(c_name, 18, 1) AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE substring(c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+    AND c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+                     WHERE c_acctbal > 0.0
+                       AND substring(c_name, 18, 1)
+                           IN ('1', '3', '5', '7', '9'))
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+) custsale
+GROUP BY cntrycode
+""")
+def q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (cohort = last digit of the fixed-width c_name,
+    standing in for the phone country code; 'idle' = no order since
+    2000 — every synthetic customer has SOME order, so the literal
+    no-orders-ever predicate would be vacuously empty): scalar-subquery
+    average as a one-row broadcast, NOT EXISTS as a left-anti join on
+    the date-pruned orders scan."""
+    c = (t(spark, sf_dir, "customer")
+         .withColumn("cntrycode", F.substring("c_name", 18, 1))
+         .filter(F.col("cntrycode").isin("1", "3", "5", "7", "9")))
+    avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.round(F.avg("c_acctbal"), 6).alias("avg_bal")))
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "2000-01-01")
+    return (c.join(F.broadcast(avg_bal),
+                   c.c_acctbal > F.col("avg_bal"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy("cntrycode")
+            .agg(F.count("*").cast("bigint").alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))

@@ -113,3 +113,35 @@ def test_salted_join_spreads_without_plan_regression(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q7_q8_single_fact_shuffle(spark):
+    """The multi-dimension TPC-H shapes must keep every dimension on the
+    broadcast path — exactly ONE hash exchange (the final aggregation);
+    a SortMergeJoin here means a dim fell off the broadcast path."""
+    for name in ["q7_volume_shipping", "q8_market_share"]:
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert plan.count("BroadcastHashJoin") >= 5, name
+
+
+def test_q21_no_correlated_rescan_explosion(spark):
+    """q21's EXISTS/NOT-EXISTS pair is one grouped aggregate joined back
+    on the already-shuffled orderkey: no cartesian/nested-loop, and the
+    sibling-scan stays bounded (2 lineitem scans, not one per subquery
+    term)."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [l for l in plan.splitlines()
+             if "FileScan parquet" in l and "lineitem" in l]
+    assert len(scans) == 2
+
+
+def test_q17_avg_subquery_co_partitioned(spark):
+    """q17's per-part AVG feeds the probe join without a cartesian and
+    without re-aggregating per probe row."""
+    plan = plan_of(spark, "q17_small_quantity_revenue")
+    assert "CartesianProduct" not in plan
+    assert plan.count("partial_avg") <= 1
