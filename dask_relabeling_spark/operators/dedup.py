@@ -297,3 +297,50 @@ def canonical_per_cluster(df: DataFrame, clusters: DataFrame,
                  F.max_by("id", F.struct(F.col("score"),
                                          (-F.col("id")).alias("neg")))
                  .alias("keep_id")))
+
+
+def segment_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", seg_len: int = 16) -> DataFrame:
+    """Corpus-wide segment-level exact dedup (the Dolma/CCNet
+    paragraph-dedup pattern, on fixed ``seg_len``-token segments since
+    the driver corpus has no newlines): every duplicated segment is kept
+    only at its first occurrence — (min doc id, min position) — and
+    each document is reassembled from its surviving segments in order.
+
+    Distribution shape: one narrow explode (doc -> segments), ONE
+    shuffle on the segment string shared by the winner-aggregate and
+    the probe join (co-partitioned), one shuffle back on the doc id for
+    the ordered reassembly.  Per-segment state in the winner agg is a
+    single (id, pos) struct, so a segment repeated millions of times
+    (boilerplate at 100 TB) costs map-side partial-min, never a
+    collect.  Docs whose every segment lost are dropped (fully
+    boilerplate).  Output: id, n_segs, n_kept, md5 of the cleaned text.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
+    base = (df.select(F.col(id_col).alias("id"), toks.alias("tk"))
+            .withColumn("n_segs",
+                        F.ceil(F.size("tk") / seg_len).cast("bigint"))
+            .filter(F.col("n_segs") > 0))
+
+    def seg_at(i):
+        return F.array_join(
+            F.slice(F.col("tk"), i * seg_len + 1, seg_len), " ")
+
+    segs = (base.select(
+        "id", "n_segs",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.col("n_segs").cast("int") - 1),
+            seg_at)).alias("seg_idx", "seg")))
+    winners = (segs.groupBy("seg")
+               .agg(F.min(F.struct(F.col("id"), F.col("seg_idx")))
+                    .alias("w")))
+    kept = (segs.join(winners, "seg")
+            .filter((F.col("id") == F.col("w.id")) &
+                    (F.col("seg_idx") == F.col("w.seg_idx"))))
+    ordered = F.array_join(
+        F.transform(F.array_sort(F.collect_list(
+            F.struct("seg_idx", "seg"))), lambda s: s["seg"]), " ")
+    return (kept.groupBy("id")
+            .agg(F.max("n_segs").alias("n_segs"),
+                 F.count("*").cast("bigint").alias("n_kept"),
+                 F.md5(ordered).alias("clean_fp")))

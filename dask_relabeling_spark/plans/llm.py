@@ -966,3 +966,60 @@ def docs_contamination_check(spark, sf_dir):
                  F.round(hit.cast("double") / F.count("*"), 6)
                  .alias("contam_rate"))
             .filter(F.col("n_contaminated") > 0))
+
+
+@register("docs_segment_dedup", """
+WITH toks AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents
+), base AS (
+  SELECT id, tk, CAST(ceil(len(tk) / 16.0) AS BIGINT) AS n_segs
+  FROM toks WHERE len(tk) > 0
+), segs AS (
+  SELECT id, n_segs, i - 1 AS seg_idx,
+         array_to_string(tk[(i-1)*16+1 : i*16], ' ') AS seg
+  FROM base, unnest(generate_series(1, CAST(n_segs AS INT))) AS u(i)
+), keep AS (
+  SELECT id, n_segs, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY id, seg_idx) AS rn
+  FROM segs
+)
+SELECT id, max(n_segs) AS n_segs,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_fp
+FROM keep WHERE rn = 1
+GROUP BY id
+""")
+def docs_segment_dedup(spark, sf_dir):
+    """Corpus-wide fixed-window segment dedup + ordered reassembly
+    (Dolma/CCNet paragraph-dedup shape) — see
+    ``operators.dedup.segment_dedup`` for the distribution argument."""
+    return D.segment_dedup(t(spark, sf_dir, "documents"))
+
+
+@register("docs_importance_sample", """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CAST('0x' || substr(md5('w' || CAST(doc_id AS VARCHAR)), 1, 8)
+           AS BIGINT) % 1000
+      < least(1000, CAST(floor(n_chars * 1000.0 / 512) AS BIGINT))
+""")
+def docs_importance_sample(spark, sf_dir):
+    """Probability-proportional-to-size sampling with a deterministic
+    content-stable hash standing in for the RNG: accept doc iff
+    hash-bucket(doc_id)/1000 < min(1, n_chars/512).  Complement of the
+    stratified Bernoulli sampler — per-row weights instead of per-
+    stratum rates.  The weight->integer-threshold comparison is
+    floor(n*1000/2^9) — a power-of-two divide, exact in binary on both
+    engines (a float->int CAST here would round-to-nearest in DuckDB
+    but truncate in Spark); a narrow filter fused into the scan (no
+    shuffle, reproducible across engines and reruns)."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("w"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("long") % 1000)
+    thresh = F.least(F.lit(1000).cast("bigint"),
+                     F.floor(F.col("n_chars") * 1000.0 / 512)
+                     .cast("bigint"))
+    return d.filter(bucket < thresh).select("doc_id", "lang", "n_chars")

@@ -145,3 +145,13 @@ def test_q17_avg_subquery_co_partitioned(spark):
     plan = plan_of(spark, "q17_small_quantity_revenue")
     assert "CartesianProduct" not in plan
     assert plan.count("partial_avg") <= 1
+
+
+def test_segment_dedup_two_shuffles(spark):
+    """Segment dedup = explode -> winner agg on seg -> probe join ->
+    reassembly on id: two hash exchanges, never a cartesian, and the
+    documents scan happens once per side (2 total), not per subquery."""
+    plan = plan_of(spark, "docs_segment_dedup")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("FileScan parquet") == 2
