@@ -71,3 +71,42 @@ def write_any(df: DataFrame, path: str, fmt: str = "parquet",
     for k, v in options.items():
         writer = writer.option(k, v)
     writer.save(path)
+
+
+def read_binary_files(spark: SparkSession, path: str,
+                      glob: Optional[str] = None,
+                      max_bytes: Optional[int] = None) -> DataFrame:
+    """Raw-file ingest for multimodal payloads (images/audio/video as
+    opaque blobs): Spark's ``binaryFile`` source yields one row per file
+    — ``path, modificationTime, length, content:binary`` — which feeds
+    straight into ``operators.multimodal`` (decode / featurize / resize
+    run as Arrow-batched stages over the ``content`` column).
+
+    ``glob`` prunes by filename pattern AT LISTING TIME (no data read
+    for excluded files).  ``max_bytes`` guards executors from an
+    oversized blob blowing task memory: enforced as a
+    ``length <= max_bytes`` filter, which the source pushes down so
+    oversized file CONTENT is never fetched (only the cheap file-status
+    listing sees it)."""
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(df.length <= max_bytes)
+    return df
+
+
+def read_whole_text(spark: SparkSession, path: str,
+                    glob: Optional[str] = None,
+                    line_mode: bool = False) -> DataFrame:
+    """Text-corpus ingest: one row per FILE (``wholetext`` — a document
+    per file, the common raw-corpus layout) or per LINE
+    (``line_mode=True`` — JSONL-ish shards where upstream already packed
+    one doc per line).  Returns ``value:string``; per-file provenance
+    comes via the ``_metadata.file_path`` hidden column when needed."""
+    reader = (spark.read.format("text")
+              .option("wholetext", "true" if not line_mode else "false"))
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -52,3 +52,31 @@ def test_unknown_format_rejected(spark, tmp_path):
     src = load_table(spark, SF, "region")
     with pytest.raises(ValueError, match="unsupported"):
         write_any(src, str(tmp_path / "x"), fmt="avro")
+
+
+def test_binary_file_source_reads_blobs(spark, tmp_path):
+    blobs = {"a.img": b"\x00\x01\x02" * 100, "b.img": b"\xff" * 10,
+             "skip.txt": b"not media"}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+    from dask_relabeling_spark.sources.formats import read_binary_files
+    df = read_binary_files(spark, str(tmp_path), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"])
+            for r in df.collect()}
+    assert rows == {"a.img": blobs["a.img"], "b.img": blobs["b.img"]}
+    # size guard: pushes a length filter, drops the big blob
+    small = read_binary_files(spark, str(tmp_path), glob="*.img",
+                              max_bytes=50)
+    assert [r["length"] for r in small.collect()] == [10]
+
+
+def test_whole_text_source_doc_per_file_and_per_line(spark, tmp_path):
+    (tmp_path / "d1.txt").write_text("doc one line a\ndoc one line b")
+    (tmp_path / "d2.txt").write_text("doc two")
+    from dask_relabeling_spark.sources.formats import read_whole_text
+    docs = read_whole_text(spark, str(tmp_path), glob="*.txt")
+    assert sorted(r["value"] for r in docs.collect()) == [
+        "doc one line a\ndoc one line b", "doc two"]
+    lines = read_whole_text(spark, str(tmp_path), glob="*.txt",
+                            line_mode=True)
+    assert lines.count() == 3
