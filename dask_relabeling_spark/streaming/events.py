@@ -176,3 +176,22 @@ def streaming_view_click_attribution(events_stream: DataFrame,
     clicks = (events_stream.filter(F.col("event_type") == "click")
               .withWatermark("ts", watermark))
     return view_click_attribution(views, clicks, window_min)
+
+
+def idempotent_batch_sink(out_dir: str, fmt: str = "parquet"):
+    """Exactly-once lake sink for ``foreachBatch``: each micro-batch
+    lands in its own ``batch_id=N/`` directory, written atomically by
+    Spark's file committer.  After a crash-and-restart the checkpoint
+    replays the last unacknowledged batch with the SAME batch_id — the
+    rewrite overwrites only that one directory, so downstream readers of
+    ``out_dir`` never see duplicates (at-least-once replay + idempotent
+    per-batch target = exactly-once contents).  This is the standard
+    Structured Streaming pattern for sinks without transactional
+    support.
+
+    Use: ``stream.writeStream.foreachBatch(idempotent_batch_sink(d))``
+    with ``option("checkpointLocation", ...)``."""
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.write.format(fmt).mode("overwrite")
+         .save(f"{out_dir}/batch_id={batch_id}"))
+    return write_batch

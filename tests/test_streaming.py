@@ -103,3 +103,27 @@ def test_stream_stream_attribution_matches_batch(spark, events_stream_dir):
     q.awaitTermination(120)
     got = {tuple(r) for r in spark.sql("SELECT * FROM attrib").collect()}
     assert got == expected
+
+
+def test_foreach_batch_sink_idempotent_on_replay(spark, tmp_path):
+    """Re-running a batch id (the crash-replay case) must not duplicate
+    rows in the sink directory."""
+    from dask_relabeling_spark.streaming.events import idempotent_batch_sink
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (stream.writeStream.foreachBatch(idempotent_batch_sink(out))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    # simulate the replay: same batch_id written again -> same contents
+    sink = idempotent_batch_sink(out)
+    sink(spark.read.parquet(src), 0)
+    replayed = spark.read.parquet(out)
+    assert replayed.count() == 10
+    assert sorted(r["id"] for r in replayed.collect()) == list(range(10))
