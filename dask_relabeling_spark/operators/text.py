@@ -267,3 +267,39 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
         ((F.col("start") - 1) / stride).cast("long").alias("chunk_idx"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_hash"))
+
+
+# PII patterns: Java-regex (JVM `regexp_replace`) and intentionally
+# conservative — curation-stage scrubbing, not a compliance guarantee.
+# Order matters: emails before phones (an email's digits must not be
+# half-eaten by the phone pattern first).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"(?<![\w.])(?:\+?\d{1,2}[\s.-]?)?\(?\d{3}\)?[\s.-]?"
+              r"\d{3}[\s.-]?\d{4}(?![\w.])", "<PHONE>"),
+    ("ipv4", r"(?<!\d)(?:\d{1,3}\.){3}\d{1,3}(?!\d)", "<IP>"),
+    ("ssn", r"(?<!\d)\d{3}-\d{2}-\d{4}(?!\d)", "<SSN>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "clean_text") -> DataFrame:
+    """Scrub common PII shapes (email / phone / IPv4 / SSN) with typed
+    placeholder tokens and count the hits per category.  Entirely
+    JVM-side ``regexp_replace`` chained in ONE projection fused into the
+    scan — zero shuffles, zero Python; at 100 TB this runs at scan speed
+    alongside the other curation signals (composable with
+    ``with_curation_signals`` in the same single-pass select).  Counts
+    are derived per pattern BEFORE its replacement so categories don't
+    shadow each other."""
+    cleaned = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(
+            (F.size(F.split(cleaned, pat)) - 1)
+            .cast("long").alias(f"n_{name}"))
+        cleaned = F.regexp_replace(cleaned, pat, token)
+    return df.withColumns(
+        {f"n_{name}": c for (name, _, _), c
+         in zip(PII_PATTERNS, counts)} | {out_col: cleaned})

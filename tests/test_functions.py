@@ -186,3 +186,26 @@ def test_pack_and_chunk_invariants(spark):
             assert r.chunk_hash == hashlib.md5(
                 " ".join(piece).encode()).hexdigest()
         assert covered == set(range(len(toks)))
+
+
+def test_redact_pii_categories_and_counts(spark):
+    from dask_relabeling_spark.operators.text import redact_pii
+    rows = [
+        (0, "mail me at jo.doe+x@corp.example.com or call 555-867-5309"),
+        (1, "server 10.0.0.1 leaked ssn 123-45-6789 twice: 123-45-6789"),
+        (2, "nothing sensitive here"),
+        (3, "two mails: a@b.co c@d.org"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r["id"]: r for r in redact_pii(df).collect()}
+    assert got[0]["n_email"] == 1 and got[0]["n_phone"] == 1
+    assert "<EMAIL>" in got[0]["clean_text"]
+    assert "<PHONE>" in got[0]["clean_text"]
+    assert got[1]["n_ipv4"] == 1 and got[1]["n_ssn"] == 2
+    assert got[1]["clean_text"].count("<SSN>") == 2
+    assert got[2]["clean_text"] == "nothing sensitive here"
+    assert sum(got[2][c] for c in
+               ("n_email", "n_phone", "n_ipv4", "n_ssn")) == 0
+    assert got[3]["n_email"] == 2
+    # the email must be consumed whole, not half-eaten by later patterns
+    assert "corp.example.com" not in got[0]["clean_text"]
