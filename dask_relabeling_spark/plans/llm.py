@@ -1023,3 +1023,38 @@ def docs_importance_sample(spark, sf_dir):
                      F.floor(F.col("n_chars") * 1000.0 / 512)
                      .cast("bigint"))
     return d.filter(bucket < thresh).select("doc_id", "lang", "n_chars")
+
+
+@register("events_rollup_cascade", """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(min(value), 4) AS min_value,
+       round(max(value), 4) AS max_value
+FROM events
+GROUP BY 1, 2
+""")
+def events_rollup_cascade(spark, sf_dir):
+    """Hypertable continuous-aggregate pattern: day-level rollups
+    computed FROM hour-level partials (count-of-counts, sum-of-sums,
+    min-of-mins, max-of-maxes), not from raw rows.  The oracle
+    aggregates raw->day directly, so a pass proves the cascade is
+    lossless for these algebraic aggregates.  At scale the hour layer
+    is the materialized view every dashboard shares; day/week/month
+    re-aggregate ~24x fewer rows instead of re-scanning the fact
+    table, and each layer is an ordinary shuffle agg (no new
+    machinery).  Rounding happens ONLY at the day layer — rounding the
+    hour partials first would break sum re-aggregation."""
+    ev = t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
+                         "event_type")
+              .agg(F.count("*").alias("n"),
+                   F.sum("value").alias("s"),
+                   F.min("value").alias("mn"),
+                   F.max("value").alias("mx")))
+    return (hourly.groupBy(F.date_trunc("day", "hour").alias("day"),
+                           "event_type")
+            .agg(F.sum("n").cast("bigint").alias("n_events"),
+                 F.round(F.sum("s"), 2).alias("total_value"),
+                 F.round(F.min("mn"), 4).alias("min_value"),
+                 F.round(F.max("mx"), 4).alias("max_value")))
