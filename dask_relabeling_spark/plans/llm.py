@@ -1058,3 +1058,27 @@ def events_rollup_cascade(spark, sf_dir):
                  F.round(F.sum("s"), 2).alias("total_value"),
                  F.round(F.min("mn"), 4).alias("min_value"),
                  F.round(F.max("mx"), 4).alias("max_value")))
+
+
+@register("events_lead_lag_deltas", """
+SELECT event_id, user_id,
+       round(value - lag(value) OVER w, 4) AS delta_prev,
+       lead(event_type) OVER w AS next_type,
+       first_value(event_type) OVER w AS first_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def events_lead_lag_deltas(spark, sf_dir):
+    """Offset window functions (lag / lead / first_value) over the
+    per-user event timeline — ONE window spec shared by all three, so
+    Spark sorts each user partition once; partitioning by user keeps
+    every partition small and the sort local (no global order)."""
+    from pyspark.sql import Window as W
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4)
+        .alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_type").over(w).alias("first_type"))
