@@ -209,3 +209,52 @@ def test_redact_pii_categories_and_counts(spark):
     assert got[3]["n_email"] == 2
     # the email must be consumed whole, not half-eaten by later patterns
     assert "corp.example.com" not in got[0]["clean_text"]
+
+
+def _segment_dedup_reference(texts, seg_len=4):
+    """Pure-Python oracle for operators.dedup.segment_dedup: first
+    occurrence (min doc id, then min position) of each distinct segment
+    wins; docs are reassembled from surviving segments in order."""
+    import hashlib
+    winners = {}
+    doc_segs = {}
+    for doc_id in sorted(texts):
+        toks = [w for w in texts[doc_id].split(" ") if w]
+        segs = [" ".join(toks[i:i + seg_len])
+                for i in range(0, len(toks), seg_len)]
+        doc_segs[doc_id] = segs
+        for idx, s in enumerate(segs):
+            if s not in winners:
+                winners[s] = (doc_id, idx)
+    out = {}
+    for doc_id, segs in doc_segs.items():
+        kept = [s for idx, s in enumerate(segs)
+                if winners[s] == (doc_id, idx)]
+        if kept:
+            out[doc_id] = (len(segs), len(kept),
+                           hashlib.md5(" ".join(kept).encode()).hexdigest())
+    return out
+
+
+def test_segment_dedup_matches_reference_on_random_corpora(spark):
+    """Seeded random corpora with heavy segment reuse (small vocab,
+    shared boilerplate runs, exact-duplicate docs, empty docs)."""
+    import numpy as np
+    from dask_relabeling_spark.operators.dedup import segment_dedup
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(12)]
+    boiler = " ".join(rng.choice(vocab, 8))  # 2 segments of shared text
+    texts = {}
+    for d in range(40):
+        n = int(rng.randint(0, 30))
+        body = " ".join(rng.choice(vocab, n))
+        if d % 5 == 0:
+            body = boiler + (" " + body if body else "")
+        if d % 11 == 0 and d > 0:
+            body = texts[d - 1]  # exact duplicate of the previous doc
+        texts[d] = body
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], ["doc_id", "text"])
+    got = {r["id"]: (r["n_segs"], r["n_kept"], r["clean_fp"])
+           for r in segment_dedup(df, seg_len=4).collect()}
+    assert got == _segment_dedup_reference(texts, seg_len=4)
