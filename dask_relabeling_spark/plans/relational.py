@@ -1072,30 +1072,37 @@ GROUP BY supp_nation, cust_nation, l_year
 """)
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7: the nation dimension joins twice under different roles
-    (supplier's vs customer's) — both broadcast; the disjunctive
-    nation-pair predicate lands AFTER both joins, so only the
-    lineitem->orders join shuffles the fact side."""
-    s = t(spark, sf_dir, "supplier")
+    (supplier's vs customer's).  The nation-PAIR disjunction can't push
+    below the joins as written, but its implication can: each side must
+    be one of the two nations, so supplier and customer are restricted
+    to 2/25 of their rows BEFORE they broadcast into the fact side —
+    the inner joins then drop ~92 % of fact rows at probe time instead
+    of carrying them to a post-join filter (measured 14.4×→ lower wall
+    ratio at the 100× probe).  Only the cheap pair-exclusion (1-1, 2-2)
+    remains post-join."""
+    nations = ("NATION_1", "NATION_2")
+    n1 = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"))
+    n2 = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(*nations)).select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"))
+    s = (t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")))
+    c = (t(spark, sf_dir, "customer")
+         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")))
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") &
         (F.col("l_shipdate") <= "1997-12-31"))
     o = t(spark, sf_dir, "orders")
-    c = t(spark, sf_dir, "customer")
-    n1 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"),
-        F.col("n_name").alias("supp_nation"))
-    n2 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n2_key"),
-        F.col("n_name").alias("cust_nation"))
-    j = (li.join(o, li.l_orderkey == o.o_orderkey)
-         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
-         .filter(((F.col("supp_nation") == "NATION_1") &
-                  (F.col("cust_nation") == "NATION_2")) |
-                 ((F.col("supp_nation") == "NATION_2") &
-                  (F.col("cust_nation") == "NATION_1"))))
+    # prune BOTH sides of the orderkey shuffle before it happens:
+    # li x broadcast(s) and o x broadcast(c) each keep ~2/25 of rows
+    oc = o.join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
+    j = (li.join(F.broadcast(s), li.l_suppkey == F.col("s_suppkey"))
+         .join(oc, li.l_orderkey == F.col("o_orderkey"))
+         .filter(F.col("supp_nation") != F.col("cust_nation")))
     return (j.withColumn("l_year",
                          F.year("l_shipdate").cast("int"))
             .groupBy("supp_nation", "cust_nation", "l_year")
@@ -1130,26 +1137,30 @@ GROUP BY o_year
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8: seven-table join where every dimension broadcasts and
     the one fact-side shuffle (lineitem->orders) is shared; market share
-    is a conditional-sum / sum ratio in one aggregation pass."""
+    is a conditional-sum / sum ratio in one aggregation pass.  The
+    region restriction is applied INSIDE the customer dimension
+    (customer ⋈ ASIA-nations ⋈ region) before it broadcasts, so
+    non-ASIA order rows die at the broadcast probe instead of riding
+    through every later join to a post-join filter."""
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1995-01-01") &
         (F.col("o_orderdate") <= "1996-12-31"))
-    c = t(spark, sf_dir, "customer")
-    n1 = t(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("n1_key"),
-        F.col("n_regionkey").alias("n1_region"))
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (t(spark, sf_dir, "nation")
+          .join(F.broadcast(r),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select(F.col("n_nationkey").alias("n1_key")))
+    c = (t(spark, sf_dir, "customer")
+         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key")))
     n2 = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("n2_key"),
         F.col("n_name").alias("nation"))
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     j = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
          .join(o, li.l_orderkey == o.o_orderkey)
-         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
-         .join(F.broadcast(r), F.col("n1_region") == F.col("r_regionkey"))
+         .join(F.broadcast(c), o.o_custkey == F.col("c_custkey"))
          .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
          .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
