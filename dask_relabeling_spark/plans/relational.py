@@ -114,13 +114,17 @@ LIMIT 10
 """)
 def q3_shipping_priority(spark, sf_dir):
     """TPC-H Q3 shape: two joins (one broadcastable, one shuffled on the
-    fact key) + top-k with deterministic tie-break."""
+    fact key) + top-k with deterministic tie-break.  The segment-
+    filtered customers broadcast into orders BEFORE the orderkey
+    exchange, so the orders side of the shuffle carries only the ~20 %
+    of rows that can survive (the lineitem side has no pruning
+    predicate and must shuffle in full)."""
     c = t(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING")
-    o = t(spark, sf_dir, "orders")
+    o = (t(spark, sf_dir, "orders")
+         .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey))
     li = t(spark, sf_dir, "lineitem")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .groupBy("o_orderkey", "o_orderdate")
             .agg(F.round(F.sum(F.col("l_extendedprice")
                                * (1 - F.col("l_discount"))), 2)
