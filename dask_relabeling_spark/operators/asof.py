@@ -97,8 +97,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
                .filter(F.col("_l").isNotNull()))
     if tolerance_seconds is not None:
-        gap = F.abs(F.col(f"_m.{right_ts}").cast("double")
-                    - F.col("_ts").cast("double"))
+        # TIMESTAMP_NTZ can't cast straight to double (Spark 4); going
+        # through TIMESTAMP first is a no-op for tz-aware inputs and a
+        # session-tz interpretation for NTZ — both operands shift by the
+        # same amount, so the gap is exact either way.
+        gap = F.abs(F.col(f"_m.{right_ts}").cast("timestamp").cast("double")
+                    - F.col("_ts").cast("timestamp").cast("double"))
         matched = matched.withColumn(
             "_m", F.when(gap <= float(tolerance_seconds), F.col("_m")))
     out_cols = ([F.col(f"_l.{c}").alias(c) for c in left.columns]
