@@ -21,8 +21,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # Driver data can also arrive as TIMESTAMP_NTZ, which
+            # unix_micros(), cast("long"), and streaming watermarks all
+            # reject.  With the session timezone pinned to UTC above, the
+            # NTZ -> TIMESTAMP cast is a pure reinterpretation (same wall
+            # clock, same microseconds), so downstream window/watermark
+            # arithmetic and the DuckDB oracle (naive timestamps) agree.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
