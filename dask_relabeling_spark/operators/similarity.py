@@ -44,9 +44,16 @@ def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     vec = F.col(vec_col).cast("array<double>")
     scored = df.select(F.col(id_col),
                        cosine(vec, q).alias("cos"))
+    # Global top-k via orderBy+limit: Spark plans TakeOrderedAndProject —
+    # a per-partition bounded heap + driver merge, never an
+    # Exchange SinglePartition over the scored corpus (a bare
+    # row_number() window would funnel every scored row through one
+    # partition).  The rank window then runs over the already-limited
+    # k rows; TakeOrderedAndProjectExec outputs a single sorted
+    # partition, so no exchange (and no re-sort) is inserted for it.
+    topk = scored.orderBy(F.desc("cos"), F.col(id_col)).limit(k)
     w = Window.orderBy(F.desc("cos"), F.col(id_col))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    return (topk.withColumn("rank", F.row_number().over(w))
             .select("rank", id_col))
 
 

@@ -57,9 +57,18 @@ def test_lsh_pairs_never_cross_join(spark):
 
 
 @pytest.mark.parametrize("name", ["dedup_exact", "word_counts",
-                                  "dedup_simhash"])
+                                  "dedup_simhash", "ann_cosine_topk"])
 def test_no_single_partition_exchange(spark, name):
     plan = plan_of(spark, name)
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_ann_topk_is_take_ordered_not_global_window(spark):
+    """Brute-force cosine top-k must rank via TakeOrderedAndProject (a
+    per-partition bounded heap), never by funnelling the whole scored
+    corpus through a global no-partition window."""
+    plan = plan_of(spark, "ann_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
     assert "Exchange SinglePartition" not in plan
 
 
