@@ -50,6 +50,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
         raise ValueError(f"direction must be backward|forward: {direction}")
     if tolerance_seconds is not None and right_ts in on:
         raise ValueError("tolerance requires right_ts as a payload column")
+    if tolerance_seconds is not None:
+        lt, rt = left.schema[left_ts].dataType, right.schema[right_ts].dataType
+        if lt != rt:
+            # a mixed NTZ / tz-aware pair would make the gap depend on
+            # the session timezone's offset at each wall clock
+            raise TypeError(
+                f"tolerance requires matching timestamp types, got "
+                f"{lt.simpleString()} vs {rt.simpleString()}")
     if right_id is not None:
         id_type = right.schema[right_id].dataType
         if not isinstance(id_type, _NUMERIC):
@@ -97,14 +105,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
                .filter(F.col("_l").isNotNull()))
     if tolerance_seconds is not None:
-        # TIMESTAMP_NTZ can't cast straight to double (Spark 4); going
-        # through TIMESTAMP first is a no-op for tz-aware inputs and a
-        # session-tz interpretation for NTZ — both operands shift by the
-        # same amount, so the gap is exact either way.
-        gap = F.abs(F.col(f"_m.{right_ts}").cast("timestamp").cast("double")
-                    - F.col("_ts").cast("timestamp").cast("double"))
+        # timestampdiff works natively on TIMESTAMP and TIMESTAMP_NTZ
+        # alike with no session-timezone interpretation — a cast through
+        # TIMESTAMP would make an NTZ gap depend on the session tz (off
+        # by up to 3600s when the two wall clocks straddle a DST
+        # transition).  Same-type operands are guaranteed: both sides
+        # were renamed to `_ts` and unioned above, so a type mismatch
+        # already failed loudly at unionByName.
+        gap = F.abs(F.expr(
+            f"timestampdiff(MICROSECOND, _ts, _m.{right_ts})"))
         matched = matched.withColumn(
-            "_m", F.when(gap <= float(tolerance_seconds), F.col("_m")))
+            "_m", F.when(gap <= float(tolerance_seconds) * 1e6,
+                         F.col("_m")))
     out_cols = ([F.col(f"_l.{c}").alias(c) for c in left.columns]
                 + [F.col(f"_m.{c}").alias(c + suffix) for c in r_payload])
     return matched.select(*out_cols)

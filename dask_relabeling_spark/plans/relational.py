@@ -1494,7 +1494,8 @@ eligible AS (
   JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
   JOIN region r ON r.r_regionkey = n.n_regionkey
-  WHERE p.p_size = 15 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE')
+  WHERE p.p_size IN (19, 23, 29) AND p.p_type = 'LARGE'
+    AND r.r_name = 'EUROPE')
 SELECT e.s_acctbal, e.s_name, e.n_name, e.p_partkey, e.s_suppkey,
        e.ps_supplycost
 FROM eligible e
@@ -1513,8 +1514,11 @@ def q2_min_cost_supplier(spark, sf_dir):
     the min-probe is engine-portable.  (Reference has no joins at all —
     SURVEY.md §2.2; this is extension surface.)"""
     ps = _derived_partsupp(spark, sf_dir)
+    # p_size IN a small set (not a single size): at the sf0.01 gate scale
+    # a single-size filter leaves one part, which would verify the
+    # min-cost-per-part group-back join on a trivial single-row result
     p = t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        F.col("p_size").isin(19, 23, 29) & (F.col("p_type") == "LARGE"))
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -1580,15 +1584,16 @@ def q9_product_type_profit(spark, sf_dir):
 @register("q11_important_parts", """
 WITH val AS (
   SELECT l.l_partkey AS partkey,
-         round(sum(l.l_extendedprice * l.l_quantity), 2) AS part_value
+         CAST(round(sum(l.l_extendedprice * l.l_quantity) * 100)
+              AS BIGINT) AS cents
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
   WHERE n.n_name IN ('NATION_3', 'NATION_7')
   GROUP BY l.l_partkey)
-SELECT partkey, part_value
+SELECT partkey, round(cents / 100.0, 2) AS part_value
 FROM val
-WHERE part_value > (SELECT round(sum(part_value) * 0.002, 2) FROM val)
+WHERE cents * 500 > (SELECT CAST(sum(cents) AS BIGINT) FROM val)
 ORDER BY part_value DESC, partkey
 """)
 def q11_important_parts(spark, sf_dir):
@@ -1596,8 +1601,10 @@ def q11_important_parts(spark, sf_dir):
     fraction of the GLOBAL sum — the scalar subquery is a one-row
     re-aggregation of the already-shuffled per-part sums, broadcast into
     the probe (the fact table is scanned and shuffled exactly once).
-    Per-part values are rounded to cents before both the threshold and
-    the comparison so summation order can't flip a borderline part."""
+    The 0.2% threshold is applied by integer cross-multiplication on
+    cent-rounded values (cents * 500 > total_cents) per the module's
+    float-threshold convention — no double summation-order error can
+    flip a borderline part between engines."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(
@@ -1607,13 +1614,13 @@ def q11_important_parts(spark, sf_dir):
                    li.l_suppkey == F.col("s_suppkey"))
            .groupBy(F.col("l_partkey").alias("partkey"))
            .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * F.col("l_quantity")), 2)
-                .alias("part_value")))
-    thresh = val.agg(F.round(F.sum("part_value") * 0.002, 2)
-                     .alias("thresh"))
+                              * F.col("l_quantity")) * 100)
+                .cast("bigint").alias("cents")))
+    thresh = val.agg(F.sum("cents").cast("bigint").alias("total_cents"))
     return (val.join(F.broadcast(thresh),
-                     val.part_value > F.col("thresh"))
-            .select("partkey", "part_value")
+                     val.cents * 500 > F.col("total_cents"))
+            .select("partkey",
+                    F.round(F.col("cents") / 100.0, 2).alias("part_value"))
             .orderBy(F.desc("part_value"), "partkey"))
 
 
@@ -1666,7 +1673,7 @@ WHERE n.n_name IN ('NATION_1', 'NATION_5')
       AND l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY l.l_suppkey
-    HAVING sum(l.l_quantity) > 400)
+    HAVING sum(l.l_quantity) > 250)
 ORDER BY s.s_suppkey
 """)
 def q20_excess_suppliers(spark, sf_dir):
@@ -1681,10 +1688,13 @@ def q20_excess_suppliers(spark, sf_dir):
     p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     n = t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_5"))
+    # threshold 250 (not 400): at the sf0.01 gate scale 400 leaves an
+    # empty result, so the parity check would compare empty-vs-empty and
+    # give no signal on the semi-join/HAVING semantics
     movers = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
               .groupBy("l_suppkey")
               .agg(F.sum("l_quantity").alias("shipped"))
-              .filter(F.col("shipped") > 400))
+              .filter(F.col("shipped") > 250))
     s = t(spark, sf_dir, "supplier")
     return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
