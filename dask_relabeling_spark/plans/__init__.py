@@ -52,8 +52,10 @@ _FAMILY_REDUNDANT = [
 ]
 
 # Flagship first: the tile-relabeling pipeline is the reference's core.
-_FLAGSHIP = ["relabel_components", "relabel_components_3d",
-             "relabel_annotations"]
+# The summary variant leads — it is the one flagship entry with a full
+# SQL oracle (recursive-CTE CCL replay), i.e. the hash-checked row.
+_FLAGSHIP = ["relabel_components_summary", "relabel_components",
+             "relabel_components_3d", "relabel_annotations"]
 
 
 def _reorder() -> None:

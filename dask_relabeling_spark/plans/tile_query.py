@@ -94,6 +94,60 @@ def relabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("cy", "cx")
 
 
+# Driver-checkable flagship companion: the SAME mask and the SAME full
+# pipeline as relabel_components, summarized per CONNECTED COMPONENT in
+# label-id-invariant terms (pixel count + bounding box), so a DuckDB
+# recursive-CTE min-label-propagation replay of 4-connected CCL is an
+# exact oracle.  Valid because at the sf0.01 gate scale the mask's
+# largest component diameter is 8 px (measured) <= the 16 px halo — the
+# reference algorithm's one-hop-merge contract (SURVEY §4.1) holds, so
+# the checkerboard pipeline IS exact global CCL there.  (At sf0.1 the
+# mask is ~90 % full and the contract breaks — this entry is graded at
+# the sf0.01 gate, like every oracle row.)
+@register("relabel_components_summary", f"""
+WITH RECURSIVE pts AS (
+  SELECT DISTINCT CAST(l_orderkey % {H} AS INT) AS y,
+                  CAST(l_partkey % {W} AS INT) AS x
+  FROM lineitem),
+ids AS (SELECT y, x, y * {W} + x AS id FROM pts),
+edges AS (
+  SELECT a.id AS ea, b.id AS eb
+  FROM ids a JOIN ids b
+    ON (b.y = a.y AND b.x = a.x + 1) OR (b.y = a.y + 1 AND b.x = a.x)),
+sym(ea, eb) AS (SELECT ea, eb FROM edges UNION ALL SELECT eb, ea FROM edges),
+walk(pid, lbl) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT s.eb, w.lbl FROM walk w JOIN sym s ON s.ea = w.pid),
+comp AS (SELECT pid, min(lbl) AS comp_id FROM walk GROUP BY pid)
+SELECT CAST(count(*) AS BIGINT) AS n_pixels,
+       min(i.y) AS min_y, min(i.x) AS min_x,
+       max(i.y) AS max_y, max(i.x) AS max_x
+FROM comp JOIN ids i ON i.id = comp.pid
+GROUP BY comp.comp_id
+ORDER BY min_y, min_x, max_y, max_x, n_pixels
+""")
+def relabel_components_summary(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    ts = _mask_tiles(spark, sf_dir)
+    labeled = image2labels(ts, overlaps=OVERLAP, threshold=0.05)
+    px = (labeled.df
+          .select("cy", "cx", "w", F.posexplode("data").alias("i", "lbl"))
+          .filter(F.col("lbl") != 0)
+          .select(
+              (F.col("cy") * CHUNK
+               + (F.col("i") / F.col("w")).cast("int")).alias("y"),
+              (F.col("cx") * CHUNK + F.col("i") % F.col("w"))
+              .cast("int").alias("x"),
+              "lbl"))
+    return (px.groupBy("lbl")
+            .agg(F.count("*").alias("n_pixels"),
+                 F.min("y").alias("min_y"), F.min("x").alias("min_x"),
+                 F.max("y").alias("max_y"), F.max("x").alias("max_x"))
+            .select("n_pixels", "min_y", "min_x", "max_y", "max_x")
+            .orderBy("min_y", "min_x", "max_y", "max_x", "n_pixels"))
+
+
 # 3D flagship matching the reference baseline geometry (BASELINE.md: a
 # 60x256x256 uint16 volume, chunks (60,128,128) => 2x2 grid, overlaps
 # [0,64,64], end-to-end 17.1 s single-machine) — same volume shape, grid
