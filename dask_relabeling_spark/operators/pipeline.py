@@ -177,8 +177,11 @@ def labels2geojson(ts: TileSet, overlaps: Union[int, List[int]] = 50,
     from .halo import fused_exchange_records, map_tiles_records
     from .annotate_ops import ANNOTATION_SCHEMA
     if ts.nd != 2:
-        raise NotImplementedError("annotation is 2D-only (as the reference "
-                                  "goldens; 3D returns None there)")
+        raise NotImplementedError(
+            "annotation is 2D-only by decision (OPERATORS.md §2.1 row 10): "
+            "the reference's own 3D path cannot execute (contour extraction "
+            "requires a 2D image; its tests pass annotations_output=None "
+            "for 3D, reference tests/fixtures.py:93)")
     if pre_overlapped:
         ov = ts.overlaps
         finish = _geojson_finish(ts.grid, ts.chunk_shape, ov,
@@ -206,8 +209,11 @@ def image2geojson(ts: TileSet, seg_fn: Optional[Callable] = None,
     from .halo import fused_exchange_records
     from .annotate_ops import ANNOTATION_SCHEMA
     if ts.nd != 2:
-        raise NotImplementedError("annotation is 2D-only (as the reference "
-                                  "goldens; 3D returns None there)")
+        raise NotImplementedError(
+            "annotation is 2D-only by decision (OPERATORS.md §2.1 row 10): "
+            "the reference's own 3D path cannot execute (contour extraction "
+            "requires a 2D image; its tests pass annotations_output=None "
+            "for 3D, reference tests/fixtures.py:93)")
     ov = _norm_overlaps(overlaps, ts.nd)
     fn = seg_fn or default_segment_fn
     finish = _geojson_finish(ts.grid, ts.chunk_shape, ov, object_classes,

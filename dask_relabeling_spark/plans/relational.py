@@ -1393,26 +1393,31 @@ LIMIT 10
 def q21_waiting_suppliers(spark, sf_dir):
     """TPC-H Q21 shape (lateness = shipped >60 days after order date):
     the EXISTS / NOT-EXISTS pair over sibling lines becomes ONE grouped
-    aggregate per order (distinct suppliers, distinct LATE suppliers)
-    joined back on the already-shuffled orderkey — no correlated
-    re-scans of lineitem, and the per-order state is two ints however
-    wide the order is."""
+    aggregate per order — distinct suppliers, distinct LATE suppliers,
+    plus the late lines' suppliers as a per-order list (bounded by order
+    width) — so the qualifying late lines explode straight out of the
+    aggregate.  No join-back onto lineitem at all: one lineitem scan,
+    one orderkey exchange pair, and the groupBy reuses the join's
+    partitioning (round-1 probe had 2 scans + a second orderkey shuffle
+    for the join-back; 10.1x wall at 100x was mostly that)."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = t(spark, sf_dir, "supplier")
     lo = (li.join(o, li.l_orderkey == o.o_orderkey)
-          .withColumn("late",
-                      F.col("l_shipdate") > F.col("o_orderdate")
-                      + F.expr("INTERVAL 60 DAY")))
+          .select("l_orderkey", "l_suppkey",
+                  (F.col("l_shipdate") > F.col("o_orderdate")
+                   + F.expr("INTERVAL 60 DAY")).alias("late")))
+    late_supp = F.when(F.col("late"), F.col("l_suppkey"))
     per_order = (lo.groupBy("l_orderkey")
                  .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                      F.countDistinct(
-                          F.when(F.col("late"), F.col("l_suppkey")))
-                      .alias("n_late_supp")))
-    return (lo.filter(F.col("late"))
-            .join(per_order.filter((F.col("n_supp") > 1) &
-                                   (F.col("n_late_supp") == 1)),
-                  "l_orderkey")
+                      F.countDistinct(late_supp).alias("n_late_supp"),
+                      # one entry per LATE LINE (collect_list drops the
+                      # NULLs of on-time lines) — preserves Q21's
+                      # count-of-l1-rows multiplicity without a join-back
+                      F.collect_list(late_supp).alias("late_lines")))
+    return (per_order.filter((F.col("n_supp") > 1) &
+                             (F.col("n_late_supp") == 1))
+            .select(F.explode("late_lines").alias("l_suppkey"))
             .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
             .groupBy("s_name")
             .agg(F.count("*").cast("bigint").alias("numwait"))

@@ -152,16 +152,16 @@ def test_q7_prunes_both_shuffle_sides(spark):
 
 
 def test_q21_no_correlated_rescan_explosion(spark):
-    """q21's EXISTS/NOT-EXISTS pair is one grouped aggregate joined back
-    on the already-shuffled orderkey: no cartesian/nested-loop, and the
-    sibling-scan stays bounded (2 lineitem scans, not one per subquery
-    term)."""
+    """q21's EXISTS/NOT-EXISTS pair is ONE grouped aggregate per order
+    whose late lines explode straight out of the aggregate: exactly one
+    lineitem scan (no join-back, no per-subquery re-scan) and no
+    cartesian/nested-loop."""
     plan = plan_of(spark, "q21_waiting_suppliers")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     scans = [l for l in plan.splitlines()
              if "FileScan parquet" in l and "lineitem" in l]
-    assert len(scans) == 2
+    assert len(scans) == 1
 
 
 def test_q17_avg_subquery_co_partitioned(spark):
