@@ -815,15 +815,29 @@ FROM (SELECT c_acctbal,
 GROUP BY quartile
 """)
 def ntile_customer_quartiles(spark, sf_dir):
-    """ntile(4) equi-depth bucketing over a global order.  A global
-    ORDER BY window is a single-partition sort at scale — fine for the
-    capability check here; the scale path for equi-depth buckets is
-    approxQuantile / equal-frequency histogram (see
-    lineitem_price_quantiles), which stays fully parallel."""
-    c = t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (c.select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
-            .groupBy("quartile")
+    """EXACT ntile(4) semantics without the global-order window: a bare
+    ``ntile() OVER (ORDER BY ...)`` is a single-partition sort at scale,
+    so the global 0-based row number comes from the two-phase prefix sum
+    (``functions/ids.py`` — range partition, per-partition cumsum, tiny
+    partition-totals broadcast) and the tile id from ntile's own
+    arithmetic: the first ``n mod 4`` tiles hold ``ceil(n/4)`` rows, the
+    rest ``floor(n/4)`` (integer DIV throughout — no double rounding at
+    any row count)."""
+    from ..functions.ids import exclusive_prefix_sum
+    c = t(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    keyed = (c.withColumn("_k", F.struct("c_acctbal", "c_custkey"))
+             .withColumn("_one", F.lit(1)))
+    rn = exclusive_prefix_sum(keyed, "_k", "_one", out_col="_rn")
+    n = c.agg(F.count("*").alias("_n"))
+    tiled = (rn.crossJoin(F.broadcast(n))
+             .withColumn("_big", F.expr("(_n + 3) DIV 4"))
+             .withColumn("_small", F.expr("_n DIV 4"))
+             .withColumn("_r", F.expr("_n % 4"))
+             .withColumn(
+                 "quartile",
+                 F.expr("CAST(IF(_rn < _r * _big, _rn DIV _big, "
+                        "_r + (_rn - _r * _big) DIV _small) + 1 AS INT)")))
+    return (tiled.groupBy("quartile")
             .agg(F.count("*").alias("n_customers"),
                  F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
                  F.round(F.min("c_acctbal"), 2).alias("min_bal"),
