@@ -1,0 +1,108 @@
+"""Property tests for the extension operators against independent
+single-machine oracles (same well-known-algorithm pattern as the pipeline
+property tests): asof_join vs pandas.merge_asof, the two-phase prefix sum
+vs pandas groupby cumsum, dense_ids vs sorted-rank."""
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_relabeling_spark.functions.ids import (dense_ids,
+                                                 exclusive_prefix_sum)
+from dask_relabeling_spark.operators.asof import asof_join
+
+
+def _random_asof_frames(seed, n_left=200, n_right=150, n_keys=5):
+    rng = np.random.RandomState(seed)
+    left = pd.DataFrame({
+        "k": rng.randint(0, n_keys, n_left).astype(np.int64),
+        "lts": pd.to_datetime(
+            rng.randint(0, 100_000, n_left), unit="s"),
+        "lid": np.arange(n_left, dtype=np.int64),
+    })
+    right = pd.DataFrame({
+        "k": rng.randint(0, n_keys, n_right).astype(np.int64),
+        "rts": pd.to_datetime(
+            rng.randint(0, 100_000, n_right), unit="s"),
+        "rid": np.arange(n_right, dtype=np.int64),
+    })
+    # unique (k, rts) so the tie-break rule can't differ between oracles
+    right = right.drop_duplicates(["k", "rts"]).reset_index(drop=True)
+    return left, right
+
+
+@pytest.mark.parametrize("seed,direction,tol", [
+    (1, "backward", None), (2, "forward", None),
+    (3, "backward", 1200), (4, "forward", 3600),
+    (5, "backward", 0),
+])
+def test_asof_join_matches_pandas_merge_asof(spark, seed, direction, tol):
+    left, right = _random_asof_frames(seed)
+    got = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on=["k"], left_ts="lts", right_ts="rts", right_id="rid",
+        direction=direction, tolerance_seconds=tol).toPandas()
+    assert len(got) == len(left), "left rows must be preserved"
+
+    exp = pd.merge_asof(
+        left.sort_values("lts", kind="stable"),
+        right.sort_values("rts", kind="stable"),
+        left_on="lts", right_on="rts", by="k", direction=direction,
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol))
+    got_map = dict(zip(got["lid"], got["rid_r"]))
+    exp_map = dict(zip(exp["lid"], exp["rid"]))
+    for lid in left["lid"]:
+        g, e = got_map[lid], exp_map[lid]
+        assert (pd.isna(g) and pd.isna(e)) or g == e, \
+            f"lid={lid}: got rid {g}, pandas oracle {e}"
+
+
+@pytest.mark.parametrize("seed,grouped", [(1, False), (2, True), (3, True)])
+def test_exclusive_prefix_sum_matches_pandas_cumsum(spark, seed, grouped):
+    rng = np.random.RandomState(seed)
+    n = 300
+    pdf = pd.DataFrame({
+        "g": rng.randint(0, 4, n).astype(np.int64),
+        "key": rng.permutation(10 * n)[:n].astype(np.int64),  # unique
+        "v": rng.randint(0, 10, n).astype(np.int64),
+    })
+    out = exclusive_prefix_sum(
+        spark.createDataFrame(pdf), "key", "v", out_col="off",
+        num_partitions=7, group_col="g" if grouped else None).toPandas()
+
+    by = ["g", "key"] if grouped else ["key"]
+    exp = pdf.sort_values(by).reset_index(drop=True)
+    grp = exp.groupby("g")["v"] if grouped else exp["v"]
+    exp["off"] = grp.cumsum() - exp["v"]
+    merged = out.merge(exp, on=["g", "key", "v"], suffixes=("", "_exp"))
+    assert len(merged) == n
+    assert (merged["off"] == merged["off_exp"]).all()
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+def test_dense_ids_matches_sorted_rank(spark, seed):
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(-1000, 1000, 500).astype(np.int64)  # with dups
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = {r["v"]: r["id"] for r in
+           dense_ids(df, "v", num_partitions=5, start=7).collect()}
+    exp = {v: i + 7 for i, v in enumerate(sorted(set(vals.tolist())))}
+    assert got == exp
+
+
+def test_prefix_sum_deterministic_across_runs(spark):
+    """Range partition boundaries are sampled — the persist() inside
+    exclusive_prefix_sum must make the assignment deterministic within a
+    run, and re-running must give the same totals (offsets are a pure
+    function of the data regardless of partitioning)."""
+    rng = np.random.RandomState(42)
+    pdf = pd.DataFrame({
+        "key": rng.permutation(2000).astype(np.int64),
+        "v": rng.randint(0, 5, 2000).astype(np.int64),
+    })
+    df = spark.createDataFrame(pdf)
+    a = exclusive_prefix_sum(df, "key", "v").toPandas() \
+        .sort_values("key").reset_index(drop=True)
+    b = exclusive_prefix_sum(df.repartition(13), "key", "v").toPandas() \
+        .sort_values("key").reset_index(drop=True)
+    assert (a["offset"] == b["offset"]).all()
