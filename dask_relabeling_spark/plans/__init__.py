@@ -49,6 +49,8 @@ _FAMILY_REDUNDANT = [
     "ann_lsh_topk",              # family reps: ann_cosine_topk, ann_ivf_topk
     "text_fingerprint",          # family rep: text_winnowing
     "events_lead_lag_deltas",    # family rep: events_sliding_windows
+    "docs_fixed_per_lang_sample",  # family rep: docs_stratified_sample
+    "docs_importance_sample",      # family rep: docs_stratified_sample
 ]
 
 # Flagship first: the tile-relabeling pipeline is the reference's core.

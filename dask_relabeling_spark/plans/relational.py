@@ -1719,3 +1719,35 @@ def q20_excess_suppliers(spark, sf_dir):
             .join(movers, s.s_suppkey == movers.l_suppkey, "left_semi")
             .select("s_suppkey", "s_name")
             .orderBy("s_suppkey"))
+
+
+# ----------------- file sink round-trip (§2.3 #15, driver-checkable)
+@register("parquet_sink_roundtrip", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+def parquet_sink_roundtrip(spark, sf_dir):
+    """File-sink capability (SURVEY §2.3 #15) as a hash-checked driver
+    row: write a filtered projection to a hive-partitioned parquet sink
+    (`partitionBy` — the layout that makes downstream partition pruning
+    possible at 100 TB), read the sink back, and aggregate the re-read
+    data.  The oracle aggregates the source directly, so any loss or
+    duplication in the write/read round-trip (or a partition-value
+    encoding bug in the priority strings) breaks the hash match."""
+    import os
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".scratch", "sink_roundtrip")
+    o = (t(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out)
+    return (back.groupBy("o_orderpriority")
+            .agg(F.count("*").cast("bigint").alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .orderBy("o_orderpriority"))
