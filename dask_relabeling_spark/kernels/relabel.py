@@ -40,10 +40,56 @@ def remove_overlapped_objects(labeled: np.ndarray, overlaps: Sequence[int],
     Returns int64 labels, same shape.
     """
     nd = len(overlaps)
-    labels_sorted, total = np.unique(labeled, return_counts=True)
-
     core_sel = tuple(core_slice(c, g, ov)
                      for c, g, ov in zip(chunk_loc, grid, overlaps))
+
+    # Pipeline tiles carry DENSE ccl ids (1..N), so label statistics come
+    # from O(pixels) bincounts and membership from O(region) lookup tables
+    # — no O(pixels log pixels) sorts in the per-tile hot path.  Sparse or
+    # negative label sets (user-supplied labels2geojson inputs) fall back
+    # to the sort-based formulation with identical semantics.
+    mn = int(labeled.min()) if labeled.size else 0
+    mx = int(labeled.max()) if labeled.size else 0
+    if mn >= 0 and mx <= 4 * labeled.size:
+        nbins = mx + 1
+        total = np.bincount(labeled.ravel(), minlength=nbins)
+        core = np.bincount(labeled[core_sel].ravel(), minlength=nbins)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            # float32 division, as the reference (absent bins yield NaN;
+            # every NaN comparison below is False, so they stay mark 0 and
+            # are never indexed by a present label anyway)
+            prop = core.astype(np.float32) / total.astype(np.float32)
+        mark = np.zeros(nbins, dtype=np.int8)
+        mark[prop > (1 - threshold)] = nd + 1
+        mark[prop < threshold] = -(nd + 1)
+
+        for region in overlap_regions(chunk_loc, grid, nd):
+            # an axis with zero overlap has no halo: regions constraining
+            # it do not exist (without this, source_slice(ov=0) selects
+            # the WHOLE axis and parity claims every label on it)
+            if any(lvl is not None and overlaps[ax] == 0
+                   for ax, lvl in enumerate(region)):
+                continue
+            drop = any(chunk_loc[ax] % 2 != 0
+                       for ax, lvl in enumerate(region) if lvl is not None)
+            rdim = region_dim(region)
+            out_sel = tuple(source_slice(c, g, ov, lvl)
+                            for c, g, ov, lvl
+                            in zip(chunk_loc, grid, overlaps, region))
+            present = np.bincount(labeled[out_sel].ravel(),
+                                  minlength=nbins) > 0
+            present[0] = False
+            upd = present & (prop >= threshold) & (np.abs(mark) < rdim)
+            mark[upd] = (-rdim) if drop else rdim
+
+        out = labeled.astype(np.int64, copy=True)
+        if np.any(mark < 0):
+            out[(mark < 0)[labeled]] = 0
+        offset = chunk_label_offset(chunk_loc, grid)
+        out[out != 0] += offset
+        return out
+
+    labels_sorted, total = np.unique(labeled, return_counts=True)
     core_vals, core_counts = np.unique(labeled[core_sel], return_counts=True)
     core_sum = np.zeros(len(labels_sorted), dtype=np.float32)
     core_sum[np.searchsorted(labels_sorted, core_vals)] = core_counts
@@ -54,9 +100,6 @@ def remove_overlapped_objects(labeled: np.ndarray, overlaps: Sequence[int],
     mark[prop < threshold] = -(nd + 1)
 
     for region in overlap_regions(chunk_loc, grid, nd):
-        # an axis with zero overlap has no halo: regions constraining it
-        # do not exist (without this, source_slice(ov=0) selects the WHOLE
-        # axis and checkerboard parity claims every label on it)
         if any(lvl is not None and overlaps[ax] == 0
                for ax, lvl in enumerate(region)):
             continue
