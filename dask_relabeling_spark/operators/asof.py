@@ -1,7 +1,9 @@
 """As-of (point-in-time) join.
 
 For every left row, attach the most recent right row with the same key and
-``right_ts <= left_ts`` (direction="backward"; "forward" mirrors it).
+``right_ts <= left_ts`` (direction="backward"; "forward" mirrors it;
+"nearest" takes whichever side is closer in absolute time, ties to the
+backward match — the pandas ``merge_asof`` direction set).
 
 Scalable formulation — the union + ordered-window trick, NOT a range join:
 union both sides with a side marker, sort each key's rows once by
@@ -46,8 +48,9 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     (columns NULL).  Applied as a post-filter on the carried match, so
     the plan shape (one shuffle, linear pass) is unchanged.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest: {direction}")
     if tolerance_seconds is not None and right_ts in on:
         raise ValueError("tolerance requires right_ts as a payload column")
     if tolerance_seconds is not None:
@@ -98,12 +101,35 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     # they always come AFTER right rows at an equal timestamp (an
     # equal-ts right row is a valid match in either direction) — robust
     # for any right id magnitude, no sentinel value to collide with
-    w = (Window.partitionBy(*on).orderBy(ts_order,
-                                         F.col("_tb").asc_nulls_last())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     u = l2.unionByName(r2)
-    matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
-               .filter(F.col("_l").isNotNull()))
+    if direction == "nearest":
+        # both arms over ONE shuffle on the key: the backward frame sorts
+        # (ts asc), the forward frame (ts desc) — a second in-partition
+        # sort, no second exchange.  Equal-|gap| ties prefer the backward
+        # match (documented; at gap 0 both arms resolve to the same row,
+        # the highest right id at that timestamp).
+        wb = (Window.partitionBy(*on)
+              .orderBy(F.col("_ts"), F.col("_tb").asc_nulls_last())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        wf = (Window.partitionBy(*on)
+              .orderBy(F.col("_ts").desc(), F.col("_tb").asc_nulls_last())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        both = (u.withColumn("_mb", F.last("_r", ignorenulls=True).over(wb))
+                .withColumn("_mf", F.last("_r", ignorenulls=True).over(wf))
+                .filter(F.col("_l").isNotNull()))
+        gb = F.abs(F.expr(f"timestampdiff(MICROSECOND, _ts, _mb.{right_ts})"))
+        gf = F.abs(F.expr(f"timestampdiff(MICROSECOND, _ts, _mf.{right_ts})"))
+        matched = (both.withColumn(
+            "_m", F.when(F.col("_mb").isNull(), F.col("_mf"))
+                   .when(F.col("_mf").isNull(), F.col("_mb"))
+                   .when(gb <= gf, F.col("_mb")).otherwise(F.col("_mf")))
+            .drop("_mb", "_mf"))
+    else:
+        w = (Window.partitionBy(*on).orderBy(ts_order,
+                                             F.col("_tb").asc_nulls_last())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+                   .filter(F.col("_l").isNotNull()))
     if tolerance_seconds is not None:
         # timestampdiff works natively on TIMESTAMP and TIMESTAMP_NTZ
         # alike with no session-timezone interpretation — a cast through

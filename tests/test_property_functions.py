@@ -57,6 +57,58 @@ def test_asof_join_matches_pandas_merge_asof(spark, seed, direction, tol):
             f"lid={lid}: got rid {g}, pandas oracle {e}"
 
 
+@pytest.mark.parametrize("seed,tol", [(6, None), (7, 1800)])
+def test_asof_nearest_matches_pandas(spark, seed, tol):
+    left, right = _random_asof_frames(seed)
+    got = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on=["k"], left_ts="lts", right_ts="rts", right_id="rid",
+        direction="nearest", tolerance_seconds=tol).toPandas()
+    exp = pd.merge_asof(
+        left.sort_values("lts", kind="stable"),
+        right.sort_values("rts", kind="stable"),
+        left_on="lts", right_on="rts", by="k", direction="nearest",
+        tolerance=None if tol is None else pd.Timedelta(seconds=tol))
+    got_map = dict(zip(got["lid"], got["rid_r"]))
+    exp_map = dict(zip(exp["lid"], exp["rid"]))
+
+    # exact-|gap| ties between the backward and forward candidate are
+    # underspecified in pandas; we document ties -> backward and skip them
+    def is_tie(row):
+        k, lts = row["k"], row["lts"]
+        cand = right[right["k"] == k]
+        back = cand[cand["rts"] <= lts]["rts"]
+        fwd = cand[cand["rts"] >= lts]["rts"]
+        if back.empty or fwd.empty:
+            return False
+        gb, gf = lts - back.max(), fwd.min() - lts
+        return gb == gf and gb > pd.Timedelta(0)
+
+    checked = 0
+    for _, row in left.iterrows():
+        if is_tie(row):
+            continue
+        lid = row["lid"]
+        g, e = got_map[lid], exp_map[lid]
+        assert (pd.isna(g) and pd.isna(e)) or g == e, \
+            f"lid={lid}: got rid {g}, pandas oracle {e}"
+        checked += 1
+    assert checked > len(left) * 0.9
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    left = pd.DataFrame({"k": [0], "lts": pd.to_datetime([100], unit="s"),
+                         "lid": [0]})
+    right = pd.DataFrame({
+        "k": [0, 0], "rts": pd.to_datetime([70, 130], unit="s"),
+        "rid": [1, 2]})
+    got = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on=["k"], left_ts="lts", right_ts="rts", right_id="rid",
+        direction="nearest").toPandas()
+    assert got["rid_r"].tolist() == [1]  # 30s either way -> backward wins
+
+
 @pytest.mark.parametrize("seed,grouped", [(1, False), (2, True), (3, True)])
 def test_exclusive_prefix_sum_matches_pandas_cumsum(spark, seed, grouped):
     rng = np.random.RandomState(seed)
