@@ -51,6 +51,7 @@ _FAMILY_REDUNDANT = [
     "events_lead_lag_deltas",    # family rep: events_sliding_windows
     "docs_fixed_per_lang_sample",  # family rep: docs_stratified_sample
     "docs_importance_sample",      # family rep: docs_stratified_sample
+    "text_bpe_token_stats",        # family rep: text_token_stats
 ]
 
 # Flagship first: the tile-relabeling pipeline is the reference's core.

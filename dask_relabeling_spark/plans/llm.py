@@ -416,6 +416,41 @@ def events_sessionize(spark, sf_dir):
     return sessionize_batch(t(spark, sf_dir, "events"))
 
 
+@register("events_session_windows", """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT user_id, event_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id, min(ts) AS session_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, session_start
+""")
+def events_session_windows(spark, sf_dir):
+    """Spark's NATIVE session_window operator (the streaming-compatible
+    form of sessionization: the same groupBy works under a watermark with
+    state merging).  Semantics caveat the oracle must mirror: Spark's
+    session spans [first_ts, last_ts + gap), so a new session starts when
+    the inter-event gap is >= the timeout — strict `>` in `sessionize_
+    batch` vs `>=` here (they differ only on exactly-1800 s gaps)."""
+    ev = t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event"),
+                 F.max("event_id").alias("last_event"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    "n_events", "first_event", "last_event")
+            .orderBy("user_id", "session_start"))
+
+
 @register("docs_stratified_sample", """
 SELECT doc_id, lang, source
 FROM documents
