@@ -48,6 +48,7 @@ _PIECE_SCHEMA = T.StructType([
     T.StructField("nclasses", T.IntegerType(), True),
     T.StructField("classes", T.BinaryType(), True),
 ])
+PIECE_SCHEMA = _PIECE_SCHEMA  # public: builder-side piece emission
 
 
 def _piece_shape(row, nd: int) -> tuple:
@@ -203,6 +204,29 @@ def fused_double_exchange(ts: TileSet, overlaps: Sequence[int],
             yield pd.DataFrame.from_records(
                 recs, columns=_PIECE_SCHEMA.fieldNames())
 
+    p1 = ts.df.mapInPandas(emit1, _PIECE_SCHEMA)
+    a2 = double_exchange_pieces(p1, nd, grid, depth, mid_fn, final_fn)
+    return ts.with_df(a2, overlaps=(0,) * nd)
+
+
+def emit_piece_records(tile, cls, loc, grid, depth) -> list:
+    """Builder-side fusion hook: a source that materializes tiles inside
+    its own Python pass (e.g. a bitmap-word expander) can emit the halo
+    PIECES directly — the full tile payload then never crosses the Arrow
+    boundary before the first exchange.  Rows conform to
+    ``PIECE_SCHEMA``."""
+    return _emit_rows(tile, cls, loc, grid, tuple(int(o) for o in depth))
+
+
+def double_exchange_pieces(pieces_df: DataFrame, nd: int, grid,
+                           depth, mid_fn, final_fn) -> DataFrame:
+    """Passes 2+3 of ``fused_double_exchange`` for a source that already
+    emitted piece records (see ``emit_piece_records``): assemble ->
+    mid_fn -> emit margins -> exchange -> assemble -> final_fn -> tile.
+    Same kernels, same goldens, one fewer full-payload Arrow generation.
+    """
+    keys = key_cols(nd)
+
     def mid(key, pdf: pd.DataFrame) -> pd.DataFrame:
         loc = tuple(int(k) for k in key)
         tile, cls = _assemble_one(loc, pdf, nd, grid)
@@ -219,10 +243,8 @@ def fused_double_exchange(ts: TileSet, overlaps: Sequence[int],
             [tile_record(loc, tile, cls)],
             columns=[f.name for f in TILE_FIELDS])
 
-    p1 = ts.df.mapInPandas(emit1, _PIECE_SCHEMA)
-    a1 = p1.groupBy(*keys).applyInPandas(mid, _PIECE_SCHEMA)
-    a2 = a1.groupBy(*keys).applyInPandas(fin, TILE_SCHEMA)
-    return ts.with_df(a2, overlaps=(0,) * nd)
+    a1 = pieces_df.groupBy(*keys).applyInPandas(mid, _PIECE_SCHEMA)
+    return a1.groupBy(*keys).applyInPandas(fin, TILE_SCHEMA)
 
 
 def _piece_rec(dest, pos, piece: np.ndarray,

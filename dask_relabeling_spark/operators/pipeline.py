@@ -96,10 +96,18 @@ def image2labels(ts: TileSet, seg_fn: Optional[Callable] = None,
         return crop_to_image(merged)
 
     ov = _norm_overlaps(overlaps, ts.nd)
-    fn = seg_fn or default_segment_fn
-    kwargs = dict(segmentation_fn_kwargs or {})
-    grid, chunk, img = ts.grid, ts.chunk_shape, ts.image_shape
-    pre = _pad_pre(chunk)
+    pre = _pad_pre(ts.chunk_shape)
+    mid, fin = _labels_mid_fin(
+        seg_fn or default_segment_fn, dict(segmentation_fn_kwargs or {}),
+        returns_classes, ov, threshold, ts.grid, ts.chunk_shape,
+        ts.image_shape)
+    return fused_double_exchange(ts, ov, pre, mid, fin)
+
+
+def _labels_mid_fin(fn, kwargs, returns_classes, ov, threshold, grid,
+                    chunk, img):
+    """The segment+dedup (mid) and merge+trim+crop (fin) kernel chains of
+    ``image2labels``, shared with the from-pieces fusion path."""
 
     def mid(tile, cls, loc):
         seg, seg_cls = _split_seg_output(fn(tile, **kwargs),
@@ -129,7 +137,28 @@ def image2labels(ts: TileSet, seg_fn: Optional[Callable] = None,
             (slice(None),) + crop]
         return m, mc
 
-    return fused_double_exchange(ts, ov, pre, mid, fin)
+    return mid, fin
+
+
+def image2labels_from_pieces(pieces_df, nd: int, grid, chunk_shape,
+                             image_shape, spark,
+                             seg_fn: Optional[Callable] = None,
+                             overlaps: Union[int, List[int]] = 50,
+                             threshold: float = 0.05) -> TileSet:
+    """``image2labels`` for a source that already emitted halo pieces
+    (``operators/halo.py::emit_piece_records`` inside its own build
+    pass): the full tile payload never crosses the Arrow boundary before
+    the first exchange — one fewer full-payload generation than
+    building a tile table first.  Kernels and result are identical to
+    ``image2labels`` (asserted by ``tests/test_spark_pipeline.py``)."""
+    from .halo import double_exchange_pieces
+    ov = _norm_overlaps(overlaps, nd)
+    mid, fin = _labels_mid_fin(
+        seg_fn or default_segment_fn, {}, False, ov, threshold, grid,
+        chunk_shape, image_shape)
+    out = double_exchange_pieces(pieces_df, nd, grid, ov, mid, fin)
+    return TileSet(df=out, nd=nd, grid=grid, chunk_shape=chunk_shape,
+                   overlaps=(0,) * nd, image_shape=image_shape)
 
 
 def _geojson_finish(grid, chunk, ov, object_classes, threshold,

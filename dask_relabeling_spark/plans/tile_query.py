@@ -27,7 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.pipeline import image2labels
+from ..operators.halo import PIECE_SCHEMA, emit_piece_records
+from ..operators.pipeline import image2labels_from_pieces
 from ..sources.tiles import TILE_SCHEMA, TileSet, tile_record
 from .relational import register, t
 
@@ -37,7 +38,7 @@ OVERLAP = 16
 GRID = (H // CHUNK, W // CHUNK)
 
 
-def _mask_tiles(spark: SparkSession, sf_dir: str) -> TileSet:
+def _mask_tiles(spark: SparkSession, sf_dir: str, as_pieces: bool = False):
     """Build the tile table with MAP-SIDE PARTIAL AGGREGATION of a bitmap:
     each point becomes (tile, word-index, bit) and Spark's algebraic
     ``bit_or`` collapses them per (tile, 64-px word) in whole-stage
@@ -58,17 +59,27 @@ def _mask_tiles(spark: SparkSession, sf_dir: str) -> TileSet:
                .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits")))
     nwords = CHUNK * CHUNK // 64
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cy, cx = int(key[0]), int(key[1])
+    def expand(key, pdf: pd.DataFrame) -> np.ndarray:
         words = np.zeros(nwords, dtype=np.int64)
         real = pdf[pdf["word"] >= 0]
         words[real["word"].to_numpy()] = real["bits"].to_numpy()
-        tile = np.unpackbits(words.astype("<i8").view(np.uint8),
+        return np.unpackbits(words.astype("<i8").view(np.uint8),
                              bitorder="little") \
             .astype(np.int64).reshape(CHUNK, CHUNK)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame.from_records(
-            [tile_record((cy, cx), tile)],
+            [tile_record((int(key[0]), int(key[1])), expand(key, pdf))],
             columns=[f.name for f in TILE_SCHEMA.fields])
+
+    def build_pieces(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # builder-side fusion: emit the halo pieces straight out of the
+        # bitmap expansion — the full tile never crosses Arrow pre-shuffle
+        loc = (int(key[0]), int(key[1]))
+        return pd.DataFrame.from_records(
+            emit_piece_records(expand(key, pdf), None, loc, GRID,
+                               (OVERLAP, OVERLAP)),
+            columns=PIECE_SCHEMA.fieldNames())
 
     # every tile of the full grid must exist (empty tiles included)
     grid_df = spark.range(GRID[0] * GRID[1]).select(
@@ -76,16 +87,24 @@ def _mask_tiles(spark: SparkSession, sf_dir: str) -> TileSet:
         (F.col("id") % GRID[1]).cast("int").alias("cx"),
         F.lit(-1).cast("int").alias("word"),
         F.lit(0).cast("long").alias("bits"))
-    tiles_df = (bitrows.unionByName(grid_df)
-                .groupBy("cy", "cx").applyInPandas(build, TILE_SCHEMA))
+    src = bitrows.unionByName(grid_df).groupBy("cy", "cx")
+    if as_pieces:
+        return src.applyInPandas(build_pieces, PIECE_SCHEMA)
+    tiles_df = src.applyInPandas(build, TILE_SCHEMA)
     return TileSet(df=tiles_df, nd=2, grid=GRID, chunk_shape=(CHUNK, CHUNK),
                    overlaps=(0, 0), image_shape=(H, W))
 
 
+def _labeled_2d(spark: SparkSession, sf_dir: str) -> TileSet:
+    pieces = _mask_tiles(spark, sf_dir, as_pieces=True)
+    return image2labels_from_pieces(
+        pieces, 2, GRID, (CHUNK, CHUNK), (H, W), spark,
+        overlaps=OVERLAP, threshold=0.05)
+
+
 @register("relabel_components", None)  # CCL: not SQL-expressible
 def relabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ts = _mask_tiles(spark, sf_dir)
-    labeled = image2labels(ts, overlaps=OVERLAP, threshold=0.05)
+    labeled = _labeled_2d(spark, sf_dir)
     out = labeled.df.select(
         "cy", "cx",
         F.size(F.filter("data", lambda v: v != 0)).alias("n_fg_pixels"),
@@ -129,8 +148,7 @@ ORDER BY min_y, min_x, max_y, max_x, n_pixels
 """)
 def relabel_components_summary(spark: SparkSession, sf_dir: str
                                ) -> DataFrame:
-    ts = _mask_tiles(spark, sf_dir)
-    labeled = image2labels(ts, overlaps=OVERLAP, threshold=0.05)
+    labeled = _labeled_2d(spark, sf_dir)
     px = (labeled.df
           .select("cy", "cx", "w", F.posexplode("data").alias("i", "lbl"))
           .filter(F.col("lbl") != 0)
@@ -168,7 +186,8 @@ OVERLAP3 = (0, 64, 64)
 GRID3 = (1, H3 // CHUNK3[1], W3 // CHUNK3[2])
 
 
-def _mask_tiles_3d(spark: SparkSession, sf_dir: str) -> TileSet:
+def _mask_tiles_3d(spark: SparkSession, sf_dir: str,
+                   as_pieces: bool = False):
     """Same JVM-side bitmap partial aggregation as the 2D builder, with
     64-bit words: 600 k voxel points collapse to <= volume/64 (= 61 k)
     ``(tile, word)`` rows before the shuffle, and Python only expands
@@ -190,17 +209,25 @@ def _mask_tiles_3d(spark: SparkSession, sf_dir: str) -> TileSet:
         .agg(F.bit_or(F.expr("shiftleft(1L, bit)")).alias("bits")))
     nwords = (CHUNK3[0] * CHUNK3[1] * CHUNK3[2]) // 64
 
-    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        cz, cy, cx = (int(key[0]), int(key[1]), int(key[2]))
+    def expand(pdf: pd.DataFrame) -> np.ndarray:
         words = np.zeros(nwords, dtype=np.int64)
         real = pdf[pdf["word"] >= 0]
         words[real["word"].to_numpy()] = real["bits"].to_numpy()
-        tile = np.unpackbits(words.astype("<i8").view(np.uint8),
+        return np.unpackbits(words.astype("<i8").view(np.uint8),
                              bitorder="little") \
             .astype(np.int64).reshape(CHUNK3)
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        loc = (int(key[0]), int(key[1]), int(key[2]))
         return pd.DataFrame.from_records(
-            [tile_record((cz, cy, cx), tile)],
+            [tile_record(loc, expand(pdf))],
             columns=[f.name for f in TILE_SCHEMA.fields])
+
+    def build_pieces(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        loc = (int(key[0]), int(key[1]), int(key[2]))
+        return pd.DataFrame.from_records(
+            emit_piece_records(expand(pdf), None, loc, GRID3, OVERLAP3),
+            columns=PIECE_SCHEMA.fieldNames())
 
     grid_df = spark.range(GRID3[1] * GRID3[2]).select(
         F.lit(0).alias("cz"),
@@ -208,16 +235,20 @@ def _mask_tiles_3d(spark: SparkSession, sf_dir: str) -> TileSet:
         (F.col("id") % GRID3[2]).cast("int").alias("cx"),
         F.lit(-1).cast("int").alias("word"),
         F.lit(0).cast("long").alias("bits"))
-    tiles_df = (wordrows.unionByName(grid_df)
-                .groupBy("cz", "cy", "cx").applyInPandas(build, TILE_SCHEMA))
+    src = wordrows.unionByName(grid_df).groupBy("cz", "cy", "cx")
+    if as_pieces:
+        return src.applyInPandas(build_pieces, PIECE_SCHEMA)
+    tiles_df = src.applyInPandas(build, TILE_SCHEMA)
     return TileSet(df=tiles_df, nd=3, grid=GRID3, chunk_shape=CHUNK3,
                    overlaps=(0, 0, 0), image_shape=(D3, H3, W3))
 
 
 @register("relabel_components_3d", None)  # CCL: not SQL-expressible
 def relabel_components_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ts = _mask_tiles_3d(spark, sf_dir)
-    labeled = image2labels(ts, overlaps=OVERLAP3, threshold=0.05)
+    pieces = _mask_tiles_3d(spark, sf_dir, as_pieces=True)
+    labeled = image2labels_from_pieces(
+        pieces, 3, GRID3, CHUNK3, (D3, H3, W3), spark,
+        overlaps=OVERLAP3, threshold=0.05)
     out = labeled.df.select(
         "cz", "cy", "cx",
         F.size(F.filter("data", lambda v: v != 0)).alias("n_fg_pixels"),
