@@ -157,3 +157,44 @@ def test_zero_overlap_axis_multi_chunk_not_emptied(spark):
     # pixels on the zero-overlap axis are never lost
     total_fg = sum(int((t != 0).sum()) for t in tiles.values())
     assert total_fg >= int(vol.sum()) * 0.9  # y/x corner losses only
+
+
+def test_from_pieces_path_equals_tile_table_path(spark):
+    """The builder-side fusion (emit pieces straight out of the source's
+    own Python pass) must produce byte-identical labels to building a
+    tile table first and running image2labels on it."""
+    import numpy as np
+    import pandas as pd
+    from dask_relabeling_spark.operators.halo import (PIECE_SCHEMA,
+                                                      emit_piece_records)
+    from dask_relabeling_spark.operators.pipeline import (
+        image2labels, image2labels_from_pieces)
+    from dask_relabeling_spark.sources.tiles import from_array
+
+    rng = np.random.default_rng(9)
+    mask = (rng.random((48, 40)) < 0.15).astype(np.int64)
+    chunk, grid, ov = (16, 16), (3, 3), (4, 4)
+
+    ts = from_array(spark, mask, chunk_shape=chunk)
+    exp = {(r.cy, r.cx): np.asarray(r.data).reshape(r.h, r.w)
+           for r in image2labels(ts, overlaps=4, threshold=0.05)
+           .df.collect()}
+
+    from dask_relabeling_spark.kernels.halo import pad_tile
+    recs = []
+    for cy in range(grid[0]):
+        for cx in range(grid[1]):
+            tile = pad_tile(
+                mask[cy*16:(cy+1)*16, cx*16:(cx+1)*16], chunk)
+            recs.extend(emit_piece_records(tile, None, (cy, cx), grid, ov))
+    pieces = spark.createDataFrame(
+        pd.DataFrame.from_records(recs,
+                                  columns=PIECE_SCHEMA.fieldNames()),
+        PIECE_SCHEMA)
+    got = {(r.cy, r.cx): np.asarray(r.data).reshape(r.h, r.w)
+           for r in image2labels_from_pieces(
+               pieces, 2, grid, chunk, mask.shape, spark,
+               overlaps=4, threshold=0.05).df.collect()}
+    assert set(got) == set(exp)
+    for loc in exp:
+        assert np.array_equal(got[loc], exp[loc]), loc
