@@ -298,6 +298,23 @@ def fused_exchange_records(ts: TileSet, overlaps: Sequence[int],
     return p1.groupBy(*keys).applyInPandas(fin, out_schema)
 
 
+def exchange_records_from_pieces(pieces_df: DataFrame, nd: int, grid,
+                                 finish, out_schema) -> DataFrame:
+    """``fused_exchange_records`` for a source that already emitted halo
+    pieces (see ``emit_piece_records``): one shuffle, one Python pass —
+    assemble the expanded view and run ``finish`` directly."""
+    keys = key_cols(nd)
+    cols = out_schema.fieldNames()
+
+    def fin(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        loc = tuple(int(k) for k in key)
+        tile, cls = _assemble_one(loc, pdf, nd, grid)
+        return pd.DataFrame.from_records(finish(tile, cls, loc),
+                                         columns=cols)
+
+    return pieces_df.groupBy(*keys).applyInPandas(fin, out_schema)
+
+
 def map_tiles_records(ts: TileSet, finish, out_schema) -> DataFrame:
     """Narrow fused map producing arbitrary records:
     ``finish(tile, cls, loc) -> list[dict]`` per tile, one Python pass,

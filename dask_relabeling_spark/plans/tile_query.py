@@ -265,9 +265,15 @@ def relabel_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 shuffle, emitting one GeoJSON FeatureCollection per tile.  Output:
     per-tile feature counts (deterministic; the JSON itself is golden-
     tested against the reference fixtures in tests/)."""
-    from ..operators.pipeline import image2geojson
-    ts = _mask_tiles(spark, sf_dir)
-    ann = image2geojson(ts, overlaps=OVERLAP, threshold=0.05)
+    from ..operators.annotate_ops import ANNOTATION_SCHEMA
+    from ..operators.halo import exchange_records_from_pieces
+    from ..operators.pipeline import _geojson_finish
+    from ..kernels.ccl import segment_fn
+    pieces = _mask_tiles(spark, sf_dir, as_pieces=True)
+    finish = _geojson_finish(GRID, (CHUNK, CHUNK), (OVERLAP, OVERLAP),
+                             None, 0.05, seg=segment_fn)
+    ann = exchange_records_from_pieces(pieces, 2, GRID, finish,
+                                       ANNOTATION_SCHEMA)
     return (ann.select(
         "cy", "cx",
         F.coalesce(F.json_array_length(
