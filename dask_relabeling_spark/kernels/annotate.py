@@ -16,6 +16,30 @@ import numpy as np
 
 from .contours import trace_outer_contour
 
+try:  # optional, as the reference (utils.py:25-61): real geojson objects
+    import geojson as _geojson
+except ImportError:  # plain dicts — identical post-JSON serialization
+    _geojson = None
+
+
+def _feature(ring, object_type):
+    if _geojson is not None:
+        feat = _geojson.Feature(
+            geometry=_geojson.Polygon([ring]))
+        feat["properties"] = {"objectType": object_type}
+        return feat
+    return {
+        "geometry": {"coordinates": [ring], "type": "Polygon"},
+        "properties": {"objectType": object_type},
+        "type": "Feature",
+    }
+
+
+def _feature_collection(features):
+    if _geojson is not None:
+        return _geojson.FeatureCollection(features)
+    return {"features": features, "type": "FeatureCollection"}
+
 
 def labels_to_annotations(labels: np.ndarray, object_classes: Dict[int, str],
                           classes: Optional[np.ndarray] = None,
@@ -39,14 +63,10 @@ def labels_to_annotations(labels: np.ndarray, object_classes: Dict[int, str],
         if offset is not None:
             cc = cc + np.asarray(offset, dtype=np.int64)[None, :]
         ring = np.vstack((cc, cc[0, None, :])).tolist()
-        features.append({
-            "geometry": {"coordinates": [ring], "type": "Polygon"},
-            "properties": {"objectType": object_type},
-            "type": "Feature",
-        })
+        features.append(_feature(ring, object_type))
     if not features:
         return None
-    return {"features": features, "type": "FeatureCollection"}
+    return _feature_collection(features)
 
 
 def annotation_offset(chunk_loc: Sequence[int], tile_origin: Sequence[int],
