@@ -1,0 +1,63 @@
+"""Plan-hazard ratchet: every registered query's physical plan is swept
+for single-partition exchanges, cartesian products, and nested-loop
+joins.  The allowlist below enumerates the queries where the pattern is
+legitimate (single-row scalar subqueries, global aggregates whose final
+exchange carries one partial row per partition, two-phase prefix-sum
+partition totals bounded by partition count, tiny-broadcast nested
+loops, and the documented brute-force near-dup baseline).  A NEW query
+introducing any of these patterns fails here until it is explicitly
+reviewed and listed — the hazards can only shrink, never silently grow.
+"""
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# query -> why the pattern is bounded (not a data-path funnel)
+ALLOWED_SINGLE_PARTITION = {
+    "q6_forecast_revenue": "single-row global aggregate",
+    "q14_promo_revenue": "single-row global aggregate",
+    "q19_disjunctive_revenue": "single-row global aggregate",
+    "profile_orders": "two-row profile aggregate",
+    "events_funnel": "single-row funnel aggregate",
+    "q15_top_supplier": "scalar max-revenue subquery",
+    "q17_small_quantity_revenue": "scalar avg subquery",
+    "q22_idle_customers": "scalar avg subquery",
+    "q11_important_parts": "scalar total-value subquery",
+    "events_hourly_gapfill": "scalar min/max span aggregate",
+    "orders_price_histogram": "scalar min/max stats pass",
+    "docs_pack_sequences": "prefix-sum partition totals (~#partitions rows)",
+    "docs_deterministic_shuffle": "prefix-sum partition totals",
+    "ntile_customer_quartiles": "prefix-sum partition totals + global count",
+}
+
+ALLOWED_NESTED_LOOP = {
+    "q22_idle_customers": "1-row scalar broadcast",
+    "q11_important_parts": "1-row scalar broadcast",
+    "events_hourly_gapfill": "dense-grid sequence cross (broadcast-tiny)",
+    "orders_price_histogram": "1-row stats broadcast",
+    "ntile_customer_quartiles": "1-row count broadcast",
+    "ann_ivf_topk": "centroid-set broadcast (n_centroids rows)",
+    "embedding_neardup_pairs":
+        "documented brute-force baseline; LSH variant is the scale path",
+}
+
+ALLOWED_CARTESIAN: dict = {}
+
+
+def test_no_new_plan_hazards(spark):
+    hazards = []
+    for name, fn in entry_mod.queries().items():
+        plan = fn(spark, SF_DIR)._jdf.queryExecution() \
+            .executedPlan().toString()
+        if ("Exchange SinglePartition" in plan
+                and name not in ALLOWED_SINGLE_PARTITION):
+            hazards.append((name, "Exchange SinglePartition"))
+        if ("BroadcastNestedLoopJoin" in plan
+                and name not in ALLOWED_NESTED_LOOP):
+            hazards.append((name, "BroadcastNestedLoopJoin"))
+        if "CartesianProduct" in plan and name not in ALLOWED_CARTESIAN:
+            hazards.append((name, "CartesianProduct"))
+    assert not hazards, (
+        f"new plan hazards (review, fix or allowlist): {hazards}")
