@@ -258,3 +258,24 @@ def test_segment_dedup_matches_reference_on_random_corpora(spark):
     got = {r["id"]: (r["n_segs"], r["n_kept"], r["clean_fp"])
            for r in segment_dedup(df, seg_len=4).collect()}
     assert got == _segment_dedup_reference(texts, seg_len=4)
+
+
+def test_hll_sketch_rollup_mergeable(spark):
+    """Distinct-count sketches must be MERGEABLE: per-group partial
+    sketches union-aggregated equal the whole-data sketch (the pattern
+    that makes hierarchical rollups — hour -> day -> month distincts —
+    one cheap re-aggregation at 100 TB instead of a re-scan), and both
+    land within HLL's error envelope of the exact count."""
+    from pyspark.sql import functions as F
+    from dask_relabeling_spark.plans.relational import t
+    ev = t(spark, "/root/testdata/sf0.001", "events")
+    exact = ev.select("user_id").distinct().count()
+    whole = ev.select(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")
+    ).first()["n"]
+    rolled = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.hll_sketch_agg("user_id").alias("sk"))
+              .select(F.hll_sketch_estimate(F.hll_union_agg("sk"))
+                      .alias("n")).first()["n"])
+    assert whole == rolled, "partial-sketch rollup must merge losslessly"
+    assert abs(whole - exact) <= max(3, exact * 0.05)
