@@ -26,6 +26,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # events).  Everything else still runs in the correctness gate.
 HEADLINE = [
     "relabel_components",
+    "relabel_components_summary",  # flagship w/ recursive-CTE CCL oracle
+    "relabel_annotations",     # GeoJSON terminal (1 shuffle, 1 Python pass)
     "relabel_components_3d",   # BASELINE.md geometry: 60x256x256, 2x2 grid
     "scan_filter_project",
     "q1_pricing_summary",
