@@ -124,16 +124,17 @@ def relabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # mask is ~90 % full and the contract breaks — this entry is graded at
 # the sf0.01 gate, like every oracle row.)
 @register("relabel_components_summary", f"""
-WITH RECURSIVE pts AS (
+WITH RECURSIVE pts AS MATERIALIZED (
   SELECT DISTINCT CAST(l_orderkey % {H} AS INT) AS y,
                   CAST(l_partkey % {W} AS INT) AS x
   FROM lineitem),
-ids AS (SELECT y, x, y * {W} + x AS id FROM pts),
-edges AS (
+ids AS MATERIALIZED (SELECT y, x, y * {W} + x AS id FROM pts),
+edges AS MATERIALIZED (
   SELECT a.id AS ea, b.id AS eb
   FROM ids a JOIN ids b
     ON (b.y = a.y AND b.x = a.x + 1) OR (b.y = a.y + 1 AND b.x = a.x)),
-sym(ea, eb) AS (SELECT ea, eb FROM edges UNION ALL SELECT eb, ea FROM edges),
+sym(ea, eb) AS MATERIALIZED (
+  SELECT ea, eb FROM edges UNION ALL SELECT eb, ea FROM edges),
 walk(pid, lbl) AS (
   SELECT id, id FROM ids
   UNION
