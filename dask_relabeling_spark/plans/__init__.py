@@ -52,6 +52,8 @@ _FAMILY_REDUNDANT = [
     "docs_fixed_per_lang_sample",  # family rep: docs_stratified_sample
     "docs_importance_sample",      # family rep: docs_stratified_sample
     "text_bpe_token_stats",        # family rep: text_token_stats
+    "events_sliding_windows",      # family reps: events_hourly_windows,
+                                   # events_session_windows
 ]
 
 # Flagship first: the tile-relabeling pipeline is the reference's core.

@@ -291,6 +291,74 @@ def text_bpe_token_stats(spark, sf_dir):
         .cast("int").alias("n_punct_tokens"))
 
 
+_BM25_TERMS = ("hash", "join", "vector")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register("docs_bm25_search", f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs,
+                 avg(len(tk)) AS avg_len FROM tok),
+hits AS (
+  SELECT doc_id, len(tk) AS doc_len, term,
+         len(list_filter(tk, x -> x = term)) AS tf
+  FROM tok, unnest(['{"','".join(_BM25_TERMS)}']) AS q(term)
+  WHERE list_contains(tk, term)),
+df AS (SELECT term, count(*) AS df FROM hits GROUP BY term)
+SELECT h.doc_id,
+       round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                 * h.tf * ({_BM25_K1} + 1.0)
+                 / (h.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * h.doc_len / s.avg_len))), 4) AS score
+FROM hits h JOIN df d USING (term) CROSS JOIN stats s
+GROUP BY h.doc_id
+ORDER BY score DESC, h.doc_id
+LIMIT 10
+""")
+def docs_bm25_search(spark, sf_dir):
+    """Ranked text retrieval: Lucene-style BM25 over the corpus for a
+    fixed conjunctive query, in ONE documents scan.  Doc length rides
+    the term-filtered explode (no join back onto the corpus), document
+    frequency is a tiny per-term aggregate, N/avg_len one scalar row —
+    both broadcast into the scorer.  Two corpus scans total: one for the
+    global stats, one for the hits — document frequency comes from a
+    term-partitioned window over the hits stream (NOT a re-derivation of
+    hits, which would re-scan the corpus a third time); everything after
+    the hits explode is bounded by matches.  Scores rounded to 4
+    decimals (ln differs across libms only in the last ulp)."""
+    from pyspark.sql import Window
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", TX.tokens_col(F.col("text")).alias("tk"))
+    stats = tk.agg(F.count("*").alias("n_docs"),
+                   F.avg(F.size("tk")).alias("avg_len"))
+    hits = (tk.select("doc_id", F.size("tk").alias("doc_len"),
+                      F.explode(F.array(*[F.lit(q) for q in _BM25_TERMS]))
+                      .alias("term"), "tk")
+            .filter(F.array_contains("tk", F.col("term")))
+            .select("doc_id", "doc_len", "term",
+                    F.size(F.filter("tk", _term_eq)).alias("tf")))
+    with_df = hits.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    score = (idf * F.col("tf") * (k1 + 1.0)
+             / (F.col("tf") + k1 * (1.0 - b
+                + b * F.col("doc_len") / F.col("avg_len"))))
+    return (with_df.crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(score), 4).alias("score"))
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(10))
+
+
+def _term_eq(x):
+    return x == F.col("term")
+
+
 @register("text_winnowing", """
 WITH g AS (
   SELECT doc_id AS id,

@@ -39,6 +39,7 @@ ALLOWED_NESTED_LOOP = {
     "orders_price_histogram": "1-row stats broadcast",
     "ntile_customer_quartiles": "1-row count broadcast",
     "ann_ivf_topk": "centroid-set broadcast (n_centroids rows)",
+    "docs_bm25_search": "1-row corpus-stats broadcast (N, avg_len)",
     "embedding_neardup_pairs":
         "documented brute-force baseline; LSH variant is the scale path",
 }
