@@ -30,6 +30,7 @@ ALLOWED_SINGLE_PARTITION = {
     "docs_pack_sequences": "prefix-sum partition totals (~#partitions rows)",
     "docs_deterministic_shuffle": "prefix-sum partition totals",
     "ntile_customer_quartiles": "prefix-sum partition totals + global count",
+    "docs_bm25_search": "1-row corpus-stats aggregate (N, avg_len)",
 }
 
 ALLOWED_NESTED_LOOP = {
