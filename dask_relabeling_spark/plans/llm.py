@@ -955,7 +955,8 @@ def docs_deterministic_shuffle(spark, sf_dir):
 # ------------------------------------- per-class embedding centroids
 @register("embedding_label_centroids", """
 SELECT label, CAST(u.s.i AS INT) AS dim,
-       round(avg(CAST(u.s.v AS DOUBLE)), 3) AS centroid,
+       round(CAST(sum(CAST(u.s.v AS DECIMAL(27,9))) AS DOUBLE)
+             / count(*), 3) AS centroid,
        CAST(count(*) AS BIGINT) AS n_vecs
 FROM embeddings e,
      unnest(list_transform(generate_series(1, len(e.embedding)),
@@ -967,14 +968,23 @@ def embedding_label_centroids(spark, sf_dir):
     IVF coarse-quantizer training, as one posexplode + partial-agg'd
     groupBy.  (label, dim) keys spread every vector's components across
     the cluster, so a hot label cannot pin a partition the way a
-    per-label collect would.  Rounded at 1e-3: double accumulation over
-    float32 inputs is order-stable far below that."""
+    per-label collect would.
+
+    Determinism: a double ``avg`` accumulates in shuffle-fetch order and
+    is NOT run-stable when the true mean sits on a round-half boundary
+    of ``round(_, 3)`` (observed: label=1/dim=18 flips 0.006<->0.007).
+    The mean is therefore computed as an exact DECIMAL(27,9) sum —
+    order-independent, and exact for float32-magnitude inputs, since a
+    float32 can never land on a 5e-10 half-point of the decimal grid so
+    both engines quantize identically — divided by the count, rounding
+    only at the very end."""
     em = t(spark, sf_dir, "embeddings")
+    exact_sum = F.sum(F.col("v").cast("double").cast("decimal(27,9)"))
     return (em.select("label",
                       F.posexplode("embedding").alias("pos", "v"))
             .groupBy("label",
                      (F.col("pos") + 1).cast("int").alias("dim"))
-            .agg(F.round(F.avg(F.col("v").cast("double")), 3)
+            .agg(F.round(exact_sum.cast("double") / F.count("*"), 3)
                  .alias("centroid"),
                  F.count("*").alias("n_vecs")))
 

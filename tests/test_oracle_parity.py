@@ -70,6 +70,28 @@ def test_rows_only_queries_run(spark):
         assert df.count() >= 0, name
 
 
+def test_centroids_order_independent(spark):
+    """Regression for the round-2 driver hash-fail: a double ``avg``
+    accumulates in shuffle-fetch order, and the (label=1, dim=18) mean
+    sits on a round(_, 3) half boundary, so reruns flipped
+    0.006<->0.007.  The decimal-sum formulation must yield bit-identical
+    centroids across runs with different partitioning."""
+    q = QUERIES["embedding_label_centroids"]
+
+    def run(parts):
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            rows = {(r["label"], r["dim"]): r["centroid"]
+                    for r in q(spark, SF_DIR).collect()}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        return rows
+
+    a, b, c = run(32), run(7), run(1)
+    assert a == b == c          # exact float equality, no tolerance
+
+
 def test_lsh_buckets_spread(spark):
     """Regression: hyperplane LSH must actually spread vectors across
     buckets (a prior bug generated all-negative correlated planes that
