@@ -4,19 +4,26 @@
 oracle SQL string or None for non-SQL-expressible operators).
 
 The registry is explicitly ORDERED: the driver's correctness gate walks
-entries front-to-back with a bounded budget (round 1 stopped after 50),
-so queries that have never received a driver-side correctness row are
-rotated to the front.  Round-1 green entries (CORRECTNESS_r01.json) sit
-at the back; within the never-checked block, the flagship tile pipeline
-comes first, then one representative per operator family, with
-family-redundant variants (a second ANN index, a second fingerprinting
-scheme, ...) last so a budget cut-off still covers every family.
+entries front-to-back with a bounded budget (rounds 1 and 2 each
+stopped after 50), so ordering IS the evidence-refresh policy:
+
+1. never-driver-checked entries first (round 3: the 8 entries that two
+   budget cut-offs starved, plus ``events_rolling_hour_stats``, whose
+   only driver row is round 1's ``err`` — it was mis-listed as round-1
+   green and rotated to the back, the round-2 bookkeeping bug),
+2. then entries whose implementation changed since their last driver
+   row (fresh evidence required),
+3. then any name in neither green list — i.e. queries added this round
+   land at the front automatically,
+4. then the flagship hash row and stalest (round-1) evidence,
+5. round-2 green entries last.
 """
 from .relational import REGISTRY  # noqa: F401  (base registry)
 from . import llm  # noqa: F401  (registers dedup/similarity/text/events)
 from . import tile_query  # noqa: F401  (registers the tile pipeline)
 
-# Names with a green driver row in round 1 — rotate to the back.
+# Green driver row in CORRECTNESS_r01.json (49 of its 50 rows;
+# events_rolling_hour_stats was that round's `err` row and is NOT here).
 _ROUND1_GREEN = [
     "scan_filter_project", "q1_pricing_summary",
     "broadcast_join_brand_revenue", "q3_shipping_priority",
@@ -36,40 +43,73 @@ _ROUND1_GREEN = [
     "part_token_positions", "orders_price_histogram",
     "events_value_anomalies", "grouping_sets_revenue",
     "ntile_customer_quartiles", "events_funnel",
-    "events_user_retention_cohorts", "events_rolling_hour_stats",
+    "events_user_retention_cohorts",
     "orders_vs_shipments_by_day", "events_value_percentiles",
     "salted_brand_revenue", "q6_forecast_revenue", "q7_volume_shipping",
     "q8_market_share", "q10_returned_items", "q12_late_priority_lines",
 ]
 
-# Never-driver-checked entries whose family already has an earlier
-# representative — safe to lose to a budget cut-off.
-_FAMILY_REDUNDANT = [
-    "dedup_minhash_signatures",  # family rep: dedup_minhash_lsh
-    "ann_lsh_topk",              # family reps: ann_cosine_topk, ann_ivf_topk
-    "text_fingerprint",          # family rep: text_winnowing
-    "events_lead_lag_deltas",    # family rep: events_sliding_windows
-    "docs_fixed_per_lang_sample",  # family rep: docs_stratified_sample
-    "docs_importance_sample",      # family rep: docs_stratified_sample
-    "text_bpe_token_stats",        # family rep: text_token_stats
-    "events_sliding_windows",      # family reps: events_hourly_windows,
-                                   # events_session_windows
+# Green (or structurally rows-only `no_oracle`) driver row in
+# CORRECTNESS_r02.json — the freshest evidence, rotate to the back.
+_ROUND2_GREEN = [
+    "relabel_components_summary", "relabel_components",
+    "relabel_components_3d", "relabel_annotations",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q21_waiting_suppliers", "q22_idle_customers",
+    "q2_min_cost_supplier", "q9_product_type_profit",
+    "q11_important_parts", "q16_part_supplier_counts",
+    "q20_excess_suppliers", "parquet_sink_roundtrip",
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_simhash", "ann_cosine_topk",
+    "text_token_stats", "text_langid", "text_quality",
+    "docs_bm25_search", "text_winnowing", "multimodal_metadata",
+    "multimodal_features", "events_hourly_windows",
+    "events_asof_last_click", "events_sessionize",
+    "events_session_windows", "docs_stratified_sample",
+    "events_hourly_gapfill", "dedup_cluster_canonical",
+    "docs_pack_sequences", "docs_weighted_interleave", "ann_ivf_topk",
+    "events_view_click_attribution", "text_repetition", "doc_chunks",
+    "events_asof_next_purchase", "docs_curation_pipeline",
+    "docs_deterministic_shuffle", "parts_fuzzy_name_pairs",
+    "docs_contamination_check", "docs_segment_dedup",
+    "events_rollup_cascade",
 ]
 
-# Flagship first: the tile-relabeling pipeline is the reference's core.
-# The summary variant leads — it is the one flagship entry with a full
-# SQL oracle (recursive-CTE CCL replay), i.e. the hash-checked row.
-_FLAGSHIP = ["relabel_components_summary", "relabel_components",
-             "relabel_components_3d", "relabel_annotations"]
+# Implementation or plan changed since the last driver row — fresh
+# evidence required even though a (stale/red) row exists.
+_CHANGED_THIS_ROUND = [
+    "embedding_label_centroids",  # r2 hash-fail -> decimal exact sum
+    "embedding_neardup_pairs",    # brute-force -> bucketed candidates
+]
+
+# Never driver-checked: starved by two 50-entry budget cut-offs.
+_NEVER_CHECKED = [
+    "events_rolling_hour_stats",   # r1 err row; fix landed r2, unproven
+    "dedup_minhash_signatures",
+    "ann_lsh_topk",
+    "text_fingerprint",
+    "events_lead_lag_deltas",
+    "docs_fixed_per_lang_sample",
+    "docs_importance_sample",
+    "text_bpe_token_stats",
+    "events_sliding_windows",
+]
 
 
 def _reorder() -> None:
-    front = list(_FLAGSHIP)
+    front = [n for n in _NEVER_CHECKED if n in REGISTRY]
+    front += [n for n in _CHANGED_THIS_ROUND if n in REGISTRY]
+    # Anything not in a green list is new this round -> front.
     front += [n for n in REGISTRY
               if n not in front and n not in _ROUND1_GREEN
-              and n not in _FAMILY_REDUNDANT]
-    front += [n for n in _FAMILY_REDUNDANT if n in REGISTRY]
+              and n not in _ROUND2_GREEN]
+    # Flagship hash row next: keep per-round evidence for the core.
+    front += ["relabel_components_summary"]
+    # Stalest evidence (round 1) before freshest (round 2).
     front += [n for n in _ROUND1_GREEN if n in REGISTRY]
+    front += [n for n in _ROUND2_GREEN
+              if n in REGISTRY and n != "relabel_components_summary"]
     assert len(front) == len(REGISTRY), "reorder dropped/duplicated entries"
     snapshot = {name: REGISTRY[name] for name in front}
     REGISTRY.clear()
