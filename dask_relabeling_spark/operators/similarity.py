@@ -80,6 +80,80 @@ def cosine_neardup_pairs(df: DataFrame, threshold_num: int = 45,
                     F.col("b.id").alias("id_b")))
 
 
+def ivf_cell_assignments(df: DataFrame, n_centroids: int = 8,
+                         n_assign: int = 2, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Multi-assignment IVF quantization: every vector is assigned to its
+    ``n_assign`` nearest centroid cells by cosine (ties -> lowest cid).
+    Centroids are the ``n_centroids`` lowest-id vectors — the same
+    deterministic quantizer as ``ivf_cells`` (a trained k-means drop-in
+    swaps the centroid frame).
+
+    Shape: corpus x broadcast(tiny centroids) nested-loop, then a
+    ``row_number`` window partitioned by the high-cardinality vector id
+    (n_centroids rows per partition key — no skew, no single-partition
+    stage).  Output: (id, cell), ``n_assign`` rows per vector.
+    """
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (vecs.filter(F.col("id") < n_centroids)
+             .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+    scored = (vecs.crossJoin(F.broadcast(cents))
+              .select("id", "cid",
+                      cosine(F.col("v"), F.col("cv")).alias("cos")))
+    w = Window.partitionBy("id").orderBy(F.desc("cos"), F.col("cid"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= n_assign)
+            .select("id", F.col("cid").alias("cell")))
+
+
+def ivf_neardup_pairs(df: DataFrame, threshold_num: int = 45,
+                      threshold_den: int = 100, n_centroids: int = 8,
+                      n_assign: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup pairs, bucketed (SemDeDup-style): candidates are
+    pairs sharing at least one of their ``n_assign`` nearest IVF cells,
+    then exact-cosine verified with the integer-rational threshold.
+
+    This is the scale path that replaces the brute-force all-pairs join
+    (`cosine_neardup_pairs`, kept as the correctness baseline/test
+    oracle): candidate generation is an equality join on the cell key, so
+    work is bounded by cell sizes — at 100 TB pick n_centroids ~
+    corpus/target_cell_size (k-means-trained) and the candidate share
+    scales as ~n_assign^2/n_centroids, while here the quantizer stays
+    the tiny deterministic one the DuckDB oracle replays bit-for-bit.
+    Recall is the documented ANN trade: pairs split across cell
+    boundaries are missed (multi-assignment recovers most; measured
+    12/14 at the sf0.01 gate where the planted pairs sit barely above
+    the 0.45 threshold — genuinely-near duplicates assign together with
+    probability ~1).  Output: (id_a, id_b).
+    """
+    cells = ivf_cell_assignments(df, n_centroids, n_assign,
+                                 id_col, vec_col)
+    cand = (cells.alias("a")
+            .join(cells.alias("b"),
+                  (F.col("a.cell") == F.col("b.cell")) &
+                  (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"),
+                     _norm(F.col(vec_col).cast("array<double>"))
+                     .alias("nrm"))
+    scored = (cand
+              .join(vecs.select(F.col("id").alias("id_a"),
+                                F.col("v").alias("va"),
+                                F.col("nrm").alias("na")), "id_a")
+              .join(vecs.select(F.col("id").alias("id_b"),
+                                F.col("v").alias("vb"),
+                                F.col("nrm").alias("nb")), "id_b")
+              .withColumn("cos", _dot(F.col("va"), F.col("vb"))
+                          / (F.col("na") * F.col("nb"))))
+    return (scored.filter(F.col("cos") * threshold_den >= threshold_num)
+            .select("id_a", "id_b"))
+
+
 def default_lsh_planes(n_planes: int = 5, dim: int = 64,
                        seed: int = 20240813) -> List[List[float]]:
     """Deterministic pseudo-random hyperplanes (64-bit LCG), identical

@@ -189,19 +189,37 @@ def ann_lsh_topk(spark, sf_dir):
                              S.default_lsh_planes(), k=10)
 
 
-@register("embedding_neardup_pairs", """
-WITH v AS (
-  SELECT vec_id AS id,
-         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
-  FROM embeddings),
+def _ivf_neardup_sql(n_centroids: int = 8, n_assign: int = 2) -> str:
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    return f"""
+WITH v AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
+c AS (SELECT id AS cid, ve AS cv FROM v WHERE id < {n_centroids}),
+pc AS (SELECT v.id, c.cid, {cos.format(a="v.ve", b="c.cv")} AS cos
+       FROM v, c),
+cell AS (SELECT id, cid AS cell FROM (
+  SELECT id, cid, row_number() OVER (PARTITION BY id
+                                     ORDER BY cos DESC, cid) AS rn
+  FROM pc) WHERE rn <= {n_assign}),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM cell a JOIN cell b
+           ON a.cell = b.cell AND a.id < b.id),
 n AS (SELECT id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v)
-SELECT a.id AS id_a, b.id AS id_b
-FROM n a JOIN n b ON a.id < b.id
+SELECT cand.id_a, cand.id_b
+FROM cand JOIN n a ON a.id = cand.id_a JOIN n b ON b.id = cand.id_b
 WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) * 100 >= 45
-""")
+"""
+
+
+@register("embedding_neardup_pairs", _ivf_neardup_sql())
 def embedding_neardup_pairs(spark, sf_dir):
-    return S.cosine_neardup_pairs(t(spark, sf_dir, "embeddings"),
-                                  threshold_num=45, threshold_den=100)
+    """Bucketed (IVF multi-assignment) near-dup pairs — the scale path;
+    the brute-force all-pairs join survives only as the local test
+    baseline (tests/test_oracle_parity.py recall check)."""
+    return S.ivf_neardup_pairs(t(spark, sf_dir, "embeddings"),
+                               threshold_num=45, threshold_den=100)
 
 
 # ------------------------------------------------------- text analysis

@@ -42,7 +42,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_ivf_topk": "centroid-set broadcast (n_centroids rows)",
     "docs_bm25_search": "1-row corpus-stats broadcast (N, avg_len)",
     "embedding_neardup_pairs":
-        "documented brute-force baseline; LSH variant is the scale path",
+        "centroid-set broadcast (n_centroids rows) for IVF assignment",
 }
 
 ALLOWED_CARTESIAN: dict = {}
