@@ -81,6 +81,8 @@ _ROUND2_GREEN = [
 _CHANGED_THIS_ROUND = [
     "embedding_label_centroids",  # r2 hash-fail -> decimal exact sum
     "embedding_neardup_pairs",    # brute-force -> bucketed candidates
+    "relabel_components",         # 2D mask thinned (contract at sf0.1)
+    "relabel_annotations",        # same thinned 2D mask
 ]
 
 # Never driver-checked: starved by two 50-entry budget cut-offs.
@@ -107,9 +109,10 @@ def _reorder() -> None:
     # Flagship hash row next: keep per-round evidence for the core.
     front += ["relabel_components_summary"]
     # Stalest evidence (round 1) before freshest (round 2).
-    front += [n for n in _ROUND1_GREEN if n in REGISTRY]
+    front += [n for n in _ROUND1_GREEN
+              if n in REGISTRY and n not in front]
     front += [n for n in _ROUND2_GREEN
-              if n in REGISTRY and n != "relabel_components_summary"]
+              if n in REGISTRY and n not in front]
     assert len(front) == len(REGISTRY), "reorder dropped/duplicated entries"
     snapshot = {name: REGISTRY[name] for name in front}
     REGISTRY.clear()

@@ -11,12 +11,17 @@ SQL-expressible, so this entry carries no DuckDB oracle (rows-only check;
 golden parity for the pipeline itself is covered by tests/ against the
 reference fixtures).
 
-NB: at sf0.1 the 2D mask is ~90 % full, so connected components dwarf the
-16 px halo — far outside the reference algorithm's one-hop-merge
-contract (max object diameter <= overlap, SURVEY §4.1).  The pipeline is
-still deterministic there (same counts every run, and identical to what
-the reference's kernels compute), which is all the bench requires; the
-sf0.01 gate data is sparse enough that pixel conservation is exact.
+The 2D mask is deterministically THINNED (keep a pixel iff its md5 hash
+mod 4 == 0, replayed verbatim by the oracle CTE) so the one-hop-merge
+contract (max object diameter <= overlap, SURVEY §4.1) holds at every
+driver scale: unthinned, sf0.1's ~90 %-full mask percolates into
+grid-spanning components and the bench would measure a degenerate
+regime.  Measured after thinning: density 0.051 / max component bbox
+side 3 px at sf0.01, density 0.224 / max side 9 px at sf0.1 — both
+within the 16 px halo (asserted by
+tests/test_oracle_parity.py::test_flagship_mask_contract, so a testdata
+regeneration that densifies the mask fails at the contract, not as an
+opaque hash mismatch).
 """
 from __future__ import annotations
 
@@ -36,6 +41,8 @@ H = W = 512
 CHUNK = 128
 OVERLAP = 16
 GRID = (H // CHUNK, W // CHUNK)
+# keep 1-in-MASK_MOD pixels (md5 pixel hash) — see module docstring
+MASK_MOD = 4
 
 
 def _mask_tiles(spark: SparkSession, sf_dir: str, as_pieces: bool = False):
@@ -49,8 +56,11 @@ def _mask_tiles(spark: SparkSession, sf_dir: str, as_pieces: bool = False):
     The only Python is the per-tile byte->ndarray expansion."""
     li = t(spark, sf_dir, "lineitem")
     local = (F.col("y") % CHUNK) * CHUNK + (F.col("x") % CHUNK)
+    pixel_hash = F.conv(F.substring(F.md5(F.concat_ws(
+        ",", F.col("y"), F.col("x"))), 1, 8), 16, 10).cast("long")
     bitrows = (li.select((F.col("l_orderkey") % H).cast("int").alias("y"),
                          (F.col("l_partkey") % W).cast("int").alias("x"))
+               .filter(pixel_hash % MASK_MOD == 0)
                .select((F.col("y") / CHUNK).cast("int").alias("cy"),
                        (F.col("x") / CHUNK).cast("int").alias("cx"),
                        (local / 64).cast("int").alias("word"),
@@ -117,17 +127,20 @@ def relabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pipeline as relabel_components, summarized per CONNECTED COMPONENT in
 # label-id-invariant terms (pixel count + bounding box), so a DuckDB
 # recursive-CTE min-label-propagation replay of 4-connected CCL is an
-# exact oracle.  Valid because at the sf0.01 gate scale the mask's
-# largest component diameter is 8 px (measured) <= the 16 px halo — the
-# reference algorithm's one-hop-merge contract (SURVEY §4.1) holds, so
-# the checkerboard pipeline IS exact global CCL there.  (At sf0.1 the
-# mask is ~90 % full and the contract breaks — this entry is graded at
-# the sf0.01 gate, like every oracle row.)
+# exact oracle.  Valid because the thinned mask's largest component
+# bbox side (3 px at sf0.01, 9 px at sf0.1 — asserted by
+# test_flagship_mask_contract) stays <= the 16 px halo, so the
+# checkerboard pipeline IS exact global CCL at every driver scale
+# (one-hop-merge contract, SURVEY §4.1).
 @register("relabel_components_summary", f"""
 WITH RECURSIVE pts AS MATERIALIZED (
-  SELECT DISTINCT CAST(l_orderkey % {H} AS INT) AS y,
-                  CAST(l_partkey % {W} AS INT) AS x
-  FROM lineitem),
+  SELECT y, x FROM (
+    SELECT DISTINCT CAST(l_orderkey % {H} AS INT) AS y,
+                    CAST(l_partkey % {W} AS INT) AS x
+    FROM lineitem)
+  WHERE CAST('0x' || substr(md5(CAST(y AS VARCHAR) || ',' ||
+                                CAST(x AS VARCHAR)), 1, 8) AS BIGINT)
+        % {MASK_MOD} = 0),
 ids AS MATERIALIZED (SELECT y, x, y * {W} + x AS id FROM pts),
 edges AS MATERIALIZED (
   SELECT a.id AS ea, b.id AS eb

@@ -92,6 +92,49 @@ def test_centroids_order_independent(spark):
     assert a == b == c          # exact float equality, no tolerance
 
 
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01",
+                                    "/root/testdata/sf0.1"])
+def test_flagship_mask_contract(sf_dir):
+    """The relabel pipeline's one-hop-merge contract is a DATA property:
+    max connected-component diameter <= halo (SURVEY §4.1).  Assert it
+    directly at both driver scales so a testdata regeneration that
+    densifies the mask fails HERE, naming the contract, instead of as a
+    non-obvious oracle hash mismatch (round-2 ADVICE)."""
+    import numpy as np
+
+    from dask_relabeling_spark.kernels.ccl import label
+    from dask_relabeling_spark.plans.tile_query import (
+        H, MASK_MOD, OVERLAP, W)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"'{sf_dir}/lineitem.parquet'")
+    pts = con.execute(f"""
+        WITH p AS (SELECT DISTINCT CAST(l_orderkey % {H} AS INT) AS y,
+                                   CAST(l_partkey % {W} AS INT) AS x
+                   FROM lineitem)
+        SELECT y, x FROM p
+        WHERE CAST('0x' || substr(md5(CAST(y AS VARCHAR) || ',' ||
+                                      CAST(x AS VARCHAR)), 1, 8) AS BIGINT)
+              % {MASK_MOD} = 0""").fetchnumpy()
+    mask = np.zeros((H, W), dtype=np.int64)
+    mask[pts["y"], pts["x"]] = 1
+    lab = label(mask)
+    n = int(lab.max())
+    assert n > 100, "mask degenerated to (almost) nothing"
+    ys, xs = np.nonzero(lab)
+    ls = lab[ys, xs]
+    big = 10 ** 9
+    ymin = np.full(n + 1, big); ymax = np.full(n + 1, -big)
+    xmin = np.full(n + 1, big); xmax = np.full(n + 1, -big)
+    np.minimum.at(ymin, ls, ys); np.maximum.at(ymax, ls, ys)
+    np.minimum.at(xmin, ls, xs); np.maximum.at(xmax, ls, xs)
+    max_side = int(max((ymax - ymin)[1:].max(), (xmax - xmin)[1:].max()))
+    assert max_side <= OVERLAP, (
+        f"one-hop-merge contract broken: max component bbox side "
+        f"{max_side} > halo {OVERLAP} — regenerate/re-thin the mask "
+        f"(MASK_MOD) before trusting the CCL oracle")
+
+
 def test_ivf_neardup_recall(spark):
     """The bucketed near-dup pairs must be a strict candidate-pruned
     subset of the brute-force baseline with documented recall: no false
