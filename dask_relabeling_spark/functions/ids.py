@@ -56,8 +56,18 @@ def exclusive_prefix_sum(df: DataFrame, key_col: str, val_col: str,
     cumsum (fully parallel), then a partition-totals table — one row per
     (partition, group-in-partition), still tiny — prefix-summed per group
     on the small side of a broadcast join.  The repartitioned frame is
-    persisted so both phases see the SAME sampled range boundaries
-    (recomputation could legally re-sample them).
+    pinned with a LAZY ``localCheckpoint`` so both phases see the SAME
+    sampled range boundaries (recomputation could legally re-sample
+    them).  localCheckpoint, not ``persist()``: a persisted plan can be
+    evicted under memory pressure and silently recomputed (breaking the
+    same-boundaries invariant), and its CacheManager entry lives for the
+    whole session — repeated invocations (this routine is on the bench
+    path via ntile/pack/shuffle) would accumulate executor storage.
+    Checkpoint blocks spill to disk instead of evicting and are
+    GC-cleaned once the result frame goes out of scope.  (Cluster
+    caveat, as for ``connected_components``: localCheckpoint data does
+    not survive executor loss — point ``setCheckpointDir`` at durable
+    storage and use ``checkpoint()`` for fault-tolerant runs.)
     """
     from pyspark.sql import Window
 
@@ -65,7 +75,8 @@ def exclusive_prefix_sum(df: DataFrame, key_col: str, val_col: str,
     keys = [F.col(c) for c in grp + [key_col]]
     part = (df.repartitionByRange(num_partitions, *keys)
             if num_partitions else df.repartitionByRange(*keys))
-    with_pid = part.withColumn("_pid", F.spark_partition_id()).persist()
+    with_pid = (part.withColumn("_pid", F.spark_partition_id())
+                .localCheckpoint(eager=False))
 
     w = (Window.partitionBy("_pid", *grp).orderBy(key_col)
          .rowsBetween(Window.unboundedPreceding, -1))

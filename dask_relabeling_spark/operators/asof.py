@@ -29,6 +29,12 @@ from pyspark.sql import types as T
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
+def _c(name: str):
+    """Column reference by exact name — backtick-quoted so names with
+    dots/spaces resolve as one identifier, not a nested-field path."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def asof_join(left: DataFrame, right: DataFrame, on: List[str],
               left_ts: str, right_ts: str,
               right_id: Optional[str] = None,
@@ -51,8 +57,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
             f"direction must be backward|forward|nearest: {direction}")
-    if tolerance_seconds is not None and right_ts in on:
-        raise ValueError("tolerance requires right_ts as a payload column")
+    if right_ts in on and (tolerance_seconds is not None
+                           or direction == "nearest"):
+        # both features read the matched row's timestamp back out of the
+        # right-payload struct; a key column is not in that struct and
+        # would fail later with an opaque unresolved-field error
+        raise ValueError(
+            f"direction='nearest' and tolerance require right_ts "
+            f"('{right_ts}') as a payload column, not a join key")
     if tolerance_seconds is not None:
         lt, rt = left.schema[left_ts].dataType, right.schema[right_ts].dataType
         if lt != rt:
@@ -70,7 +82,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
                 f"cast to NULL and silently lose determinism)")
 
     r_payload = [c for c in right.columns if c not in on]
-    r_struct = F.struct(*[F.col(c) for c in r_payload])
+    r_struct = F.struct(*[_c(c).alias(c) for c in r_payload])
     r_struct_type = right.select(r_struct.alias("_r")).schema["_r"].dataType
 
     ts_order = F.col("_ts")
@@ -80,19 +92,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
         ts_order = F.col("_ts").desc()
 
     l2 = left.select(
-        *[F.col(c) for c in on],
-        F.col(left_ts).alias("_ts"),
+        *[_c(c).alias(c) for c in on],
+        _c(left_ts).alias("_ts"),
         F.lit(None).cast("long").alias("_tb"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_l"),
+        F.struct(*[_c(c).alias(c) for c in left.columns]).alias("_l"),
         F.lit(None).cast(r_struct_type).alias("_r"))
     # NULL ids (if any) coalesce to long-min: they lose every tie
     # deterministically instead of mixing with the left rows' NULL marker
-    r_tb = (F.coalesce(F.col(right_id).cast("long"),
+    r_tb = (F.coalesce(_c(right_id).cast("long"),
                        F.lit(-(1 << 63)))
             if right_id else F.lit(0))
     r2 = right.select(
-        *[F.col(c) for c in on],
-        F.col(right_ts).alias("_ts"),
+        *[_c(c).alias(c) for c in on],
+        _c(right_ts).alias("_ts"),
         r_tb.alias("_tb"),
         F.lit(None).cast(l2.schema["_l"].dataType).alias("_l"),
         r_struct.alias("_r"))
@@ -108,24 +120,25 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
         # sort, no second exchange.  Equal-|gap| ties prefer the backward
         # match (documented; at gap 0 both arms resolve to the same row,
         # the highest right id at that timestamp).
-        wb = (Window.partitionBy(*on)
+        wb = (Window.partitionBy(*[_c(c) for c in on])
               .orderBy(F.col("_ts"), F.col("_tb").asc_nulls_last())
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        wf = (Window.partitionBy(*on)
+        wf = (Window.partitionBy(*[_c(c) for c in on])
               .orderBy(F.col("_ts").desc(), F.col("_tb").asc_nulls_last())
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         both = (u.withColumn("_mb", F.last("_r", ignorenulls=True).over(wb))
                 .withColumn("_mf", F.last("_r", ignorenulls=True).over(wf))
                 .filter(F.col("_l").isNotNull()))
-        gb = F.abs(F.expr(f"timestampdiff(MICROSECOND, _ts, _mb.{right_ts})"))
-        gf = F.abs(F.expr(f"timestampdiff(MICROSECOND, _ts, _mf.{right_ts})"))
+        rts_q = "`" + right_ts.replace("`", "``") + "`"
+        gb = F.abs(F.expr(f"timestampdiff(MICROSECOND, _ts, _mb.{rts_q})"))
+        gf = F.abs(F.expr(f"timestampdiff(MICROSECOND, _ts, _mf.{rts_q})"))
         matched = (both.withColumn(
             "_m", F.when(F.col("_mb").isNull(), F.col("_mf"))
                    .when(F.col("_mf").isNull(), F.col("_mb"))
                    .when(gb <= gf, F.col("_mb")).otherwise(F.col("_mf")))
             .drop("_mb", "_mf"))
     else:
-        w = (Window.partitionBy(*on).orderBy(ts_order,
+        w = (Window.partitionBy(*[_c(c) for c in on]).orderBy(ts_order,
                                              F.col("_tb").asc_nulls_last())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
@@ -138,11 +151,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
         # transition).  Same-type operands are guaranteed: both sides
         # were renamed to `_ts` and unioned above, so a type mismatch
         # already failed loudly at unionByName.
+        rts_q = "`" + right_ts.replace("`", "``") + "`"
         gap = F.abs(F.expr(
-            f"timestampdiff(MICROSECOND, _ts, _m.{right_ts})"))
+            f"timestampdiff(MICROSECOND, _ts, _m.{rts_q})"))
         matched = matched.withColumn(
             "_m", F.when(gap <= float(tolerance_seconds) * 1e6,
                          F.col("_m")))
-    out_cols = ([F.col(f"_l.{c}").alias(c) for c in left.columns]
-                + [F.col(f"_m.{c}").alias(c + suffix) for c in r_payload])
+    # getField, not "_l.{c}" string paths: safe for any column name
+    out_cols = ([F.col("_l").getField(c).alias(c) for c in left.columns]
+                + [F.col("_m").getField(c).alias(c + suffix)
+                   for c in r_payload])
     return matched.select(*out_cols)

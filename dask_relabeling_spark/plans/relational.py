@@ -1737,11 +1737,16 @@ def parquet_sink_roundtrip(spark, sf_dir):
     possible at 100 TB), read the sink back, and aggregate the re-read
     data.  The oracle aggregates the source directly, so any loss or
     duplication in the write/read round-trip (or a partition-value
-    encoding bug in the priority strings) breaks the hash match."""
-    import os
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".scratch", "sink_roundtrip")
+    encoding bug in the priority strings) breaks the hash match.
+
+    SIDE EFFECT AT BUILD TIME (unavoidable for a write capability): the
+    distributed write runs when the builder is invoked, not when the
+    returned frame executes — plan-only sweeps trigger it too.  Each
+    invocation writes to its own fresh temp dir (no shared fixed path,
+    so concurrent gate/bench/ratchet runs cannot race) under the
+    system temp root, which owns cleanup."""
+    import tempfile
+    out = tempfile.mkdtemp(prefix="spark_sink_roundtrip_")
     o = (t(spark, sf_dir, "orders")
          .filter(F.col("o_orderstatus") == "F")
          .select("o_orderkey", "o_orderpriority", "o_totalprice"))

@@ -124,3 +124,32 @@ def test_non_numeric_right_id_rejected(sides):
     bad = right.withColumn("rid_s", F.col("rid").cast("string"))
     with pytest.raises(TypeError, match="must be integral"):
         asof_join(left, bad, ["k"], "ts", "rts", right_id="rid_s")
+
+
+def test_nearest_right_ts_in_on_rejected(spark):
+    """direction='nearest' reads the matched timestamp out of the right
+    payload struct; a right_ts that is also a join key is not in that
+    struct and previously failed late with an opaque unresolved-field
+    AnalysisException — it must be rejected up front, like the
+    tolerance_seconds path always did."""
+    left = spark.createDataFrame([(1, _ts(10))], "lid int, ts timestamp")
+    right = spark.createDataFrame([(_ts(8), 1.0)],
+                                  "ts timestamp, val double")
+    with pytest.raises(ValueError, match="payload column"):
+        asof_join(left, right, ["ts"], "ts", "ts", direction="nearest")
+
+
+def test_backtick_column_names(spark):
+    """Column names needing quoting (dots/spaces) must survive the
+    timestampdiff interpolation and the output-struct field reads."""
+    left = spark.createDataFrame([(1, "u", _ts(10))],
+                                 "lid int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, "u", _ts(8), 1.0), (101, "u", _ts(12), 2.0)],
+        "rid int, k string, `r.ts` timestamp, `my val` double")
+    [row] = asof_join(left, right, ["k"], "ts", "r.ts",
+                      right_id="rid", direction="nearest").collect()
+    assert row["rid_r"] == 100 and row["my val_r"] == 1.0
+    [row2] = asof_join(left, right, ["k"], "ts", "r.ts",
+                       right_id="rid", tolerance_seconds=1).collect()
+    assert row2["rid_r"] is None
