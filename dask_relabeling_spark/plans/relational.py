@@ -485,15 +485,32 @@ def suppliers_per_nation_list(spark, sf_dir):
 SELECT CAST(year(o_orderdate) AS INT) AS yr,
        CAST(month(o_orderdate) AS INT) AS mo,
        CAST(count(*) AS BIGINT) AS n,
-       round(avg(o_totalprice), 4) AS avg_price
+       CAST((2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 10000
+                 AS BIGINT) + count(*))
+            // (2 * count(*)) AS BIGINT) AS avg_price_e4
 FROM orders GROUP BY 1, 2
 """)
 def orders_by_year_month(spark, sf_dir):
+    """Date-part grouping with an EXACT scaled average.
+
+    The obvious ``round(avg(o_totalprice), 4)`` is a latent determinism
+    bug: the 1995-11 group's true mean x 10^4 sits exactly ON the
+    round-half boundary (found by tools/round_boundary_audit.py), so a
+    double ``avg`` accumulated in a different shuffle order can flip the
+    last digit — the same failure mode that hit
+    ``embedding_label_centroids`` in round 2.  Since prices are exact
+    2-decimal values, the half-up-rounded scaled mean is computed in
+    pure integer arithmetic instead: ``floor((2*S*10^4 + n) / (2n))``
+    over the exact decimal cent sum — order-independent, boundary-proof
+    on both engines."""
     o = t(spark, sf_dir, "orders")
     return (o.groupBy(F.year("o_orderdate").cast("int").alias("yr"),
                       F.month("o_orderdate").cast("int").alias("mo"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+                 F.expr("(2 * CAST(sum(CAST(o_totalprice AS "
+                        "DECIMAL(18,2))) * 10000 AS BIGINT) + count(*)) "
+                        "DIV (2 * count(*))")
+                 .cast("long").alias("avg_price_e4")))
 
 
 # ---------------------------------------------------- 21. string functions
