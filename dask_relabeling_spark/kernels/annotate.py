@@ -45,14 +45,40 @@ def labels_to_annotations(labels: np.ndarray, object_classes: Dict[int, str],
                           classes: Optional[np.ndarray] = None,
                           offset: Optional[np.ndarray] = None
                           ) -> Optional[dict]:
-    """Build a FeatureCollection dict for one 2D label tile (or None)."""
+    """Build a FeatureCollection dict for one 2D label tile (or None).
+
+    Per-label work is cropped to the label's bounding box (bboxes
+    computed once, vectorized): the naive ``labels == id`` scan is
+    O(labels x tile pixels) per TILE — ~50 M element ops for a dense
+    160x160 tile with 2 k small objects — where bbox cropping is
+    O(tile + labels x bbox).  Identical output: the raster-first start
+    pixel and the traced border are unchanged by cropping (a bbox
+    contains its object's whole 8-boundary), coordinates are shifted
+    back by the bbox origin.
+    """
+    ys, xs = np.nonzero(labels)
+    if len(ys) == 0:
+        return None
+    vals = labels[ys, xs]
+    ids = np.unique(vals)
+    idx = np.searchsorted(ids, vals)
+    n = len(ids)
+    y0 = np.full(n, labels.shape[0], dtype=np.int64)
+    x0 = np.full(n, labels.shape[1], dtype=np.int64)
+    y1 = np.full(n, -1, dtype=np.int64)
+    x1 = np.full(n, -1, dtype=np.int64)
+    np.minimum.at(y0, idx, ys)
+    np.maximum.at(y1, idx, ys)
+    np.minimum.at(x0, idx, xs)
+    np.maximum.at(x1, idx, xs)
+
     features = []
-    for curr_l in np.unique(labels):
-        if curr_l == 0:
-            continue
-        mask = labels == curr_l
+    for k, curr_l in enumerate(ids):
+        ay0, ay1, ax0, ax1 = y0[k], y1[k] + 1, x0[k], x1[k] + 1
+        mask = labels[ay0:ay1, ax0:ax1] == curr_l
         if classes is not None:
-            curr_class = int(np.max(classes * mask[None, ...]))
+            curr_class = int(np.max(
+                classes[..., ay0:ay1, ax0:ax1] * mask[None, ...]))
         else:
             curr_class = 0
         object_type = object_classes[curr_class]
@@ -60,6 +86,7 @@ def labels_to_annotations(labels: np.ndarray, object_classes: Dict[int, str],
         cc = trace_outer_contour(mask)
         if len(cc) < 2:
             continue
+        cc = cc + np.array([ax0, ay0], dtype=np.int64)[None, :]
         if offset is not None:
             cc = cc + np.asarray(offset, dtype=np.int64)[None, :]
         ring = np.vstack((cc, cc[0, None, :])).tolist()

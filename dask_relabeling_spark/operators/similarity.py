@@ -211,6 +211,52 @@ def lsh_cosine_topk(df: DataFrame, query_vec: Sequence[float],
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def pq_codes(df: DataFrame, n_sub: int = 8, sub_dim: int = 8,
+             n_centroids: int = 4, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codes: split each vector into ``n_sub``
+    sub-vectors of ``sub_dim`` dims; per sub-space, assign the nearest
+    (L2, ties -> lowest centroid id) of ``n_centroids`` codebook entries
+    and pack the per-sub-space code ids into one integer.  Codebooks are
+    the sub-vectors of the ``n_centroids`` lowest-id vectors — the same
+    deterministic stand-in quantizer as ``ivf_cells`` (a trained
+    codebook frame is a drop-in).
+
+    This is the memory side of large-scale ANN: 64 float32 dims become
+    ``n_sub * log2(n_centroids)`` bits (here 16), so a 100 TB embedding
+    corpus's index fits in RAM.  Shape: corpus x broadcast(tiny
+    codebook) nested-loop, all ``n_sub`` sub-distances computed in one
+    pass over that join (JVM ``zip_with``/``aggregate`` on array
+    slices), then ONE ``min_by``-per-sub-space aggregation keyed by the
+    high-cardinality vector id — no skew, no second shuffle.
+    Output: (id, code) with code = sum(code_s << (bits*s)).
+    """
+    bits = max(1, (n_centroids - 1).bit_length())
+    vecs = df.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (vecs.filter(F.col("id") < n_centroids)
+             .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+
+    def sub_l2(s: int) -> Column:
+        a = F.slice(F.col("v"), s * sub_dim + 1, sub_dim)
+        b = F.slice(F.col("cv"), s * sub_dim + 1, sub_dim)
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, d: acc + d)
+
+    scored = (vecs.crossJoin(F.broadcast(cents))
+              .select("id", "cid",
+                      *[sub_l2(s).alias(f"d{s}") for s in range(n_sub)]))
+    code_terms = [
+        F.min_by("cid", F.struct(F.col(f"d{s}"), F.col("cid")))
+        .alias(f"c{s}") for s in range(n_sub)]
+    agg = scored.groupBy("id").agg(*code_terms)
+    packed = None
+    for s in range(n_sub):
+        term = F.shiftleft(F.col(f"c{s}").cast("long"), bits * s)
+        packed = term if packed is None else packed + term
+    return agg.select("id", packed.cast("long").alias("code"))
+
+
 def ivf_cells(df: DataFrame, n_centroids: int = 8,
               id_col: str = "vec_id", vec_col: str = "embedding"
               ) -> DataFrame:

@@ -313,6 +313,33 @@ _BM25_TERMS = ("hash", "join", "vector")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
+def _bm25_scored(spark, sf_dir):
+    """(doc_id, score) BM25 frame shared by docs_bm25_search and the
+    hybrid-fusion query — see docs_bm25_search for the plan shape."""
+    from pyspark.sql import Window
+    d = t(spark, sf_dir, "documents")
+    tk = d.select("doc_id", TX.tokens_col(F.col("text")).alias("tk"))
+    stats = tk.agg(F.count("*").alias("n_docs"),
+                   F.avg(F.size("tk")).alias("avg_len"))
+    hits = (tk.select("doc_id", F.size("tk").alias("doc_len"),
+                      F.explode(F.array(*[F.lit(q) for q in _BM25_TERMS]))
+                      .alias("term"), "tk")
+            .filter(F.array_contains("tk", F.col("term")))
+            .select("doc_id", "doc_len", "term",
+                    F.size(F.filter("tk", _term_eq)).alias("tf")))
+    with_df = hits.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")))
+    k1, b = _BM25_K1, _BM25_B
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    score = (idf * F.col("tf") * (k1 + 1.0)
+             / (F.col("tf") + k1 * (1.0 - b
+                + b * F.col("doc_len") / F.col("avg_len"))))
+    return (with_df.crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(score), 4).alias("score")))
+
+
 @register("docs_bm25_search", f"""
 WITH tok AS MATERIALIZED (
   SELECT doc_id,
@@ -347,28 +374,7 @@ def docs_bm25_search(spark, sf_dir):
     hits, which would re-scan the corpus a third time); everything after
     the hits explode is bounded by matches.  Scores rounded to 4
     decimals (ln differs across libms only in the last ulp)."""
-    from pyspark.sql import Window
-    d = t(spark, sf_dir, "documents")
-    tk = d.select("doc_id", TX.tokens_col(F.col("text")).alias("tk"))
-    stats = tk.agg(F.count("*").alias("n_docs"),
-                   F.avg(F.size("tk")).alias("avg_len"))
-    hits = (tk.select("doc_id", F.size("tk").alias("doc_len"),
-                      F.explode(F.array(*[F.lit(q) for q in _BM25_TERMS]))
-                      .alias("term"), "tk")
-            .filter(F.array_contains("tk", F.col("term")))
-            .select("doc_id", "doc_len", "term",
-                    F.size(F.filter("tk", _term_eq)).alias("tf")))
-    with_df = hits.withColumn(
-        "df", F.count("*").over(Window.partitionBy("term")))
-    k1, b = _BM25_K1, _BM25_B
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
-                / (F.col("df") + 0.5) + 1.0)
-    score = (idf * F.col("tf") * (k1 + 1.0)
-             / (F.col("tf") + k1 * (1.0 - b
-                + b * F.col("doc_len") / F.col("avg_len"))))
-    return (with_df.crossJoin(F.broadcast(stats))
-            .groupBy("doc_id")
-            .agg(F.round(F.sum(score), 4).alias("score"))
+    return (_bm25_scored(spark, sf_dir)
             .orderBy(F.desc("score"), "doc_id")
             .limit(10))
 
