@@ -1219,3 +1219,179 @@ def events_lead_lag_deltas(spark, sf_dir):
         .alias("delta_prev"),
         F.lead("event_type").over(w).alias("next_type"),
         F.first("event_type").over(w).alias("first_type"))
+
+
+# ------------------------------------ product-quantization codes (ANN)
+def _pq_codes_sql(n_sub: int = 8, sub_dim: int = 8,
+                  n_centroids: int = 4) -> str:
+    bits = max(1, (n_centroids - 1).bit_length())
+    dists = ", ".join(
+        f"list_sum(list_transform(generate_series(1, {sub_dim}), "
+        f"j -> (ve[{s * sub_dim}+j] - cv[{s * sub_dim}+j])"
+        f" * (ve[{s * sub_dim}+j] - cv[{s * sub_dim}+j]))) AS d{s}"
+        for s in range(n_sub))
+    ranks = ", ".join(
+        f"row_number() OVER (PARTITION BY id ORDER BY d{s}, cid) AS r{s}"
+        for s in range(n_sub))
+    packed = " + ".join(
+        f"(max(CASE WHEN r{s} = 1 THEN cid END) * {1 << (bits * s)})"
+        for s in range(n_sub))
+    return f"""
+WITH v AS (SELECT vec_id AS id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
+c AS (SELECT id AS cid, ve AS cv FROM v WHERE id < {n_centroids}),
+d AS (SELECT v.id, c.cid, {dists} FROM v, c),
+r AS (SELECT id, cid, {ranks} FROM d)
+SELECT id, CAST({packed} AS BIGINT) AS code
+FROM r GROUP BY id
+"""
+
+
+@register("embedding_pq_codes", _pq_codes_sql())
+def embedding_pq_codes(spark, sf_dir):
+    """Product-quantization code assignment (the memory side of
+    billion-scale ANN: 64 float32 dims -> 16 bits here).  See
+    operators/similarity.py::pq_codes for the scale shape; the oracle
+    replays the identical deterministic codebook and per-sub-space
+    argmin (ties -> lowest centroid id)."""
+    return S.pq_codes(t(spark, sf_dir, "embeddings"))
+
+
+# -------------------------------- hybrid retrieval fusion (BM25 + dense)
+_RRF_K = 60
+_RRF_TOPN = 20
+
+
+def _hybrid_rrf_sql() -> str:
+    # sparse arm: the docs_bm25_search CTE verbatim; dense arm: the
+    # ann_cosine_topk CTE with doc/vec ids unified; fuse with RRF.
+    terms = "','".join(_BM25_TERMS)
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+stats AS (SELECT count(*) AS n_docs,
+                 avg(len(tk)) AS avg_len FROM tok),
+hits AS (
+  SELECT doc_id, len(tk) AS doc_len, term,
+         len(list_filter(tk, x -> x = term)) AS tf
+  FROM tok, unnest(['{terms}']) AS q(term)
+  WHERE list_contains(tk, term)),
+df AS (SELECT term, count(*) AS df FROM hits GROUP BY term),
+bm25 AS (
+  SELECT h.doc_id,
+         round(sum(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                   * h.tf * ({_BM25_K1} + 1.0)
+                   / (h.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                      + {_BM25_B} * h.doc_len / s.avg_len))), 4) AS score
+  FROM hits h JOIN df d USING (term) CROSS JOIN stats s
+  GROUP BY h.doc_id),
+sparse AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm25 ORDER BY r LIMIT {_RRF_TOPN}),
+q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0),
+cosd AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                          qv)
+         / (sqrt(list_dot_product(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               list_transform(embedding, x -> CAST(x AS DOUBLE))))
+          * sqrt(list_dot_product(qv, qv))) AS cos
+  FROM embeddings, q),
+dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+  FROM cosd ORDER BY r LIMIT {_RRF_TOPN}),
+fused AS (
+  SELECT coalesce(s.doc_id, de.doc_id) AS doc_id,
+         coalesce(1.0 / ({_RRF_K} + s.r), 0.0)
+           + coalesce(1.0 / ({_RRF_K} + de.r), 0.0) AS rrf
+  FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id)
+SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+       doc_id
+FROM fused ORDER BY rank LIMIT 10
+"""
+
+
+@register("docs_hybrid_rrf", _hybrid_rrf_sql())
+def docs_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval with Reciprocal Rank Fusion (the standard
+    lexical+semantic fusion): BM25 top-20 and dense-cosine top-20
+    (query = vec 0's embedding, vec_id keyed to doc_id) are fused with
+    rrf = sum(1 / (60 + rank)) over the arms a document appears in,
+    re-ranked, top-10 emitted.
+
+    Determinism: both arms' ranks are integers with id tie-breaks, and
+    the fusion arithmetic (1/(60+r) sums) is the same IEEE double ops
+    in both engines — no rounding needed.  Scale shape: each arm is the
+    already-audited retrieval plan (term-filtered explode / one corpus
+    scan with TakeOrderedAndProject); the fusion itself joins two
+    20-row frames — negligible at any corpus size."""
+    from pyspark.sql import Window
+    sparse = (_bm25_scored(spark, sf_dir)
+              .orderBy(F.desc("score"), "doc_id").limit(_RRF_TOPN)
+              .withColumn("r", F.row_number().over(
+                  Window.orderBy(F.desc("score"), "doc_id")))
+              .select("doc_id", "r"))
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    dense = (S.cosine_topk(emb, [float(x) for x in qv], k=_RRF_TOPN)
+             .select(F.col("vec_id").alias("doc_id"),
+                     F.col("rank").alias("r")))
+    s, d = sparse.alias("s"), dense.alias("d")
+    fused = (s.join(d, F.col("s.doc_id") == F.col("d.doc_id"), "full_outer")
+             .select(
+                 F.coalesce(F.col("s.doc_id"), F.col("d.doc_id"))
+                 .alias("doc_id"),
+                 (F.coalesce(1.0 / (_RRF_K + F.col("s.r")), F.lit(0.0))
+                  + F.coalesce(1.0 / (_RRF_K + F.col("d.r")), F.lit(0.0)))
+                 .alias("rrf")))
+    topw = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+            .withColumn("rank", F.row_number().over(topw))
+            .select("rank", "doc_id"))
+
+
+# ------------------------------- corpus unigram-LM quality score
+@register("docs_unigram_logprob", """
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents),
+freq AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+total AS (SELECT sum(cnt) AS n_total FROM freq)
+SELECT t.doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       round(CAST(sum(CAST(ln(f.cnt / tt.n_total) AS DECIMAL(27,18)))
+                  AS DOUBLE) / count(*), 4) AS lp_per_token
+FROM tok t JOIN freq f USING (tok) CROSS JOIN total tt
+GROUP BY t.doc_id
+""")
+def docs_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram-LM quality score (the cheap KenLM-perplexity
+    stand-in real pipelines gate on): every document's mean token
+    log-probability under the corpus' own unigram distribution.
+
+    Shape: one tokenize/explode scan feeds BOTH the frequency table and
+    the scoring join (co-partitioned on the token key — boilerplate
+    token skew splits under AQE), the grand total is a 1-row broadcast,
+    and the per-doc mean is an EXACT DECIMAL(27,18) sum of the ln
+    values (the order-independence lesson from
+    embedding_label_centroids: a double sum of ~100 lnprobs accumulated
+    in shuffle order could flip round(_, 4) on a boundary doc), rounded
+    only at the end."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id",
+                   F.explode(TX.tokens_col(F.col("text"))).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("n_total"))
+    lnp = F.log(F.col("cnt") / F.col("n_total"))
+    return (tok.join(freq, "tok")
+            .crossJoin(F.broadcast(total))
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_tokens"),
+                 F.round(F.sum(lnp.cast("decimal(27,18)")).cast("double")
+                         / F.count("*"), 4).alias("lp_per_token")))

@@ -31,6 +31,10 @@ ALLOWED_SINGLE_PARTITION = {
     "docs_deterministic_shuffle": "prefix-sum partition totals",
     "ntile_customer_quartiles": "prefix-sum partition totals + global count",
     "docs_bm25_search": "1-row corpus-stats aggregate (N, avg_len)",
+    "docs_hybrid_rrf":
+        "BM25 arm's 1-row stats aggregate + fusion of two <=20-row "
+        "rank frames (arm outputs are TakeOrderedAndProject-bounded)",
+    "docs_unigram_logprob": "1-row corpus-total aggregate",
 }
 
 ALLOWED_NESTED_LOOP = {
@@ -43,6 +47,9 @@ ALLOWED_NESTED_LOOP = {
     "docs_bm25_search": "1-row corpus-stats broadcast (N, avg_len)",
     "embedding_neardup_pairs":
         "centroid-set broadcast (n_centroids rows) for IVF assignment",
+    "embedding_pq_codes": "codebook broadcast (n_centroids rows)",
+    "docs_hybrid_rrf": "1-row BM25 stats broadcast",
+    "docs_unigram_logprob": "1-row corpus-total broadcast",
 }
 
 ALLOWED_CARTESIAN: dict = {}
