@@ -94,3 +94,28 @@ def exclusive_prefix_sum(df: DataFrame, key_col: str, val_col: str,
             .withColumn(out_col, (F.col("_local_off")
                                   + F.col("_poff")).cast("long"))
             .drop("_pid", "_local_off", "_poff"))
+
+
+def zorder_key(x, y, bits: int = 4):
+    """Morton (z-order) interleave of two small non-negative integer
+    columns into one locality key: bit i of x lands at position 2i, bit
+    i of y at 2i+1.
+
+    This is the data-layout primitive behind Delta/Iceberg Z-ORDER
+    clustering: range-partitioning and sorting files by the interleaved
+    key keeps rows that are close in BOTH dimensions in the same files,
+    so min/max file statistics prune scans for predicates on either
+    column.  Pure integer bit arithmetic — identical on any engine.
+    """
+    from pyspark.sql import functions as F
+    x, y = F.col(x) if isinstance(x, str) else x, \
+        F.col(y) if isinstance(y, str) else y
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i))
+        parts.append(F.shiftleft(F.shiftright(y, i).bitwiseAND(1),
+                                 2 * i + 1))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.bitwiseOR(p)
+    return out.cast("long")

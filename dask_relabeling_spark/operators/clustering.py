@@ -1,0 +1,103 @@
+"""Distributed k-means (Lloyd's algorithm) over an embedding column.
+
+The missing piece between the one-shot centroid update
+(``embedding_label_centroids``) and the IVF coarse quantizer
+(``similarity.ivf_cells``): an actual *iterative* trainer, expressed
+entirely as DataFrame operations with a fixed, unrolled iteration count
+so a SQL oracle can replay it CTE-for-CTE.
+
+Scale design (100 TB):
+
+* centroids are tiny (k x dim).  Each iteration packs them into ONE row
+  (a single-group ``collect_list`` — an allowlisted 1-row scalar
+  aggregate) and broadcast-cross-joins that row onto the corpus, so the
+  assignment step is a narrow map: argmin over k distances per vector,
+  zero shuffle, no driver round-trip (contrast MLlib's
+  ``collectAsMap`` per iteration — same data volume, but this stays
+  inside the plan);
+* the update step is one partial+final aggregation keyed on
+  (cluster, dim): ``posexplode`` spreads every vector's components
+  across the cluster, and map-side combine reduces each partition to at
+  most k*dim cells before the exchange — a hot cluster cannot pin a
+  partition;
+* component sums use DECIMAL(27,9) (exact for float32-magnitude
+  inputs), and new centroid components are quantized to 3 decimals —
+  the same order-independence device as ``embedding_label_centroids``,
+  making every iteration bit-reproducible across shuffle orders AND
+  across engines, so the unrolled DuckDB oracle matches by hash;
+* per-element distance folds run in array-index order on both engines
+  (Spark ``aggregate`` left-fold from 0.0 == DuckDB ``list_reduce``
+  left-fold), so even the doubles agree bit-for-bit.
+
+Reference parity: the reference repo has no clustering surface; this is
+part of the training-data-pipeline extension (SURVEY.md §6).
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, folded in index order (engine-portable)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _pack_centroids(cent: DataFrame) -> DataFrame:
+    """(cid, cv) rows -> one row holding array<struct<cid,cv>> sorted by
+    cid.  1-row scalar aggregate: the only single-partition stage, and
+    it carries k*dim numbers, not data."""
+    return cent.agg(F.array_sort(
+        F.collect_list(F.struct("cid", "cv"))).alias("cs"))
+
+
+def assign_clusters(vecs: DataFrame, cent: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "ve") -> DataFrame:
+    """Nearest-centroid assignment: broadcast the packed 1-row centroid
+    set, argmin over k squared distances per vector (ties -> lowest
+    cid).  Narrow map over the corpus — no shuffle."""
+    packed = F.broadcast(_pack_centroids(cent))
+    dists = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(_sq_dist(F.col(vec_col), c["cv"]).alias("d"),
+                           c["cid"].alias("cid")))
+    return (vecs.crossJoin(packed)
+            .select(id_col, vec_col,
+                    F.array_min(dists)["cid"].alias("cluster")))
+
+
+def update_centroids(assigned: DataFrame,
+                     vec_col: str = "ve") -> DataFrame:
+    """Mean per (cluster, dim) with exact decimal sums, components
+    quantized to 3 decimals; re-packs arrays in dim order."""
+    exact = F.sum(F.col("v").cast("decimal(27,9)"))
+    comp = (assigned
+            .select("cluster", F.posexplode(vec_col).alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(exact.cast("double") / F.count("*"), 3)
+                 .alias("val")))
+    return (comp.groupBy(F.col("cluster").alias("cid"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda s: s["val"]).alias("cv")))
+
+
+def kmeans_assignments(df: DataFrame, k: int = 8, n_iter: int = 2,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Fixed-iteration Lloyd's k-means; returns (id, cluster) after
+    ``n_iter`` assignment/update rounds.  Deterministic: centroids are
+    initialized from the k lowest-id vectors (the same convention as
+    ``similarity.ivf_cells``) and every update is order-independent."""
+    vecs = df.select(F.col(id_col),
+                     F.col(vec_col).cast("array<double>").alias("ve"))
+    cent = (vecs.filter(F.col(id_col) < k)
+            .select(F.col(id_col).cast("int").alias("cid"),
+                    F.col("ve").alias("cv")))
+    assigned = assign_clusters(vecs, cent, id_col=id_col)
+    for _ in range(n_iter - 1):
+        cent = update_centroids(assigned)
+        assigned = assign_clusters(vecs, cent, id_col=id_col)
+    return assigned.select(id_col, "cluster")

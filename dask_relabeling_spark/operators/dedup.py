@@ -344,3 +344,80 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
             .agg(F.max("n_segs").alias("n_segs"),
                  F.count("*").cast("bigint").alias("n_kept"),
                  F.md5(ordered).alias("clean_fp")))
+
+
+def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_df: int = 100,
+                       threshold_micro: int = 800000) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs via an inverted-index
+    self-join (the DISCO / all-pairs-similarity pattern).
+
+    Term weights are *integer* tf-idf — ``w = tf * (N div df)``, an
+    integer-division rarity factor — so every dot product and squared
+    norm is an exact int64 sum (order-independent, engine-portable);
+    the only float ops are one sqrt and one divide over exactly-agreed
+    integers, bit-identical on both engines.  The similarity is emitted
+    as micro-units (``floor(cos * 1e6)``) to keep the output integer.
+
+    Distribution shape: terms with ``df > max_df`` are dropped BEFORE
+    the self-join (the classic stop-term prune — an unpruned common
+    term alone would generate df^2 candidate rows); the remaining
+    inverted index self-joins on the term (shuffled hash join, AQE
+    splits skewed terms), partial products combine map-side per
+    (a, b) pair, and norms join back on the id.  Never all-pairs.
+    """
+    # the corpus size rides as a 1-row broadcast aggregate (the BM25
+    # corpus-stats device) — no driver-side count() at plan-build time
+    n_row = F.broadcast(df.agg(F.count("*").alias("n_docs")))
+    tf = (_fan_out(df)
+          .select(F.col(id_col).alias("id"),
+                  F.explode(tokens_col(F.col(text_col))).alias("term"))
+          .groupBy("id", "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # floor(N/df) == N div df exactly: correctly-rounded double division
+    # can only cross an integer boundary when |N/df - m| < ulp(m), which
+    # needs df >> 2^52/m — unreachable for corpus-scale N, df, so the
+    # Spark floor and the oracle's integer `//` agree.
+    w = (tf.join(dfreq.filter(F.col("df") <= max_df), "term")
+         .crossJoin(n_row)
+         .select("id", "term",
+                 (F.col("tf") *
+                  F.floor(F.col("n_docs") / F.col("df"))).alias("w"))
+         .persist())
+    norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    dots = (w.alias("a")
+            .join(w.alias("b"),
+                  (F.col("a.term") == F.col("b.term")) &
+                  (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot")))
+    cos = F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    return (dots
+            .join(norms.select(F.col("id").alias("id_a"),
+                               F.col("n2").alias("na")), "id_a")
+            .join(norms.select(F.col("id").alias("id_b"),
+                               F.col("n2").alias("nb")), "id_b")
+            .withColumn("sim_micro",
+                        F.floor(cos * F.lit(1000000.0)).cast("long"))
+            .filter(F.col("sim_micro") >= threshold_micro)
+            .select("id_a", "id_b", "dot", "sim_micro"))
+
+
+def incremental_new_docs(batch: DataFrame, seen: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Incremental-ingest dedup: keep only batch docs whose content
+    fingerprint has never been seen in the existing corpus — a
+    LEFT ANTI join on the hash.
+
+    At 100 TB the seen-side is a fingerprint-only projection (16 bytes
+    + id per doc), so the anti-join shuffles fingerprints, not text;
+    Spark's runtime bloom-filter join pushes a filter of the (smaller)
+    batch side's fingerprints into the corpus scan when sizes warrant.
+    Output: (id, fingerprint) of genuinely-new docs.
+    """
+    fp = F.md5(F.col(text_col))
+    new = batch.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    old = seen.select(fp.alias("fingerprint"))
+    return new.join(old, "fingerprint", "left_anti")

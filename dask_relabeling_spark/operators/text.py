@@ -303,3 +303,64 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     return df.withColumns(
         {f"n_{name}": c for (name, _, _), c
          in zip(PII_PATTERNS, counts)} | {out_col: cleaned})
+
+
+def hashed_linear_score(df: DataFrame, n_buckets: int = 256,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """fastText-style linear classifier inference over hashed unigram
+    features: tokens hash into ``n_buckets`` feature buckets, each
+    bucket carries a weight from a (tiny, broadcast) weight table, and
+    the document score is the tf-weighted sum.
+
+    The weight table here is generated deterministically on the cluster
+    (``spark.range`` — a Knuth-hash integer weight per bucket, the
+    stand-in for trained parameters, which at inference time are
+    exactly such a small static table).  Every term is integer: the
+    score is an exact int64 sum, order-independent and
+    engine-portable.  Shape: narrow explode -> broadcast join on the
+    bucket id -> one partial+final agg on the doc id.
+    """
+    from .dedup import token_hash
+    spark = df.sparkSession
+    weights = (spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 2654435761) % 2001 - 1000).alias("w")))
+    feats = (df.select(F.col(id_col).alias("id"),
+                       F.explode(tokens_col(F.col(text_col)))
+                       .alias("term"))
+             .groupBy("id",
+                      (token_hash(F.col("term")) % n_buckets)
+                      .alias("bucket"))
+             .agg(F.count("*").alias("tf")))
+    return (feats.join(F.broadcast(weights), "bucket")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.sum(F.col("tf") * F.col("w")).alias("score"))
+            .withColumn("label",
+                        (F.col("score") > 0).cast("int")))
+
+
+def bpe_pair_counts(df: DataFrame, k: int = 20,
+                    text_col: str = "text") -> DataFrame:
+    """One step of BPE tokenizer training: corpus-wide counts of
+    adjacent token pairs, top-k merge candidates.
+
+    The groupBy is map-side-combinable (pair cardinality ~= vocab^2
+    effective, but partial agg collapses each partition before the
+    exchange) and the top-k is orderBy+limit — Spark plans
+    TakeOrderedAndProject (bounded per-partition heap + driver merge),
+    never a global sort or single-partition window.  Ties break on the
+    pair string so the result is total-ordered.
+    """
+    # materialize the token array behind a projection before indexing
+    # into it (element_at over the raw split() re-tokenizes per element)
+    toks = df.select(tokens_col(F.col(text_col)).alias("tk"))
+    tk = F.col("tk")
+    idx = F.when(F.size(tk) >= 2, F.sequence(F.lit(1), F.size(tk) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(tk, i), F.element_at(tk, i + 1)))
+    return (toks.select(F.explode(pairs).alias("pair"))
+            .groupBy("pair").agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.col("pair"))
+            .limit(k))

@@ -21,6 +21,7 @@ stopped after 50), so ordering IS the evidence-refresh policy:
 from .relational import REGISTRY  # noqa: F401  (base registry)
 from . import llm  # noqa: F401  (registers dedup/similarity/text/events)
 from . import tile_query  # noqa: F401  (registers the tile pipeline)
+from . import curation  # noqa: F401  (round-3 pipeline extensions)
 
 # Green driver row in CORRECTNESS_r01.json (49 of its 50 rows;
 # events_rolling_hour_stats was that round's `err` row and is NOT here).

@@ -1,0 +1,171 @@
+"""Unit/property tests for the round-3 pipeline extensions:
+k-means, TF-IDF pairs, binned interval-overlap join, hashed linear
+classifier, BPE pair counts, incremental dedup, z-order keys."""
+import numpy as np
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from dask_relabeling_spark.functions.ids import zorder_key
+from dask_relabeling_spark.operators.clustering import kmeans_assignments
+from dask_relabeling_spark.operators.dedup import (incremental_new_docs,
+                                                   tfidf_cosine_pairs)
+from dask_relabeling_spark.operators.intervals import overlap_join_binned
+from dask_relabeling_spark.operators.text import (bpe_pair_counts,
+                                                  hashed_linear_score)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- k-means
+def _numpy_kmeans(vecs: dict, k: int = 8, n_iter: int = 2) -> dict:
+    """Reference Lloyd's with the operator's exact determinism rules:
+    init = k lowest ids, ties to lowest cid, centroid components are
+    exact means rounded to 3 decimals."""
+    ids = sorted(vecs)
+    cent = {cid: np.asarray(vecs[cid], dtype=np.float64)
+            for cid in ids[:k]}
+    assign = {}
+    for it in range(n_iter):
+        for i in ids:
+            v = np.asarray(vecs[i], dtype=np.float64)
+            best = min((float(((v - cv) ** 2).sum()), cid)
+                       for cid, cv in cent.items())
+            assign[i] = best[1]
+        if it < n_iter - 1:
+            cent = {}
+            for cid in set(assign.values()):
+                members = np.stack([np.asarray(vecs[i], np.float64)
+                                    for i in ids if assign[i] == cid])
+                cent[cid] = np.round(members.mean(axis=0), 3)
+    return assign
+
+
+def test_kmeans_matches_numpy_reference(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = {r.vec_id: r.cluster
+           for r in kmeans_assignments(emb, k=8, n_iter=2).collect()}
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.collect()}
+    want = _numpy_kmeans(vecs)
+    # decimal-vs-binary rounding of the mean can differ from numpy in
+    # the last ulp; assignments may only flip on exact near-ties, which
+    # the random testdata does not contain
+    assert got == want
+
+
+def test_kmeans_deterministic_across_runs(spark):
+    emb = (spark.read.parquet(f"{SF}/embeddings.parquet")
+           .repartition(7))  # different partitioning than run 1
+    a = sorted(map(tuple, kmeans_assignments(emb).collect()))
+    b = sorted(map(tuple,
+                   kmeans_assignments(emb.repartition(3)).collect()))
+    assert a == b
+
+
+# ------------------------------------------------------ TF-IDF pairs
+def test_tfidf_exact_duplicates_score_near_one(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta"),
+        Row(doc_id=2, text="alpha beta gamma delta"),
+        Row(doc_id=3, text="epsilon zeta eta theta"),
+        Row(doc_id=4, text="alpha beta unrelated words"),
+    ])
+    rows = {(r.id_a, r.id_b): r.sim_micro
+            for r in tfidf_cosine_pairs(df, max_df=4,
+                                        threshold_micro=0).collect()}
+    assert rows[(1, 2)] >= 999999  # identical docs: cos == 1 up to ulp
+    assert all(a < b for a, b in rows)
+    assert rows[(1, 4)] < rows[(1, 2)]
+
+
+# --------------------------------------------- interval-overlap join
+def test_overlap_join_binned_matches_theta_join(spark):
+    import random
+    rng = random.Random(7)
+    base = 1_700_000_000
+    left = spark.createDataFrame([
+        Row(lid=i, s=base + rng.randrange(0, 72000),
+            d=rng.randrange(0, 14400))
+        for i in range(40)]).selectExpr(
+            "lid", "timestamp_micros(s * 1000000) AS ls",
+            "timestamp_micros((s + d) * 1000000) AS le")
+    right = spark.createDataFrame([
+        Row(rid=i, s=base + rng.randrange(0, 72000),
+            d=rng.randrange(0, 7200))
+        for i in range(15)]).selectExpr(
+            "rid", "timestamp_micros(s * 1000000) AS rs",
+            "timestamp_micros((s + d) * 1000000) AS re")
+    binned = sorted(map(tuple, overlap_join_binned(
+        left, right, "ls", "le", "rs", "re", bin_seconds=1800)
+        .select("lid", "rid", "overlap_us").collect()))
+    naive = sorted(map(tuple, left.crossJoin(right).filter(
+        "ls <= re AND rs <= le").select(
+        "lid", "rid",
+        F.expr("least(unix_micros(le), unix_micros(re)) - "
+               "greatest(unix_micros(ls), unix_micros(rs))")
+        .alias("overlap_us")).collect()))
+    assert binned == naive
+
+
+# ------------------------------------------- hashed linear classifier
+def test_hashed_linear_score_manual(spark):
+    from dask_relabeling_spark.operators.dedup import token_hash
+    df = spark.createDataFrame([Row(doc_id=1, text="aa bb aa")])
+    out = hashed_linear_score(df, n_buckets=16).collect()[0]
+    h = {r.term: r.b for r in spark.createDataFrame(
+        [Row(term="aa"), Row(term="bb")])
+        .select("term", (token_hash(F.col("term")) % 16).alias("b"))
+        .collect()}
+    wt = {b: (b * 2654435761) % 2001 - 1000 for b in range(16)}
+    want = 2 * wt[h["aa"]] + 1 * wt[h["bb"]]
+    assert out.score == want
+    assert out.label == int(want > 0)
+
+
+# ------------------------------------------------- BPE pair counting
+def test_bpe_pair_counts_manual(spark):
+    df = spark.createDataFrame([
+        Row(text="a b a b c"), Row(text="a b"), Row(text="x")])
+    got = {r.pair: r.cnt for r in bpe_pair_counts(df, k=10).collect()}
+    assert got == {"a b": 3, "b a": 1, "b c": 1}
+
+
+# ---------------------------------------------- incremental dedup
+def test_incremental_new_docs_anti_join(spark):
+    batch = spark.createDataFrame([
+        Row(doc_id=10, text="seen before"),
+        Row(doc_id=11, text="brand new"),
+    ])
+    seen = spark.createDataFrame([Row(doc_id=1, text="seen before")])
+    kept = incremental_new_docs(batch, seen).select("id").collect()
+    assert [r.id for r in kept] == [11]
+
+
+# ------------------------------------------------------- z-order key
+def _interleave(x: int, y: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@pytest.mark.parametrize("x,y", [(0, 0), (15, 0), (0, 15), (10, 5),
+                                 (3, 12), (7, 7)])
+def test_zorder_key_bit_interleave(spark, x, y):
+    got = (spark.range(1)
+           .select(zorder_key(F.lit(x), F.lit(y), bits=4).alias("z"))
+           .collect()[0].z)
+    assert got == _interleave(x, y, 4)
+
+
+def test_zorder_key_locality_monotone_blocks(spark):
+    # all 16 cells of a 4x4 grid with the same top bits share a block:
+    # zkey >> 4 groups (x div 4, y div 4) quadrants together
+    rows = (spark.createDataFrame([Row(x=x, y=y)
+                                   for x in range(16) for y in range(16)])
+            .select("x", "y", zorder_key("x", "y", 4).alias("z"))
+            .collect())
+    for r in rows:
+        assert (r.z >> 4) == _interleave(r.x >> 2, r.y >> 2, 2)

@@ -35,6 +35,14 @@ ALLOWED_SINGLE_PARTITION = {
         "BM25 arm's 1-row stats aggregate + fusion of two <=20-row "
         "rank frames (arm outputs are TakeOrderedAndProject-bounded)",
     "docs_unigram_logprob": "1-row corpus-total aggregate",
+    "embedding_kmeans":
+        "1-row packed-centroid aggregate per iteration (k*dim numbers, "
+        "data-independent size)",
+    "docs_tfidf_cosine_pairs": "1-row corpus-count aggregate",
+    "events_session_overlap":
+        "top-3 busiest-hours limit over the hour-grid aggregate: the "
+        "exchange carries <=3 rows per partition (LocalLimit first), "
+        "never event rows",
 }
 
 ALLOWED_NESTED_LOOP = {
@@ -50,6 +58,8 @@ ALLOWED_NESTED_LOOP = {
     "embedding_pq_codes": "codebook broadcast (n_centroids rows)",
     "docs_hybrid_rrf": "1-row BM25 stats broadcast",
     "docs_unigram_logprob": "1-row corpus-total broadcast",
+    "embedding_kmeans": "1-row packed-centroid broadcast per iteration",
+    "docs_tfidf_cosine_pairs": "1-row corpus-count broadcast",
 }
 
 ALLOWED_CARTESIAN: dict = {}
