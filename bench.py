@@ -45,6 +45,9 @@ HEADLINE = [
     "docs_pack_sequences",      # two-phase prefix-sum packing
     "events_hourly_gapfill",    # dense-grid resample
     "docs_curation_pipeline",   # composed quality+langid+dedup, one scan
+    "embedding_kmeans",         # iterative Lloyd's (round 3)
+    "dedup_prefix_jaccard",     # PPJoin prefix filtering (round 3)
+    "lineitem_exact_quantiles",  # exact two-phase order stats (round 3)
 ]
 
 

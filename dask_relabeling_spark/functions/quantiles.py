@@ -1,0 +1,54 @@
+"""EXACT distributed order statistics without a global sort.
+
+Spark's exact ``percentile`` aggregate pulls every value of a group
+into one aggregation buffer — for a global quantile that is a
+single-partition funnel holding the whole column.  The scalable exact
+form used here is the value-histogram + prefix-rank scheme:
+
+1. ``groupBy(value).count()`` — one partial+final agg; the shuffle
+   carries distinct values, and map-side combine collapses repeats;
+2. two-phase exclusive prefix sum over the (value, count) table
+   (``functions/ids.py::exclusive_prefix_sum`` — range partition,
+   per-partition cumsum, broadcast partition totals: no
+   single-partition stage), giving each value its global rank range
+   ``[below, below + cnt)``;
+3. each requested rank k selects the unique value whose range covers
+   it — a filter against a broadcast handful of (name, k) rows.
+
+Quantile ranks are specified as RATIONALS (num/den) and resolved as
+``k = (num * (n-1)) // den`` in integer arithmetic — the lower
+(type-1) order statistic, reproducible on any engine with no float
+boundary to disagree on.
+"""
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ids import exclusive_prefix_sum
+
+
+def exact_quantiles(df: DataFrame, col: str,
+                    quantiles: List[Tuple[str, int, int]]) -> DataFrame:
+    """Exact type-1 quantiles of ``col``.  ``quantiles`` is a list of
+    (name, num, den); each selects the value of rank
+    ``(num * (n-1)) // den`` (0-indexed) in the sorted column.
+    Output: (q, value), one row per requested quantile."""
+    counts = (df.select(F.col(col).alias("v"))
+              .groupBy("v").agg(F.count("*").alias("cnt")))
+    ranked = exclusive_prefix_sum(counts, "v", "cnt", out_col="below")
+    n_row = df.agg(F.count("*").alias("n"))
+    qdf = df.sparkSession.createDataFrame(
+        [(name, num, den) for name, num, den in quantiles],
+        "q string, num long, den long")
+    # floor of a correctly-rounded double quotient == integer division
+    # for any n, den reachable here (see operators/dedup.py note)
+    ks = (qdf.crossJoin(F.broadcast(n_row))
+          .select("q", F.floor((F.col("num") * (F.col("n") - 1))
+                               / F.col("den")).alias("k")))
+    return (ranked.crossJoin(F.broadcast(ks))
+            .filter((F.col("below") <= F.col("k")) &
+                    (F.col("k") < F.col("below") + F.col("cnt")))
+            .select("q", F.col("v").alias("value")))

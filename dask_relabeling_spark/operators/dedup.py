@@ -421,3 +421,65 @@ def incremental_new_docs(batch: DataFrame, seen: DataFrame,
     new = batch.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
     old = seen.select(fp.alias("fingerprint"))
     return new.join(old, "fingerprint", "left_anti")
+
+
+def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                                  text_col: str = "text", n: int = 3,
+                                  threshold_num: int = 4,
+                                  threshold_den: int = 5) -> DataFrame:
+    """Shingle-set Jaccard pairs >= num/den via PREFIX FILTERING (the
+    AllPairs/PPJoin candidate-generation scheme, Bayardo et al. 2007 /
+    Xiao et al. 2008) — the scale upgrade over ``ngram_jaccard_pairs``'s
+    full inverted-index self-join: instead of joining on EVERY shared
+    shingle, each document exposes only its ``|d| - ceil(t*|d|) + 1``
+    RAREST shingles (its prefix under the global (df, shingle) order),
+    and the prefix theorem guarantees any pair with J >= t still
+    collides on at least one prefix shingle.  Boilerplate shingles
+    shared by thousands of docs therefore never generate candidates —
+    the df^2 blowup is filtered BEFORE the join instead of after.
+
+    Every step is engine-replayable: the global order is
+    (df ASC, shingle ASC) — total, no hash ties — the prefix length is
+    integer ceiling arithmetic, and the final threshold is an integer
+    cross-multiplication over exact intersection counts.  Output:
+    (id_a, id_b, inter, union_sz), the ``ngram_jaccard_pairs``
+    contract (a candidate-generation A/B with identical verify).
+    """
+    toks = _distinct_shingle_table(df, id_col, text_col, n) \
+        .withColumnRenamed("sh", "tok").persist()
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window
+    rk = F.row_number().over(
+        Window.partitionBy("id").orderBy("df", "tok"))
+    # ceil(t*|d|) = (num*|d| + den - 1) // den, all integer
+    plen = (F.col("sz") -
+            F.floor((F.lit(threshold_num) * F.col("sz")
+                     + (threshold_den - 1)) / threshold_den) + 1)
+    prefix = (toks.join(dfreq, "tok").join(sizes, "id")
+              .withColumn("rk", rk)
+              .filter(F.col("rk") <= plen)
+              .select("id", "tok"))
+    cand = (prefix.alias("a")
+            .join(prefix.alias("b"),
+                  (F.col("a.tok") == F.col("b.tok")) &
+                  (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"))
+            .distinct())
+    inter = (cand
+             .join(toks.select(F.col("id").alias("id_a"),
+                               F.col("tok")), "id_a")
+             .join(toks.select(F.col("id").alias("id_b"),
+                               F.col("tok")), ["id_b", "tok"])
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    return (inter
+            .join(sizes.select(F.col("id").alias("id_a"),
+                               F.col("sz").alias("n_a")), "id_a")
+            .join(sizes.select(F.col("id").alias("id_b"),
+                               F.col("sz").alias("n_b")), "id_b")
+            .withColumn("union_sz",
+                        F.col("n_a") + F.col("n_b") - F.col("inter"))
+            .filter(F.col("inter") * threshold_den
+                    >= F.col("union_sz") * threshold_num)
+            .select("id_a", "id_b", "inter", "union_sz"))

@@ -1,7 +1,8 @@
 """Round-3 training-data-pipeline extensions: iterative k-means,
 sparse TF-IDF similarity join, binned interval-overlap join, hashed
 linear classifier inference, BPE merge-candidate counting, incremental
-ingest dedup, and z-order layout keys.
+ingest dedup, z-order layout keys, exact distributed quantiles,
+PPJoin prefix-filtered set similarity, and CDC MERGE/upsert.
 
 Every query keeps the package's determinism discipline: integer or
 exact-decimal arithmetic wherever a sum crosses a shuffle, distance
@@ -261,3 +262,115 @@ def docs_zorder_layout(spark, sf_dir):
     return d.select("doc_id", x.cast("long").alias("x"),
                     y.cast("long").alias("y"), z.alias("zkey"),
                     F.shiftright(z, 4).cast("long").alias("file_bucket"))
+
+
+# ------------------------------------- exact distributed quantiles
+@register("lineitem_exact_quantiles", """
+WITH n AS (SELECT count(*) AS n FROM lineitem),
+o AS (SELECT l_extendedprice AS value,
+             row_number() OVER (ORDER BY l_extendedprice) - 1 AS rk
+      FROM lineitem),
+q(qname, num, den) AS (
+  VALUES ('p25', 1, 4), ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+SELECT q.qname AS q, o.value
+FROM o, n, q WHERE o.rk = (q.num * (n.n - 1)) // q.den
+""")
+def lineitem_exact_quantiles(spark, sf_dir):
+    """EXACT p25/p50/p90/p99 of l_extendedprice with no global sort and
+    no single-partition percentile buffer: value-histogram + two-phase
+    prefix-rank (functions/quantiles.py).  Ranks are integer rationals
+    (k = num*(n-1) div den), so both engines select the identical order
+    statistic.  The oracle replays it as a (small-data) global
+    row_number."""
+    from ..functions.quantiles import exact_quantiles
+    return exact_quantiles(
+        t(spark, sf_dir, "lineitem"), "l_extendedprice",
+        [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)])
+
+
+# ------------------------------------- PPJoin prefix-filtered Jaccard
+def _prefix_jaccard_sql() -> str:
+    from .llm import _DUCK_SHINGLES
+    return _DUCK_SHINGLES + """,
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
+dfreq AS (SELECT sh AS tok, count(*) AS df FROM sh GROUP BY 1),
+rkd AS (SELECT t.id, t.sh AS tok, s.sz,
+               row_number() OVER (PARTITION BY t.id
+                                  ORDER BY d.df, t.sh) AS rk
+        FROM sh t JOIN dfreq d ON d.tok = t.sh JOIN sizes s USING (id)),
+pre AS (SELECT id, tok FROM rkd
+        WHERE rk <= sz - ((4 * sz + 4) // 5) + 1),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM pre a JOIN pre b ON a.tok = b.tok AND a.id < b.id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
+          FROM cand c JOIN sh ta ON ta.id = c.id_a
+                      JOIN sh tb ON tb.id = c.id_b AND tb.sh = ta.sh
+          GROUP BY 1, 2)
+SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_sz
+FROM inter i JOIN sizes sa ON sa.id = i.id_a
+             JOIN sizes sb ON sb.id = i.id_b
+WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 4
+"""
+
+
+@register("dedup_prefix_jaccard", _prefix_jaccard_sql())
+def dedup_prefix_jaccard(spark, sf_dir):
+    """AllPairs/PPJoin prefix filtering over 3-gram shingle sets: each
+    doc exposes only its rarest |d| - ceil(0.8|d|) + 1 shingles to the
+    candidate join, so boilerplate shingles generate no candidates at
+    all (operators/dedup.py: prefix_filtered_jaccard_pairs).  Same
+    threshold and output contract as ``dedup_ngram_jaccard`` — a
+    candidate-generation A/B with identical verify.  (Raw whitespace
+    tokens would be degenerate here: the synthetic corpus has only ~31
+    distinct words, so nearly every token-SET pair exceeds 0.8.)"""
+    from ..operators.dedup import prefix_filtered_jaccard_pairs
+    return prefix_filtered_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------- CDC MERGE / upsert
+@register("orders_merge_upsert", """
+WITH upd AS (SELECT o_orderkey, o_totalprice + 1000.0 AS o_totalprice,
+                    'U' AS src
+             FROM orders WHERE o_orderkey % 50 = 3),
+ins AS (SELECT o_orderkey + 1000000000 AS o_orderkey, o_totalprice,
+               'N' AS src
+        FROM orders WHERE o_orderkey % 50 = 4),
+chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+merged AS (
+  SELECT coalesce(c.o_totalprice, b.o_totalprice) AS price,
+         coalesce(c.src, 'KEEP') AS src
+  FROM orders b FULL OUTER JOIN chg c ON b.o_orderkey = c.o_orderkey)
+SELECT src, CAST(count(*) AS BIGINT) AS n_rows,
+       round(CAST(sum(CAST(price AS DECIMAL(27,9))) AS DOUBLE), 2)
+       AS total
+FROM merged GROUP BY src
+""")
+def orders_merge_upsert(spark, sf_dir):
+    """Lakehouse MERGE INTO semantics on plain DataFrames: a CDC batch
+    (updates to keys =3 mod 50, inserts at offset keys) full-outer-joins
+    the base table on the key; changed rows win via coalesce.  One
+    key-shuffle join — the shape Delta/Iceberg MERGE executes; at scale
+    the join prunes via runtime file skipping / bucketing on the key.
+    Output: per-source row counts and an exact-decimal price total."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd = (o.filter(F.col("o_orderkey") % 50 == 3)
+           .select("o_orderkey",
+                   (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+                   F.lit("U").alias("src")))
+    ins = (o.filter(F.col("o_orderkey") % 50 == 4)
+           .select((F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+                   "o_totalprice", F.lit("N").alias("src")))
+    chg = upd.unionByName(ins)
+    merged = (o.alias("b")
+              .join(chg.alias("c"),
+                    F.col("b.o_orderkey") == F.col("c.o_orderkey"),
+                    "full_outer")
+              .select(F.coalesce(F.col("c.o_totalprice"),
+                                 F.col("b.o_totalprice")).alias("price"),
+                      F.coalesce(F.col("c.src"),
+                                 F.lit("KEEP")).alias("src")))
+    return (merged.groupBy("src")
+            .agg(F.count("*").alias("n_rows"),
+                 F.round(F.sum(F.col("price").cast("decimal(27,9)"))
+                         .cast("double"), 2).alias("total")))

@@ -169,3 +169,72 @@ def test_zorder_key_locality_monotone_blocks(spark):
             .collect())
     for r in rows:
         assert (r.z >> 4) == _interleave(r.x >> 2, r.y >> 2, 2)
+
+
+# ----------------------------- PPJoin prefix filtering completeness
+def test_prefix_jaccard_equals_full_inverted_join(spark):
+    """The prefix theorem says filtering candidates to rarest-shingle
+    prefixes loses NO pair above threshold — assert exact equality with
+    the unfiltered inverted-join operator on real data."""
+    from dask_relabeling_spark.operators.dedup import (
+        ngram_jaccard_pairs, prefix_filtered_jaccard_pairs)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    full = sorted(map(tuple, ngram_jaccard_pairs(docs).collect()))
+    pref = sorted(map(tuple,
+                      prefix_filtered_jaccard_pairs(docs).collect()))
+    assert pref == full
+
+
+def test_prefix_jaccard_prunes_candidates(spark):
+    """The point of the prefix: candidate pairs examined must be a
+    strict subset of what the full shingle join would generate."""
+    from dask_relabeling_spark.operators.dedup import (
+        _distinct_shingle_table)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = _distinct_shingle_table(docs, "doc_id", "text", 3)
+    full_cand = (sh.alias("a").join(
+        sh.alias("b"),
+        (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id").distinct().count())
+    # replicate the operator's internal prefix to count its candidates
+    from pyspark.sql import Window
+    toks = sh.withColumnRenamed("sh", "tok")
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    rk = F.row_number().over(Window.partitionBy("id").orderBy("df", "tok"))
+    plen = (F.col("sz") - F.floor((4 * F.col("sz") + 4) / 5) + 1)
+    prefix = (toks.join(dfreq, "tok").join(sizes, "id")
+              .withColumn("rk", rk).filter(F.col("rk") <= plen)
+              .select("id", "tok"))
+    pref_cand = (prefix.alias("a").join(
+        prefix.alias("b"),
+        (F.col("a.tok") == F.col("b.tok")) &
+        (F.col("a.id") < F.col("b.id")))
+        .select("a.id", "b.id").distinct().count())
+    assert pref_cand < full_cand
+
+
+# ------------------------------------------------- exact quantiles
+def test_exact_quantiles_match_sorted_list(spark):
+    from dask_relabeling_spark.functions.quantiles import exact_quantiles
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    vals = sorted(r.l_extendedprice for r in
+                  li.select("l_extendedprice").collect())
+    n = len(vals)
+    got = {r.q: r.value for r in exact_quantiles(
+        li, "l_extendedprice",
+        [("p50", 1, 2), ("p90", 9, 10), ("p0", 0, 1),
+         ("p100", 1, 1)]).collect()}
+    assert got == {"p50": vals[(n - 1) // 2],
+                   "p90": vals[9 * (n - 1) // 10],
+                   "p0": vals[0], "p100": vals[-1]}
+
+
+def test_exact_quantiles_with_heavy_duplicates(spark):
+    from dask_relabeling_spark.functions.quantiles import exact_quantiles
+    df = spark.createDataFrame([(v,) for v in [1] * 50 + [2] * 5 + [3]],
+                               "x long")
+    got = {r.q: r.value for r in exact_quantiles(
+        df, "x", [("p50", 1, 2), ("p95", 19, 20), ("p100", 1, 1)])
+        .collect()}
+    assert got == {"p50": 1, "p95": 2, "p100": 3}

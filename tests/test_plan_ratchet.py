@@ -43,6 +43,9 @@ ALLOWED_SINGLE_PARTITION = {
         "top-3 busiest-hours limit over the hour-grid aggregate: the "
         "exchange carries <=3 rows per partition (LocalLimit first), "
         "never event rows",
+    "lineitem_exact_quantiles":
+        "prefix-sum partition totals (~#partitions rows) + 1-row "
+        "global count",
 }
 
 ALLOWED_NESTED_LOOP = {
@@ -60,6 +63,8 @@ ALLOWED_NESTED_LOOP = {
     "docs_unigram_logprob": "1-row corpus-total broadcast",
     "embedding_kmeans": "1-row packed-centroid broadcast per iteration",
     "docs_tfidf_cosine_pairs": "1-row corpus-count broadcast",
+    "lineitem_exact_quantiles":
+        "4-row quantile-rank broadcast against the value histogram",
 }
 
 ALLOWED_CARTESIAN: dict = {}
