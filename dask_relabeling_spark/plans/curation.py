@@ -374,3 +374,35 @@ def orders_merge_upsert(spark, sf_dir):
             .agg(F.count("*").alias("n_rows"),
                  F.round(F.sum(F.col("price").cast("decimal(27,9)"))
                          .cast("double"), 2).alias("total")))
+
+
+# ------------------------------------- graph: triangle counting
+@register("events_user_triangles", """
+WITH m AS (SELECT DISTINCT event_type, date_trunc('hour', ts) AS h,
+                           user_id
+           FROM events),
+grp AS (SELECT event_type, h FROM m
+        GROUP BY event_type, h HAVING count(*) <= 20),
+mg AS (SELECT m.* FROM m JOIN grp USING (event_type, h)),
+e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM mg a JOIN mg b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id < b.user_id),
+tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM e e1 JOIN e e2 ON e2.u = e1.v
+                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+ex AS (SELECT unnest([x, y, z]) AS user_id FROM tri)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM ex GROUP BY user_id
+""")
+def events_user_triangles(spark, sf_dir):
+    """Graph analytics: per-user triangle counts over the
+    (event_type, hour) co-occurrence graph, computed with
+    degree-ordered orientation so no high-degree hub ever owns a
+    quadratic wedge set (operators/graph.py — Suri/Vassilvitskii's
+    "last reducer" fix).  The oracle enumerates the same triangle set
+    with the simple id-ordered join (orientation changes how triangles
+    are FOUND, not which exist)."""
+    from ..operators.graph import cooccurrence_edges, triangle_counts
+    ev = t(spark, sf_dir, "events")
+    return triangle_counts(cooccurrence_edges(ev, max_group=20))

@@ -238,3 +238,36 @@ def test_exact_quantiles_with_heavy_duplicates(spark):
         df, "x", [("p50", 1, 2), ("p95", 19, 20), ("p100", 1, 1)])
         .collect()}
     assert got == {"p50": 1, "p95": 2, "p100": 3}
+
+
+# ------------------------------------------------- triangle counting
+def test_triangle_counts_manual_graph(spark):
+    from dask_relabeling_spark.operators.graph import triangle_counts
+    # K4 on {1,2,3,4} (4 triangles, each vertex in 3) + pendant 5
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        + [(4, 5)], "u long, v long")
+    got = {r.user_id: r.n_triangles
+           for r in triangle_counts(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    """Degree-ordered orientation must find the same triangles as the
+    plain id-ordered 3-way join."""
+    from dask_relabeling_spark.operators.graph import (cooccurrence_edges,
+                                                       triangle_counts)
+    from dask_relabeling_spark.plans.relational import t as load
+    ev = load(spark, SF, "events")
+    e = cooccurrence_edges(ev, max_group=20)
+    got = sorted(map(tuple, triangle_counts(e).collect()))
+    e.createOrReplaceTempView("_tri_e")
+    want = sorted(map(tuple, e.sparkSession.sql("""
+        WITH tri AS (
+          SELECT e1.u x, e1.v y, e2.v z FROM _tri_e e1
+          JOIN _tri_e e2 ON e2.u = e1.v
+          JOIN _tri_e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT user_id, count(*) AS n_triangles FROM (
+          SELECT explode(array(x, y, z)) AS user_id FROM tri)
+        GROUP BY user_id""").collect()))
+    assert got == want
