@@ -109,3 +109,84 @@ def annotation_offset(chunk_loc: Sequence[int], tile_origin: Sequence[int],
                     in zip(chunk_loc, tile_origin, overlaps)],
                    dtype=np.int64)
     return off[::-1]  # (y, x) -> (x, y)
+
+
+def labels_to_annotations_3d(labels: np.ndarray,
+                             object_classes: Dict[int, str],
+                             classes: Optional[np.ndarray] = None,
+                             offset: Optional[np.ndarray] = None
+                             ) -> Optional[dict]:
+    """EXTENSION (beyond the reference): annotate a 3D label tile.
+
+    The reference's own 3D annotation path cannot execute —
+    ``cv2.findContours`` rejects volumes and ``utils.py:171`` crashes on
+    (N, 3) point arrays; its tests pass ``annotations_output=None`` for
+    3D (``tests/fixtures.py:93``) — so there is no parity target.  The
+    semantics defined here are the QuPath-compatible convention: each 3D
+    object becomes one 2D Polygon Feature tracing the contour of its
+    (y, x) FOOTPRINT (``any`` projection along z), with the object's
+    inclusive z extent carried in a ``zRange`` property.  This keeps the
+    output consumable by every 2D GeoJSON viewer while preserving the
+    third axis.
+
+    ``offset`` is the (z, y, x) global offset of the tile (NOT the 2D
+    path's reversed (x, y) form); rings are shifted by its (y, x) part,
+    ``zRange`` by its z part.  Per-label work is cropped to the label's
+    3D bounding box exactly like the 2D kernel.
+    """
+    zs, ys, xs = np.nonzero(labels)
+    if len(zs) == 0:
+        return None
+    vals = labels[zs, ys, xs]
+    ids = np.unique(vals)
+    idx = np.searchsorted(ids, vals)
+    n = len(ids)
+    lo = [np.full(n, s, dtype=np.int64) for s in labels.shape]
+    hi = [np.full(n, -1, dtype=np.int64) for _ in labels.shape]
+    for axis, coord in enumerate((zs, ys, xs)):
+        np.minimum.at(lo[axis], idx, coord)
+        np.maximum.at(hi[axis], idx, coord)
+
+    if offset is None:
+        off_z, off_y, off_x = 0, 0, 0
+    else:
+        off_z, off_y, off_x = (int(v) for v in np.asarray(offset))
+
+    features = []
+    for k, curr_l in enumerate(ids):
+        az0, az1 = lo[0][k], hi[0][k] + 1
+        ay0, ay1 = lo[1][k], hi[1][k] + 1
+        ax0, ax1 = lo[2][k], hi[2][k] + 1
+        mask3 = labels[az0:az1, ay0:ay1, ax0:ax1] == curr_l
+        if classes is not None:
+            curr_class = int(np.max(
+                classes[..., az0:az1, ay0:ay1, ax0:ax1]
+                * mask3[None, ...]))
+        else:
+            curr_class = 0
+        object_type = object_classes[curr_class]
+
+        foot = mask3.any(axis=0)
+        cc = trace_outer_contour(foot)
+        if len(cc) < 2:
+            continue
+        cc = cc + np.array([ax0 + off_x, ay0 + off_y],
+                           dtype=np.int64)[None, :]
+        ring = np.vstack((cc, cc[0, None, :])).tolist()
+        feat = _feature(ring, object_type)
+        feat["properties"]["zRange"] = [int(az0) + off_z,
+                                        int(az1) - 1 + off_z]
+        features.append(feat)
+    if not features:
+        return None
+    return _feature_collection(features)
+
+
+def annotation_offset_nd(chunk_loc: Sequence[int],
+                         tile_origin: Sequence[int],
+                         overlaps: Sequence[int]) -> np.ndarray:
+    """Axis-ordered global offset (the 3D kernel wants (z, y, x); the 2D
+    path's ``annotation_offset`` is this reversed to (x, y))."""
+    return np.array([o - 2 * c * ov for c, o, ov
+                     in zip(chunk_loc, tile_origin, overlaps)],
+                    dtype=np.int64)

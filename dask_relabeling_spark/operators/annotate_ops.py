@@ -58,15 +58,23 @@ def annotate_labeled_tiles(ts: TileSet,
                            object_classes: Optional[dict] = None
                            ) -> DataFrame:
     """Per-tile GeoJSON FeatureCollection; NULL for empty tiles (the
-    reference's scalar ``0`` sentinel, ``utils.py:182-186``)."""
+    reference's scalar ``0`` sentinel, ``utils.py:182-186``).
+
+    2D matches the reference goldens byte-for-byte.  3D is an EXTENSION
+    (the reference's own 3D path cannot execute — its tests pass
+    ``annotations_output=None``, ``tests/fixtures.py:93``): each 3D
+    object is annotated by the 2D contour of its (y, x) footprint plus
+    an inclusive ``zRange`` property
+    (``kernels/annotate.py::labels_to_annotations_3d``)."""
     if object_classes is None:
         object_classes = {0: "cell"}
     nd, grid, chunk, ov = ts.nd, ts.grid, ts.chunk_shape, ts.overlaps
-    if nd != 2:
-        raise NotImplementedError("annotation is 2D-only (as the reference "
-                                  "goldens; 3D returns None there)")
+    if nd not in (2, 3):
+        raise NotImplementedError(f"annotation supports 2D/3D, got {nd}D")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.annotate import (annotation_offset_nd,
+                                        labels_to_annotations_3d)
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
@@ -74,11 +82,17 @@ def annotate_labeled_tiles(ts: TileSet,
                 cls = pdf_classes(row, nd)
                 loc = tuple(int(row[c]) for c in key_cols(nd))
                 origin = tile_origin(loc, grid, chunk, ov)
-                off = annotation_offset(loc, origin, ov)
-                ann = labels_to_annotations(tile, object_classes,
-                                            classes=cls, offset=off)
+                if nd == 2:
+                    off = annotation_offset(loc, origin, ov)
+                    ann = labels_to_annotations(tile, object_classes,
+                                                classes=cls, offset=off)
+                else:
+                    off = annotation_offset_nd(loc, origin, ov)
+                    ann = labels_to_annotations_3d(tile, object_classes,
+                                                   classes=cls, offset=off)
                 recs.append({
-                    "cz": None, "cy": loc[-2], "cx": loc[-1],
+                    "cz": loc[0] if nd == 3 else None,
+                    "cy": loc[-2], "cx": loc[-1],
                     "annotation": None if ann is None else json.dumps(ann),
                 })
             yield pd.DataFrame.from_records(

@@ -168,7 +168,10 @@ def _geojson_finish(grid, chunk, ov, object_classes, threshold,
     scalar-0 sentinel)."""
     import json
 
-    from ..kernels.annotate import annotation_offset, labels_to_annotations
+    from ..kernels.annotate import (annotation_offset,
+                                    annotation_offset_nd,
+                                    labels_to_annotations,
+                                    labels_to_annotations_3d)
     from ..kernels.halo import tile_origin
 
     kwargs = dict(seg_kwargs or {})
@@ -183,10 +186,16 @@ def _geojson_finish(grid, chunk, ov, object_classes, threshold,
             cls = np.stack([zero_classes_where_removed(removed, p)
                             for p in cls])
         origin = tile_origin(loc, grid, chunk, ov)
-        off = annotation_offset(loc, origin, ov)
-        ann = labels_to_annotations(removed, classes_map,
-                                    classes=cls, offset=off)
-        return [{"cz": None, "cy": loc[-2], "cx": loc[-1],
+        if removed.ndim == 2:
+            off = annotation_offset(loc, origin, ov)
+            ann = labels_to_annotations(removed, classes_map,
+                                        classes=cls, offset=off)
+        else:  # 3D extension: footprint contour + zRange property
+            off = annotation_offset_nd(loc, origin, ov)
+            ann = labels_to_annotations_3d(removed, classes_map,
+                                           classes=cls, offset=off)
+        return [{"cz": loc[0] if len(loc) == 3 else None,
+                 "cy": loc[-2], "cx": loc[-1],
                  "annotation": None if ann is None else json.dumps(ann)}]
 
     return finish
@@ -205,12 +214,10 @@ def labels2geojson(ts: TileSet, overlaps: Union[int, List[int]] = 50,
     front (2 passes, 1 shuffle total)."""
     from .halo import fused_exchange_records, map_tiles_records
     from .annotate_ops import ANNOTATION_SCHEMA
-    if ts.nd != 2:
+    if ts.nd not in (2, 3):
         raise NotImplementedError(
-            "annotation is 2D-only by decision (OPERATORS.md §2.1 row 10): "
-            "the reference's own 3D path cannot execute (contour extraction "
-            "requires a 2D image; its tests pass annotations_output=None "
-            "for 3D, reference tests/fixtures.py:93)")
+            f"annotation supports 2D (reference parity) and 3D "
+            f"(footprint+zRange extension), got {ts.nd}D")
     if pre_overlapped:
         ov = ts.overlaps
         finish = _geojson_finish(ts.grid, ts.chunk_shape, ov,
@@ -237,12 +244,10 @@ def image2geojson(ts: TileSet, seg_fn: Optional[Callable] = None,
     segment+dedup+annotate)."""
     from .halo import fused_exchange_records
     from .annotate_ops import ANNOTATION_SCHEMA
-    if ts.nd != 2:
+    if ts.nd not in (2, 3):
         raise NotImplementedError(
-            "annotation is 2D-only by decision (OPERATORS.md §2.1 row 10): "
-            "the reference's own 3D path cannot execute (contour extraction "
-            "requires a 2D image; its tests pass annotations_output=None "
-            "for 3D, reference tests/fixtures.py:93)")
+            f"annotation supports 2D (reference parity) and 3D "
+            f"(footprint+zRange extension), got {ts.nd}D")
     ov = _norm_overlaps(overlaps, ts.nd)
     fn = seg_fn or default_segment_fn
     finish = _geojson_finish(ts.grid, ts.chunk_shape, ov, object_classes,

@@ -294,3 +294,38 @@ def relabel_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("annotation", "$.features")),
             F.lit(0)).alias("n_features"))
         .orderBy("cy", "cx"))
+
+
+@register("relabel_annotations_3d", None)  # GeoJSON assembly: not SQL
+def relabel_annotations_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3D flagship ending in the EXTENSION annotation terminal: the
+    reference's own 3D annotation path cannot execute (its tests pass
+    ``annotations_output=None``, reference tests/fixtures.py:93), so
+    this defines the semantics — each 3D object becomes the 2D contour
+    of its (y, x) footprint with an inclusive ``zRange`` property
+    (kernels/annotate.py::labels_to_annotations_3d).  Same BASELINE.md
+    geometry and fused 2-pass/1-shuffle plan as ``relabel_annotations``.
+    Output: per-tile feature counts + the min/max z over the tile's
+    annotated objects (deterministic; JSON itself is pytest-covered)."""
+    from ..operators.annotate_ops import ANNOTATION_SCHEMA
+    from ..operators.halo import exchange_records_from_pieces
+    from ..operators.pipeline import _geojson_finish
+    from ..kernels.ccl import segment_fn
+    pieces = _mask_tiles_3d(spark, sf_dir, as_pieces=True)
+    finish = _geojson_finish(GRID3, CHUNK3, OVERLAP3,
+                             None, 0.05, seg=segment_fn)
+    ann = exchange_records_from_pieces(pieces, 3, GRID3, finish,
+                                       ANNOTATION_SCHEMA)
+    feats = F.from_json("annotation", "STRUCT<features: ARRAY<STRUCT<"
+                        "properties: STRUCT<zRange: ARRAY<BIGINT>>>>>")
+    return (ann.select(
+        "cz", "cy", "cx",
+        F.coalesce(F.size(feats["features"]), F.lit(0))
+        .alias("n_features"),
+        F.array_min(F.transform(feats["features"],
+                                lambda f: f["properties"]["zRange"][0]))
+        .alias("min_z"),
+        F.array_max(F.transform(feats["features"],
+                                lambda f: f["properties"]["zRange"][1]))
+        .alias("max_z"))
+        .orderBy("cz", "cy", "cx"))

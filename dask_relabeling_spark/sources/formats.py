@@ -6,8 +6,9 @@ analog here reads/writes the standard lake formats.  ``read_any`` /
 ``write_any`` wrap ``spark.read``/``df.write`` with the defaults a
 100 TB pipeline wants:
 
-- **parquet** (default): columnar, predicate pushdown + column pruning
-  reach the scan; always the hot-path format.
+- **parquet** (default) / **orc**: columnar, self-describing schema,
+  predicate pushdown + column pruning reach the scan; the hot-path
+  formats.
 - **csv / json**: ingest-only formats.  Schema is REQUIRED unless
   ``infer=True`` — schema inference is a full extra pass over the data
   and must never run implicitly at scale.
@@ -24,7 +25,7 @@ from typing import Optional, Sequence, Union
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json")
 
 
 def read_any(spark: SparkSession, path: str, fmt: str = "parquet",
@@ -41,7 +42,7 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet",
         reader = reader.option("header", "true")
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt != "parquet":
+    elif fmt not in ("parquet", "orc"):
         if not infer:
             raise ValueError(
                 f"{fmt} read without schema: pass schema= or infer=True "

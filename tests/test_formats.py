@@ -13,13 +13,14 @@ def canon(df, keys):
             df.select(*sorted(df.columns)).orderBy(*keys).collect()]
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_round_trip_preserves_values(spark, tmp_path, fmt):
     src = load_table(spark, SF, "nation")
     path = str(tmp_path / f"nation_{fmt}")
     write_any(src, path, fmt=fmt)
     back = read_any(spark, path, fmt=fmt,
-                    schema=src.schema if fmt != "parquet" else None)
+                    schema=(src.schema if fmt not in ("parquet", "orc")
+                            else None))
     assert back.schema == src.schema
     assert canon(back, ["n_nationkey"]) == canon(src, ["n_nationkey"])
 
