@@ -101,3 +101,48 @@ def kmeans_assignments(df: DataFrame, k: int = 8, n_iter: int = 2,
         cent = update_centroids(assigned)
         assigned = assign_clusters(vecs, cent, id_col=id_col)
     return assigned.select(id_col, "cluster")
+
+
+def semantic_dedup(df: DataFrame, k: int = 8, n_iter: int = 2,
+                   threshold_num: int = 9, threshold_den: int = 10,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023), end to end: k-means-cluster the
+    embeddings, score cosine pairs ONLY within each cluster, connect
+    the above-threshold pairs into duplicate groups, and keep each
+    group's minimum id.
+
+    This is the composition that makes embedding dedup tractable at
+    corpus scale: the all-pairs cosine is confined to clusters (choose
+    k so n/k vectors fit a partition — within-cluster all-pairs is the
+    SemDeDup algorithm itself, not a shortcut), the pair join is an
+    equi-join on the cluster id, and group canonicalization is the
+    iterative min-label propagation of ``dedup.connected_components``.
+    Output: (id, cluster, keep_id, is_dup) for EVERY vector —
+    ``keep_id == id`` for canonical/unique rows.
+    """
+    from .dedup import connected_components
+    from .similarity import _dot, _norm
+
+    assign = kmeans_assignments(df, k=k, n_iter=n_iter,
+                                id_col=id_col, vec_col=vec_col)
+    vecs = (df.select(F.col(id_col),
+                      F.col(vec_col).cast("array<double>").alias("v"),
+                      _norm(F.col(vec_col).cast("array<double>"))
+                      .alias("nrm"))
+            .join(assign, id_col))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster")) &
+                    (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .withColumn("cos", _dot(F.col("a.v"), F.col("b.v"))
+                         / (F.col("a.nrm") * F.col("b.nrm")))
+             .filter(F.col("cos") * threshold_den >= threshold_num)
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b")))
+    comp = connected_components(pairs).withColumnRenamed("id", id_col)
+    return (assign.join(comp, id_col, "left")
+            .select(F.col(id_col), "cluster",
+                    F.coalesce("cluster_id", F.col(id_col))
+                    .alias("keep_id"))
+            .withColumn("is_dup",
+                        (F.col("keep_id") != F.col(id_col)).cast("int")))

@@ -26,17 +26,16 @@ _DUCK_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
 
 
 # --------------------------------------------------- iterative k-means
-def _kmeans_sql(k: int = 8, n_iter: int = 2) -> str:
-    """Unrolled Lloyd's: one (dist, argmin, update) CTE block per
-    iteration, replaying the Spark operator step-for-step.  The
-    left-fold ``list_reduce`` matches Spark's ``aggregate`` fold
-    order; centroid components are exact DECIMAL(27,9) sums quantized
-    to 3 decimals, so both engines iterate on bit-identical centroids."""
+def _kmeans_ctes(k: int = 8, n_iter: int = 2) -> str:
+    """CTE chain (no WITH keyword) replaying the Spark k-means operator
+    step-for-step, ending at assignment table ``a{n_iter}``.  The
+    left-fold ``list_reduce`` matches Spark's ``aggregate`` fold order;
+    centroid components are exact DECIMAL(27,9) sums quantized to 3
+    decimals, so both engines iterate on bit-identical centroids."""
     dist = ("list_reduce(list_transform(generate_series(1, len(v.ve)), "
             "i -> (v.ve[i] - c.cv[i]) * (v.ve[i] - c.cv[i])), "
             "(a, b) -> a + b)")
-    sql = f"""
-WITH v AS (SELECT vec_id,
+    sql = f"""v AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
 c1 AS (SELECT CAST(vec_id AS INT) AS cid, ve AS cv
@@ -60,9 +59,12 @@ m{it} AS (SELECT cid, pos,
           FROM x{it} GROUP BY 1, 2),
 c{it + 1} AS (SELECT cid, list(val ORDER BY pos) AS cv
               FROM m{it} GROUP BY cid)"""
-    return sql + f"""
-SELECT vec_id, cluster FROM a{n_iter}
-"""
+    return sql
+
+
+def _kmeans_sql(k: int = 8, n_iter: int = 2) -> str:
+    return (f"WITH {_kmeans_ctes(k, n_iter)}\n"
+            f"SELECT vec_id, cluster FROM a{n_iter}\n")
 
 
 @register("embedding_kmeans", _kmeans_sql())
@@ -406,3 +408,91 @@ def events_user_triangles(spark, sf_dir):
     from ..operators.graph import cooccurrence_edges, triangle_counts
     ev = t(spark, sf_dir, "events")
     return triangle_counts(cooccurrence_edges(ev, max_group=20))
+
+
+# ------------------------------------- SemDeDup composition
+def _semantic_dedup_sql(k: int = 8, n_iter: int = 2,
+                        num: int = 9, den: int = 10) -> str:
+    fold = ("list_reduce(list_transform(generate_series(1, len({a})), "
+            "i -> {expr}), (p, q) -> p + q)")
+    dot = fold.format(a="a.ve", expr="a.ve[i] * b.ve[i]")
+    nrm = ("sqrt(" + fold.format(a="{x}", expr="{x}[i] * {x}[i]") + ")")
+    return f"""WITH RECURSIVE {_kmeans_ctes(k, n_iter)},
+vv AS (SELECT v.vec_id, v.ve, a{n_iter}.cluster,
+              {nrm.format(x='v.ve')} AS nrm
+       FROM v JOIN a{n_iter} USING (vec_id)),
+pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+       FROM vv a JOIN vv b
+         ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        AND ({dot} / (a.nrm * b.nrm)) * {den} >= {num}),
+sym(s, d) AS (SELECT ia, ib FROM pr UNION ALL SELECT ib, ia FROM pr),
+walk(pid, lbl) AS (
+  SELECT s, s FROM (SELECT DISTINCT s FROM sym)
+  UNION
+  SELECT sym.d, walk.lbl FROM walk JOIN sym ON sym.s = walk.pid),
+comp AS (SELECT pid, min(lbl) AS comp_id FROM walk GROUP BY pid)
+SELECT a{n_iter}.vec_id, CAST(a{n_iter}.cluster AS INT) AS cluster,
+       coalesce(comp.comp_id, a{n_iter}.vec_id) AS keep_id,
+       CAST(coalesce(comp.comp_id, a{n_iter}.vec_id)
+            <> a{n_iter}.vec_id AS INT) AS is_dup
+FROM a{n_iter} LEFT JOIN comp ON comp.pid = a{n_iter}.vec_id
+"""
+
+
+@register("embedding_semantic_dedup", _semantic_dedup_sql())
+def embedding_semantic_dedup(spark, sf_dir):
+    """SemDeDup end to end: k-means clusters -> within-cluster cosine
+    pairs (>= 9/10) -> connected-component duplicate groups -> keep
+    min id (operators/clustering.py: semantic_dedup).  The oracle
+    replays the identical k-means CTEs, the same fold-order cosine, and
+    a WITH RECURSIVE min-label closure."""
+    from ..operators.clustering import semantic_dedup
+    return semantic_dedup(t(spark, sf_dir, "embeddings"),
+                          k=8, n_iter=2,
+                          threshold_num=9, threshold_den=10)
+
+
+# ------------------------------------- bigram LM scoring
+@register("docs_bigram_logprob", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(tk) - 1, 0)),
+           i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+  FROM toks)),
+bfreq AS (SELECT w1, w2, count(*) AS cb FROM bb GROUP BY 1, 2),
+ctx AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1)
+SELECT bb.doc_id, CAST(count(*) AS INT) AS n_bigrams,
+       round(CAST(sum(CAST(ln(f.cb / x.c1) AS DECIMAL(27,18)))
+                  AS DOUBLE) / count(*), 4) AS lp_per_bigram
+FROM bb JOIN bfreq f USING (w1, w2) JOIN ctx x USING (w1)
+GROUP BY bb.doc_id
+""")
+def docs_bigram_logprob(spark, sf_dir):
+    """Corpus-bigram-LM quality score: mean MLE log P(w2 | w1) per doc
+    (the next step up from ``docs_unigram_logprob``; same determinism
+    device — EXACT DECIMAL(27,18) sums of the ln values so shuffle
+    order cannot flip the final rounding).  One bigram explode feeds
+    the transition-count table, the context-count table, and the
+    scoring join, all co-partitioned on the (w1, w2) / w1 keys."""
+    from ..operators.text import tokens_col
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    tk = F.col("tk")
+    idx = F.when(F.size(tk) >= 2, F.sequence(F.lit(1), F.size(tk) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    bigram = F.transform(idx, lambda i: F.struct(
+        F.element_at(tk, i).alias("w1"),
+        F.element_at(tk, i + 1).alias("w2")))
+    bb = (toks.select("doc_id", F.explode(bigram).alias("b"))
+          .select("doc_id", "b.w1", "b.w2"))
+    bfreq = bb.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    ctx = bb.groupBy("w1").agg(F.count("*").alias("c1"))
+    lnp = F.log(F.col("cb") / F.col("c1"))
+    return (bb.join(bfreq, ["w1", "w2"]).join(ctx, "w1")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("int").alias("n_bigrams"),
+                 F.round(F.sum(lnp.cast("decimal(27,18)")).cast("double")
+                         / F.count("*"), 4).alias("lp_per_bigram")))

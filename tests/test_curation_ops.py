@@ -271,3 +271,54 @@ def test_triangle_counts_orientation_invariant(spark):
           SELECT explode(array(x, y, z)) AS user_id FROM tri)
         GROUP BY user_id""").collect()))
     assert got == want
+
+
+# --------------------------------------------------- semantic dedup
+def test_semantic_dedup_invariants(spark):
+    from dask_relabeling_spark.operators.clustering import semantic_dedup
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = semantic_dedup(emb, k=8, n_iter=2).collect()
+    assert len(rows) == emb.count()  # every vector classified
+    by_id = {r.vec_id: r for r in rows}
+    for r in rows:
+        assert r.keep_id <= r.vec_id  # canonical is the group minimum
+        assert r.is_dup == int(r.keep_id != r.vec_id)
+        if r.is_dup:
+            keeper = by_id[r.keep_id]
+            assert keeper.is_dup == 0
+            # SemDeDup groups are confined to one k-means cluster
+            assert keeper.cluster == r.cluster
+
+
+def test_semantic_dedup_finds_exact_replicas(spark):
+    from pyspark.sql import Row
+    from dask_relabeling_spark.operators.clustering import semantic_dedup
+    base = [[float(i == j) for i in range(8)] for j in range(8)]
+    rows = [Row(vec_id=j, embedding=base[j]) for j in range(8)]
+    rows += [Row(vec_id=100, embedding=base[3]),  # replica of 3
+             Row(vec_id=101, embedding=base[3])]
+    out = {r.vec_id: r for r in
+           semantic_dedup(spark.createDataFrame(rows), k=8,
+                          n_iter=2).collect()}
+    assert out[100].keep_id == 3 and out[100].is_dup == 1
+    assert out[101].keep_id == 3 and out[101].is_dup == 1
+    assert out[3].is_dup == 0
+
+
+# --------------------------------------------------- bigram LM
+def test_bigram_logprob_manual(spark):
+    import math
+    from dask_relabeling_spark.plans import REGISTRY
+    import tempfile, os
+    from pyspark.sql import Row
+    # corpus: "a b" x2 and "a c": P(b|a)=2/3, P(c|a)=1/3
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="a b"), Row(doc_id=2, text="a b"),
+        Row(doc_id=3, text="a c")])
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        fn, _ = REGISTRY["docs_bigram_logprob"]
+        got = {r.doc_id: r.lp_per_bigram
+               for r in fn(spark, td).collect()}
+    assert got[1] == got[2] == round(math.log(2 / 3), 4)
+    assert got[3] == round(math.log(1 / 3), 4)

@@ -46,6 +46,8 @@ ALLOWED_SINGLE_PARTITION = {
     "lineitem_exact_quantiles":
         "prefix-sum partition totals (~#partitions rows) + 1-row "
         "global count",
+    "embedding_semantic_dedup":
+        "k-means arm's 1-row packed-centroid aggregate per iteration",
 }
 
 ALLOWED_NESTED_LOOP = {
@@ -65,6 +67,8 @@ ALLOWED_NESTED_LOOP = {
     "docs_tfidf_cosine_pairs": "1-row corpus-count broadcast",
     "lineitem_exact_quantiles":
         "4-row quantile-rank broadcast against the value histogram",
+    "embedding_semantic_dedup":
+        "k-means arm's 1-row packed-centroid broadcast per iteration",
 }
 
 ALLOWED_CARTESIAN: dict = {}
