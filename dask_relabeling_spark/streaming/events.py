@@ -195,3 +195,19 @@ def idempotent_batch_sink(out_dir: str, fmt: str = "parquet"):
         (batch_df.write.format(fmt).mode("overwrite")
          .save(f"{out_dir}/batch_id={batch_id}"))
     return write_batch
+
+
+def incremental_dedup_stream(stream: DataFrame, seen: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Streaming ingest dedup: each micro-batch LEFT-ANTI joins the
+    STATIC already-ingested corpus on the content fingerprint
+    (stream-static anti joins are stateless — no watermark needed; the
+    static side is re-planned per micro-batch, so a snapshot refresh
+    picks up newly-ingested fingerprints).  Exactly the batch operator
+    ``operators.dedup.incremental_new_docs`` applied to a streaming
+    frame — the batch-equivalence the tests assert.  Compose with
+    ``dedup_exact_stream`` upstream to also dedup WITHIN the stream."""
+    from ..operators.dedup import incremental_new_docs
+    return incremental_new_docs(stream, seen,
+                                id_col=id_col, text_col=text_col)

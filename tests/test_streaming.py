@@ -127,3 +127,28 @@ def test_foreach_batch_sink_idempotent_on_replay(spark, tmp_path):
     replayed = spark.read.parquet(out)
     assert replayed.count() == 10
     assert sorted(r["id"] for r in replayed.collect()) == list(range(10))
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    import shutil
+    from dask_relabeling_spark.operators.dedup import incremental_new_docs
+    from dask_relabeling_spark.streaming.events import (
+        incremental_dedup_stream)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 10 != 7)
+    batch = docs.filter(F.col("doc_id") % 10 == 7)
+    src = str(tmp_path / "incoming_docs")
+    batch.coalesce(2).write.parquet(src)
+    try:
+        expected = sorted(map(tuple,
+                              incremental_new_docs(batch, seen).collect()))
+        stream = spark.readStream.schema(batch.schema).parquet(src)
+        q = (incremental_dedup_stream(stream, seen)
+             .writeStream.format("memory").queryName("inc_dedup")
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.sql(
+            "SELECT fingerprint, id FROM inc_dedup").collect()))
+        assert got == expected and len(got) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
