@@ -180,3 +180,63 @@ def test_segment_dedup_two_shuffles(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert plan.count("FileScan parquet") == 2
+
+
+def test_bpe_top_k_is_take_ordered(spark):
+    """Global top-20 merge candidates must plan as
+    TakeOrderedAndProject (bounded per-partition heap), never a global
+    Sort feeding a limit."""
+    plan = plan_of(spark, "bpe_merge_candidates")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_assignment_is_narrow(spark):
+    """k-means: the per-vector argmin must ride a broadcast of the
+    packed 1-row centroid set — no sort-merge join, no cartesian, and
+    the only exchanges are the centroid-update (cluster, dim) aggs and
+    the 1-row packers."""
+    plan = plan_of(spark, "embedding_kmeans")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_join_no_cartesian_all_broadcast_or_hash(spark):
+    plan = plan_of(spark, "events_user_triangles")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_prefix_jaccard_no_cartesian(spark):
+    """PPJoin: every join is an equi-join (prefix-token candidate join,
+    intersection probes, size joins) — no nested loop anywhere."""
+    plan = plan_of(spark, "dedup_prefix_jaccard")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_quantiles_histogram_not_global_sort(spark):
+    """Exact quantiles must NOT plan a global sort of the value column
+    (the single-partition exact-percentile trap): only the tiny
+    rank-broadcast nested loop and the prefix-sum machinery appear."""
+    plan = plan_of(spark, "lineitem_exact_quantiles")
+    # every Sort node must be local (flag `false`): a global sort of the
+    # value column would print `Sort [...], true, 0`.  (The prefix-sum's
+    # own rangepartitioning exchange is hidden behind its
+    # localCheckpoint and so doesn't appear in the executed plan.)
+    assert ", true, 0" not in plan
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_interval_overlap_is_equi_join_on_bucket(spark):
+    """The session x window overlap join must be a hash/broadcast
+    equi-join on the time bucket, not a nested loop over the theta
+    predicate."""
+    plan = plan_of(spark, "events_session_overlap")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_merge_upsert_single_key_shuffle_join(spark):
+    plan = plan_of(spark, "orders_merge_upsert")
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
