@@ -496,3 +496,55 @@ def docs_bigram_logprob(spark, sf_dir):
             .agg(F.count("*").cast("int").alias("n_bigrams"),
                  F.round(F.sum(lnp.cast("decimal(27,18)")).cast("double")
                          / F.count("*"), 4).alias("lp_per_bigram")))
+
+
+# ------------------------------------- incremental MV maintenance
+@register("events_incremental_rollup", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(27,9))) AS DECIMAL(27,9)) AS sv
+  FROM events GROUP BY 1, 2)
+SELECT event_type, h, n_events,
+       round(CAST(sv AS DOUBLE), 2) AS sum_value
+FROM hourly
+""")
+def events_incremental_rollup(spark, sf_dir):
+    """Incremental materialized-view maintenance: the stored hourly
+    rollup was built from the on-time events (first 25 days); a LATE
+    batch (the remaining days) arrives and is folded in by aggregating
+    ONLY the batch and outer-merging the partials onto the stored view
+    (coalesce + sum per key) — never re-reading the full history.  The
+    oracle is the from-scratch rollup over everything, so a hash match
+    PROVES the incremental merge lossless (the same partials-compose
+    argument as ``events_rollup_cascade``, applied across time instead
+    of granularity).  Sums carry exact DECIMAL(27,9) partials so the
+    merged total is bit-equal to the recomputed one regardless of
+    arrival order.  At scale this is one small-batch agg + one
+    broadcast-or-shuffle merge join onto the MV table instead of a full
+    re-aggregation of the corpus."""
+    ev = t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-26 00:00:00").cast("timestamp")
+
+    def hourly(df):
+        return (df.groupBy("event_type",
+                           F.date_trunc("hour", "ts").alias("h"))
+                .agg(F.count("*").alias("n_events"),
+                     F.sum(F.col("value").cast("decimal(27,9)"))
+                     .alias("sv")))
+
+    stored = hourly(ev.filter(F.col("ts") < cut))     # the standing MV
+    late = hourly(ev.filter(F.col("ts") >= cut))      # today's batch
+    merged = (stored.alias("m")
+              .join(late.alias("l"), ["event_type", "h"], "full_outer")
+              .select("event_type", "h",
+                      (F.coalesce(F.col("m.n_events"), F.lit(0))
+                       + F.coalesce(F.col("l.n_events"), F.lit(0)))
+                      .alias("n_events"),
+                      (F.coalesce(F.col("m.sv"), F.lit(0).cast(
+                          "decimal(27,9)"))
+                       + F.coalesce(F.col("l.sv"), F.lit(0).cast(
+                           "decimal(27,9)"))).alias("sv")))
+    return merged.select("event_type", "h", "n_events",
+                         F.round(F.col("sv").cast("double"), 2)
+                         .alias("sum_value"))
