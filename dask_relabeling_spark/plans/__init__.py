@@ -85,6 +85,7 @@ _CHANGED_THIS_ROUND = [
     "relabel_components",         # 2D mask thinned (contract at sf0.1)
     "relabel_annotations",        # same thinned 2D mask
     "orders_by_year_month",       # boundary avg -> exact integer round
+    "multimodal_features",        # rows-only -> real byte-arith oracle
 ]
 
 # Never driver-checked: starved by two 50-entry budget cut-offs.

@@ -429,13 +429,36 @@ def multimodal_metadata(spark, sf_dir):
               .withColumn("height", F.col("height").cast("int"))
 
 
-@register("multimodal_features", None)  # binary decode: not SQL-expressible
+@register("multimodal_features", """
+WITH d AS (SELECT doc_id AS media_id, text,
+                  octet_length(encode(text)) AS n FROM documents),
+c AS (SELECT media_id, n,
+             (n // 8) + CASE WHEN n % 8 > 0 THEN 1 ELSE 0 END AS c0
+      FROM d),
+s AS (SELECT c.media_id, c.n, c.c0,
+             list_sum(list_transform(generate_series(1, c.c0),
+                      i -> ascii(substr(d.text, i, 1)))) AS sm
+      FROM c JOIN d USING (media_id))
+SELECT media_id, CAST(n AS INT) AS n_bytes,
+       round(round_even(sm / c0, 6), 6) AS f0
+FROM s
+""")
 def multimodal_features(spark, sf_dir):
     """Arrow-batched decode -> fixed-width feature vectors over binary
     payloads (deterministic fake decode standing in for PIL/ffmpeg;
     the Spark-side plumbing — schema, batching, UDF signature — is what
-    this exercises).  Rows-only check: the decode step is the genuinely
-    non-SQL part of the multimodal surface."""
+    this exercises).
+
+    Round 3 replaced the rows-only check with a REAL oracle: the fake
+    decode is pure byte arithmetic (uint8 mean of the first
+    ``array_split`` chunk, numpy half-even rounding at 6 dp), which
+    DuckDB replays as ``ascii(substr(...))`` byte sums + ``round_even``
+    — valid because the synthetic corpus is pure ASCII (utf-8 bytes ==
+    code points; ``octet_length == length`` asserted over the whole
+    corpus at gate scale by ``tests/test_multimodal.py``, so a testdata
+    regeneration that adds non-ASCII fails at the guard, not as an
+    opaque hash mismatch).  The ``decode='real'`` integration point
+    stays non-SQL by nature."""
     from ..operators.multimodal import decode_and_featurize
     media = documents_as_media(t(spark, sf_dir, "documents"))
     feats = decode_and_featurize(media, decode="fake")

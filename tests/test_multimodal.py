@@ -85,3 +85,17 @@ def test_sample_frames_fanout(spark):
             hi = len(src[mid]) if f.frame_idx == 9 else lo + step
             assert bytes(f.frame) == src[mid][lo:hi]
     assert set(by_id) == set(src)
+
+
+def test_corpus_pure_ascii_for_fake_decode_oracle(spark):
+    """multimodal_features' DuckDB oracle maps payload bytes via
+    ascii(substr(text, i, 1)) — valid only while utf-8 bytes == code
+    points, i.e. the corpus is pure ASCII.  A testdata regeneration
+    that introduces multi-byte characters must fail HERE (named
+    contract), not as an opaque driver hash mismatch."""
+    from pyspark.sql import functions as F
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        d = spark.read.parquet(f"{sf}/documents.parquet")
+        bad = d.filter(F.octet_length(F.encode("text", "utf-8"))
+                       != F.length("text")).count()
+        assert bad == 0, f"non-ASCII text in {sf}"
