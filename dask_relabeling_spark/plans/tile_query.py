@@ -112,28 +112,12 @@ def _labeled_2d(spark: SparkSession, sf_dir: str) -> TileSet:
         overlaps=OVERLAP, threshold=0.05)
 
 
-@register("relabel_components", None)  # CCL: not SQL-expressible
-def relabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labeled = _labeled_2d(spark, sf_dir)
-    out = labeled.df.select(
-        "cy", "cx",
-        F.size(F.filter("data", lambda v: v != 0)).alias("n_fg_pixels"),
-        F.size(F.array_distinct(F.filter("data", lambda v: v != 0)))
-        .alias("n_objects_touching"))
-    return out.orderBy("cy", "cx")
-
-
-# Driver-checkable flagship companion: the SAME mask and the SAME full
-# pipeline as relabel_components, summarized per CONNECTED COMPONENT in
-# label-id-invariant terms (pixel count + bounding box), so a DuckDB
-# recursive-CTE min-label-propagation replay of 4-connected CCL is an
-# exact oracle.  Valid because the thinned mask's largest component
-# bbox side (3 px at sf0.01, 9 px at sf0.1 — asserted by
-# test_flagship_mask_contract) stays <= the 16 px halo, so the
-# checkerboard pipeline IS exact global CCL at every driver scale
-# (one-hop-merge contract, SURVEY §4.1).
-@register("relabel_components_summary", f"""
-WITH RECURSIVE pts AS MATERIALIZED (
+def _ccl_ctes() -> str:
+    """Shared recursive-CTE 4-connected CCL over the hash-thinned mask
+    (exact under the diameter <= halo contract asserted by
+    ``test_flagship_mask_contract``): ``comp`` maps every foreground
+    pixel id to its component's minimum pixel id."""
+    return f"""pts AS MATERIALIZED (
   SELECT y, x FROM (
     SELECT DISTINCT CAST(l_orderkey % {H} AS INT) AS y,
                     CAST(l_partkey % {W} AS INT) AS x
@@ -152,7 +136,54 @@ walk(pid, lbl) AS (
   SELECT id, id FROM ids
   UNION
   SELECT s.eb, w.lbl FROM walk w JOIN sym s ON s.ea = w.pid),
-comp AS (SELECT pid, min(lbl) AS comp_id FROM walk GROUP BY pid)
+comp AS (SELECT pid, min(lbl) AS comp_id FROM walk GROUP BY pid)"""
+
+
+def _components_sql() -> str:
+    return ("WITH RECURSIVE " + _ccl_ctes() + f""",
+grid AS (SELECT gy.v AS cy, gx.v AS cx
+         FROM generate_series(0, {GRID[0] - 1}) gy(v),
+              generate_series(0, {GRID[1] - 1}) gx(v)),
+per AS (SELECT i.y // {CHUNK} AS cy, i.x // {CHUNK} AS cx,
+               count(*) AS n_fg, count(DISTINCT c.comp_id) AS n_obj
+        FROM ids i JOIN comp c ON c.pid = i.id GROUP BY 1, 2)
+SELECT CAST(grid.cy AS INT) AS cy, CAST(grid.cx AS INT) AS cx,
+       CAST(coalesce(per.n_fg, 0) AS INT) AS n_fg_pixels,
+       CAST(coalesce(per.n_obj, 0) AS INT) AS n_objects_touching
+FROM grid LEFT JOIN per ON per.cy = grid.cy AND per.cx = grid.cx
+ORDER BY cy, cx
+""")
+
+
+@register("relabel_components", _components_sql())
+def relabel_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2D flagship terminal, now HASH-checked (round 3; previously
+    rows-only): per-tile foreground-pixel and touching-object counts
+    are label-id-invariant, so the same recursive-CTE CCL that backs
+    ``relabel_components_summary`` re-derives them — group the
+    component map by (y div CHUNK, x div CHUNK) and count pixels +
+    distinct components per tile (empty tiles via a grid left join).
+    Exact under the same diameter <= halo contract."""
+    labeled = _labeled_2d(spark, sf_dir)
+    out = labeled.df.select(
+        "cy", "cx",
+        F.size(F.filter("data", lambda v: v != 0)).alias("n_fg_pixels"),
+        F.size(F.array_distinct(F.filter("data", lambda v: v != 0)))
+        .alias("n_objects_touching"))
+    return out.orderBy("cy", "cx")
+
+
+# Driver-checkable flagship companion: the SAME mask and the SAME full
+# pipeline as relabel_components, summarized per CONNECTED COMPONENT in
+# label-id-invariant terms (pixel count + bounding box), so a DuckDB
+# recursive-CTE min-label-propagation replay of 4-connected CCL is an
+# exact oracle.  Valid because the thinned mask's largest component
+# bbox side (3 px at sf0.01, 9 px at sf0.1 — asserted by
+# test_flagship_mask_contract) stays <= the 16 px halo, so the
+# checkerboard pipeline IS exact global CCL at every driver scale
+# (one-hop-merge contract, SURVEY §4.1).
+@register("relabel_components_summary",
+          "WITH RECURSIVE " + _ccl_ctes() + """
 SELECT CAST(count(*) AS BIGINT) AS n_pixels,
        min(i.y) AS min_y, min(i.x) AS min_x,
        max(i.y) AS max_y, max(i.x) AS max_x
