@@ -360,3 +360,52 @@ def relabel_annotations_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 lambda f: f["properties"]["zRange"][1]))
         .alias("max_z"))
         .orderBy("cz", "cy", "cx"))
+
+
+@register("relabel_annotations_summary",
+          "WITH RECURSIVE " + _ccl_ctes() + """
+SELECT min(i.x) AS min_x, min(i.y) AS min_y,
+       max(i.x) AS max_x, max(i.y) AS max_y
+FROM comp JOIN ids i ON i.id = comp.pid
+GROUP BY comp.comp_id
+HAVING count(*) >= 2
+ORDER BY min_x, min_y, max_x, max_y
+""")
+def relabel_annotations_summary(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """HASH CHECK for the GeoJSON terminal's geometric content: parse
+    every tile's FeatureCollection, explode the Polygon features, and
+    reduce each ring to its bbox in GLOBAL image coordinates.
+
+    Why this is oracle-checkable when the per-tile view is not: which
+    tile OWNS an object is checkerboard-parity bookkeeping no clean SQL
+    replay shares, but under the diameter <= halo contract each object
+    is annotated exactly once with its FULL outer contour in global
+    coordinates, and an outer contour's extremes are the component's
+    pixel extremes — so the multiset of ring bboxes equals the bbox set
+    of all CCL components with >= 2 pixels (1-pixel contours are
+    dropped by the reference's own "< 2 points" rule,
+    kernels/annotate.py).  The oracle re-derives exactly that from the
+    shared recursive-CTE closure."""
+    from ..operators.annotate_ops import (ANNOTATION_SCHEMA,
+                                          GEOJSON_SPARK_SCHEMA)
+    from ..operators.halo import exchange_records_from_pieces
+    from ..operators.pipeline import _geojson_finish
+    from ..kernels.ccl import segment_fn
+    pieces = _mask_tiles(spark, sf_dir, as_pieces=True)
+    finish = _geojson_finish(GRID, (CHUNK, CHUNK), (OVERLAP, OVERLAP),
+                             None, 0.05, seg=segment_fn)
+    ann = exchange_records_from_pieces(pieces, 2, GRID, finish,
+                                       ANNOTATION_SCHEMA)
+    ring = F.col("f.geometry.coordinates")[0]
+    xs = F.transform(ring, lambda p: p[0])
+    ys = F.transform(ring, lambda p: p[1])
+    return (ann.filter(F.col("annotation").isNotNull())
+            .select(F.explode(
+                F.from_json("annotation", GEOJSON_SPARK_SCHEMA)["features"])
+                .alias("f"))
+            .select(F.array_min(xs).alias("min_x"),
+                    F.array_min(ys).alias("min_y"),
+                    F.array_max(xs).alias("max_x"),
+                    F.array_max(ys).alias("max_y"))
+            .orderBy("min_x", "min_y", "max_x", "max_y"))
