@@ -409,3 +409,98 @@ def relabel_annotations_summary(spark: SparkSession, sf_dir: str
                     F.array_max(xs).alias("max_x"),
                     F.array_max(ys).alias("max_y"))
             .orderBy("min_x", "min_y", "max_x", "max_y"))
+
+
+def _ccl3_ctes() -> str:
+    """6-connected 3D CCL closure over the unthinned voxel mask
+    (~60 k voxels at the sf0.01 gate)."""
+    return f"""pts AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_suppkey % {D3} AS INT) AS z,
+                  CAST(l_orderkey % {H3} AS INT) AS y,
+                  CAST(l_partkey % {W3} AS INT) AS x
+  FROM lineitem),
+ids AS MATERIALIZED (
+  SELECT z, y, x, (z * {H3} + y) * {W3} + x AS id FROM pts),
+edges AS MATERIALIZED (
+  SELECT a.id AS ea, b.id AS eb
+  FROM ids a JOIN ids b
+    ON (b.z = a.z + 1 AND b.y = a.y AND b.x = a.x)
+    OR (b.z = a.z AND b.y = a.y + 1 AND b.x = a.x)
+    OR (b.z = a.z AND b.y = a.y AND b.x = a.x + 1)),
+sym(ea, eb) AS MATERIALIZED (
+  SELECT ea, eb FROM edges UNION ALL SELECT eb, ea FROM edges),
+walk(pid, lbl) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT s.eb, w.lbl FROM walk w JOIN sym s ON s.ea = w.pid),
+comp AS (SELECT pid, min(lbl) AS comp_id FROM walk GROUP BY pid)"""
+
+
+# y/x overlap bands: [CHUNK - OVERLAP, CHUNK + OVERLAP) around the one
+# internal border of the 2x2 grid; objects whose bbox avoids BOTH bands
+# are never dedup candidates, so the pipeline is provably exact on them.
+_BAND_LO = CHUNK3[1] - OVERLAP3[1]
+_BAND_HI = CHUNK3[1] + OVERLAP3[1]
+
+
+@register("relabel_components_3d_interior",
+          "WITH RECURSIVE " + _ccl3_ctes() + f"""
+, boxes AS (
+  SELECT comp.comp_id, CAST(count(*) AS BIGINT) AS n_voxels,
+         min(i.z) AS min_z, min(i.y) AS min_y, min(i.x) AS min_x,
+         max(i.z) AS max_z, max(i.y) AS max_y, max(i.x) AS max_x
+  FROM comp JOIN ids i ON i.id = comp.pid
+  GROUP BY comp.comp_id)
+SELECT n_voxels, min_z, min_y, min_x, max_z, max_y, max_x
+FROM boxes
+WHERE (max_y < {_BAND_LO} OR min_y >= {_BAND_HI})
+  AND (max_x < {_BAND_LO} OR min_x >= {_BAND_HI})
+ORDER BY min_z, min_y, min_x, max_z, max_y, max_x, n_voxels
+""")
+def relabel_components_3d_interior(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """HASH CHECK for the 3D flagship, restricted to its provably-exact
+    region.  The unthinned 3D mask violates no contract for objects
+    whose bbox avoids both overlap bands (y and x in
+    [CHUNK-OVERLAP, CHUNK+OVERLAP) around the internal borders): such
+    objects are never dedup candidates, so the pipeline reproduces
+    exact global 6-connected CCL on them — while the band-touching
+    objects (where the reference's own corner-parity drop semantics
+    apply, tests/test_kernels_golden.py::
+    test_corner_object_sub_threshold_parity_loss) are filtered
+    SYMMETRICALLY on both sides: each side computes the bbox filter
+    from its own component set, so surviving border objects leave both
+    frames and dropped ones were never in either.  Output: bbox +
+    voxel count per interior component, label-id-invariant."""
+    pieces = _mask_tiles_3d(spark, sf_dir, as_pieces=True)
+    labeled = image2labels_from_pieces(
+        pieces, 3, GRID3, CHUNK3, (D3, H3, W3), spark,
+        overlaps=OVERLAP3, threshold=0.05)
+    hw = F.col("h") * F.col("w")
+    vox = (labeled.df
+           .select("cz", "cy", "cx", "h", "w",
+                   F.posexplode("data").alias("i", "lbl"))
+           .filter(F.col("lbl") != 0)
+           .select(
+               (F.col("i") / hw).cast("int").alias("z"),
+               (F.col("cy") * CHUNK3[1]
+                + ((F.col("i") % hw) / F.col("w")).cast("int"))
+               .cast("int").alias("y"),
+               (F.col("cx") * CHUNK3[2] + (F.col("i") % hw) % F.col("w"))
+               .cast("int").alias("x"),
+               "lbl"))
+    boxes = (vox.groupBy("lbl")
+             .agg(F.count("*").alias("n_voxels"),
+                  F.min("z").alias("min_z"), F.min("y").alias("min_y"),
+                  F.min("x").alias("min_x"),
+                  F.max("z").alias("max_z"), F.max("y").alias("max_y"),
+                  F.max("x").alias("max_x")))
+    interior = (((F.col("max_y") < _BAND_LO)
+                 | (F.col("min_y") >= _BAND_HI)) &
+                ((F.col("max_x") < _BAND_LO)
+                 | (F.col("min_x") >= _BAND_HI)))
+    return (boxes.filter(interior)
+            .select("n_voxels", "min_z", "min_y", "min_x",
+                    "max_z", "max_y", "max_x")
+            .orderBy("min_z", "min_y", "min_x",
+                     "max_z", "max_y", "max_x", "n_voxels"))
