@@ -52,3 +52,34 @@ def exact_quantiles(df: DataFrame, col: str,
             .filter((F.col("below") <= F.col("k")) &
                     (F.col("k") < F.col("below") + F.col("cnt")))
             .select("q", F.col("v").alias("value")))
+
+
+def grouped_exact_quantiles(df: DataFrame, col: str, group_col: str,
+                            quantiles: List[Tuple[str, int, int]]
+                            ) -> DataFrame:
+    """Exact type-1 quantiles PER GROUP, same scheme as
+    ``exact_quantiles`` with the grouped two-phase prefix sum: the
+    (group, value) histogram is range-partitioned on (group, value), so
+    a hot group spans partitions instead of pinning one, and each
+    group's rank ranges come from the same broadcast partition-totals
+    table.  Group sizes join back as an aggregate (one extra shuffle of
+    group cardinality, not data).  Output: (group, q, value)."""
+    counts = (df.select(F.col(group_col).alias("g"),
+                        F.col(col).alias("v"))
+              .groupBy("g", "v").agg(F.count("*").alias("cnt")))
+    ranked = exclusive_prefix_sum(counts, "v", "cnt", out_col="below",
+                                  group_col="g")
+    sizes = (df.groupBy(F.col(group_col).alias("g"))
+             .agg(F.count("*").alias("n")))
+    qdf = df.sparkSession.createDataFrame(
+        [(name, num, den) for name, num, den in quantiles],
+        "q string, num long, den long")
+    ks = (sizes.crossJoin(F.broadcast(qdf))
+          .select("g", "q",
+                  F.floor((F.col("num") * (F.col("n") - 1))
+                          / F.col("den")).alias("k")))
+    return (ranked.join(ks, "g")
+            .filter((F.col("below") <= F.col("k")) &
+                    (F.col("k") < F.col("below") + F.col("cnt")))
+            .select(F.col("g").alias(group_col), "q",
+                    F.col("v").alias("value")))

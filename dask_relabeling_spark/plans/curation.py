@@ -548,3 +548,79 @@ def events_incremental_rollup(spark, sf_dir):
     return merged.select("event_type", "h", "n_events",
                          F.round(F.col("sv").cast("double"), 2)
                          .alias("sum_value"))
+
+
+# ------------------------------------- grouped exact quantiles
+@register("orders_price_quartiles_by_priority", """
+WITH o AS (SELECT o_orderpriority AS g, o_totalprice AS v,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice) - 1 AS rk
+           FROM orders),
+n AS (SELECT o_orderpriority AS g, count(*) AS n FROM orders GROUP BY 1),
+q(qname, num, den) AS (
+  VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4))
+SELECT o.g AS o_orderpriority, q.qname AS q, o.v AS value
+FROM o JOIN n USING (g), q
+WHERE o.rk = (q.num * (n.n - 1)) // q.den
+""")
+def orders_price_quartiles_by_priority(spark, sf_dir):
+    """Exact per-group quartiles of o_totalprice by order priority —
+    the grouped form of ``lineitem_exact_quantiles``: grouped two-phase
+    prefix ranks over the (group, value) histogram, hot groups spanning
+    partitions (functions/quantiles.py: grouped_exact_quantiles).  The
+    oracle replays it as per-group row_number at oracle scale."""
+    from ..functions.quantiles import grouped_exact_quantiles
+    return grouped_exact_quantiles(
+        t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority",
+        [("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)])
+
+
+# ------------------------------------- data-quality constraint audit
+@register("dq_orders_constraints", """
+SELECT 'duplicate_orderkey' AS check_name,
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+       AS n_violations
+FROM orders
+UNION ALL
+SELECT 'negative_totalprice',
+       CAST(count(*) FILTER (WHERE o_totalprice < 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'null_custkey',
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'orphan_custkey', CAST(count(*) AS BIGINT)
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)
+ORDER BY check_name
+""")
+def dq_orders_constraints(spark, sf_dir):
+    """dbt/Deequ-style data-quality audit in two passes: the column
+    constraints (nullability, range, key uniqueness) fold into ONE
+    scan's aggregate row and unpivot via ``stack``; the referential
+    check is a LEFT ANTI join against the dimension (broadcast at dim
+    scale, bloom-pruned at fact scale).  Output: one row per declared
+    constraint with its violation count — the audit artifact a 100 TB
+    ingest gate stores per batch."""
+    o = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    base = (o.agg(
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .alias("duplicate_orderkey"),
+        F.sum((F.col("o_totalprice") < 0).cast("long"))
+        .alias("negative_totalprice"),
+        F.sum(F.col("o_custkey").isNull().cast("long"))
+        .alias("null_custkey"))
+        .selectExpr("stack(3, 'duplicate_orderkey', duplicate_orderkey, "
+                    "'negative_totalprice', negative_totalprice, "
+                    "'null_custkey', null_custkey) "
+                    "AS (check_name, n_violations)"))
+    orphans = (o.join(cust.select("c_custkey"),
+                      F.col("o_custkey") == F.col("c_custkey"),
+                      "left_anti")
+               .agg(F.count("*").alias("n_violations"))
+               .select(F.lit("orphan_custkey").alias("check_name"),
+                       "n_violations"))
+    return base.unionByName(orphans).orderBy("check_name")

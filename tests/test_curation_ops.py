@@ -322,3 +322,26 @@ def test_bigram_logprob_manual(spark):
                for r in fn(spark, td).collect()}
     assert got[1] == got[2] == round(math.log(2 / 3), 4)
     assert got[3] == round(math.log(1 / 3), 4)
+
+
+# ------------------------------------------- grouped exact quantiles
+def test_grouped_exact_quantiles_matches_per_group_sort(spark):
+    from dask_relabeling_spark.functions.quantiles import (
+        grouped_exact_quantiles)
+    import collections
+    li = spark.read.parquet(f"{SF}/orders.parquet")
+    rows = li.select("o_orderpriority", "o_totalprice").collect()
+    groups = collections.defaultdict(list)
+    for r in rows:
+        groups[r.o_orderpriority].append(r.o_totalprice)
+    got = {(r.o_orderpriority, r.q): r.value
+           for r in grouped_exact_quantiles(
+               li, "o_totalprice", "o_orderpriority",
+               [("p50", 1, 2), ("p90", 9, 10)]).collect()}
+    want = {}
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        want[(g, "p50")] = vals[(n - 1) // 2]
+        want[(g, "p90")] = vals[9 * (n - 1) // 10]
+    assert got == want

@@ -69,7 +69,14 @@ ALLOWED_NESTED_LOOP = {
         "4-row quantile-rank broadcast against the value histogram",
     "embedding_semantic_dedup":
         "k-means arm's 1-row packed-centroid broadcast per iteration",
+    "orders_price_quartiles_by_priority":
+        "3-row quantile-spec broadcast against the group-sizes table",
 }
+
+ALLOWED_SINGLE_PARTITION.update({
+    "dq_orders_constraints":
+        "1-row multi-constraint audit aggregate + 1-row orphan count",
+})
 
 ALLOWED_CARTESIAN: dict = {}
 
