@@ -38,3 +38,29 @@ def test_udtf_splits_sentences(spark):
         "LATERAL split_sentences(t.txt) s").collect()
     got = sorted((r.pos, r.sentence) for r in out)
     assert got == [(0, "a b"), (0, "x"), (1, "c d")]
+
+
+def test_misra_gries_mergeable_guarantee(spark):
+    """Merged per-partition Misra-Gries summaries must satisfy the
+    mergeable-summaries contract under ANY partitioning:
+    est <= true <= est + n/k for all reported terms, and every term
+    with true count > n/k is reported."""
+    from pyspark.sql import functions as F
+    from dask_relabeling_spark.functions.heavy_hitters import (
+        mg_heavy_hitters)
+    from dask_relabeling_spark.operators.text import tokens_col
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(tokens_col(F.col("text"))).alias("term"))
+    true = {r.term: r.c for r in
+            toks.groupBy("term").agg(F.count("*").alias("c")).collect()}
+    n = sum(true.values())
+    k = 8
+    for parts in (1, 3, 17):
+        got = {r.term: r.est for r in
+               mg_heavy_hitters(toks.repartition(parts), k=k).collect()}
+        bound = n / k
+        for term, cnt in true.items():
+            if cnt > bound:
+                assert term in got, (parts, term)
+        for term, est in got.items():
+            assert est <= true[term] <= est + bound, (parts, term)
