@@ -111,3 +111,20 @@ def read_whole_text(spark: SparkSession, path: str,
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def write_zordered(df: DataFrame, path: str, zkey_col: str,
+                   n_files: int = 16, fmt: str = "parquet",
+                   mode: str = "error") -> None:
+    """Write ``df`` clustered by a z-order key (``functions/ids.py::
+    zorder_key``): range-partition on the key so each output file owns
+    a contiguous key range, and sort within partitions so parquet
+    row-group statistics are tight.  With a Morton key over (a, b),
+    every file then covers a small rectangle of (a, b) space — min/max
+    file statistics prune scans for predicates on EITHER dimension
+    (the Delta/Iceberg OPTIMIZE ZORDER effect, reproduced with plain
+    Spark writers).  ``tests/test_formats.py`` measures the locality:
+    per-file bbox area must shrink ~n_files-fold vs the global bbox."""
+    (df.repartitionByRange(n_files, zkey_col)
+       .sortWithinPartitions(zkey_col)
+       .write.format(fmt).mode(mode).save(path))

@@ -81,3 +81,33 @@ def test_whole_text_source_doc_per_file_and_per_line(spark, tmp_path):
     lines = read_whole_text(spark, str(tmp_path), glob="*.txt",
                             line_mode=True)
     assert lines.count() == 3
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Files written by write_zordered must each cover a small
+    rectangle of (x, y) space: mean per-file bbox area << global area,
+    so min/max stats prune on EITHER column."""
+    from pyspark.sql import Row
+    from dask_relabeling_spark.functions.ids import zorder_key
+    from dask_relabeling_spark.sources.formats import write_zordered
+    pts = spark.createDataFrame(
+        [Row(x=x, y=y) for x in range(64) for y in range(64)])
+    df = pts.select("x", "y", zorder_key(
+        F.shiftright("x", 2).bitwiseAND(15),
+        F.shiftright("y", 2).bitwiseAND(15), bits=4).alias("z"))
+    path = str(tmp_path / "zordered")
+    write_zordered(df, path, "z", n_files=16)
+    back = (spark.read.parquet(path)
+            .withColumn("f", F.input_file_name()))
+    spans = (back.groupBy("f")
+             .agg(((F.max("x") - F.min("x") + 1)
+                   * (F.max("y") - F.min("y") + 1)).alias("area"))
+             .collect())
+    assert len(spans) >= 8
+    mean_area = sum(r.area for r in spans) / len(spans)
+    global_area = 64 * 64
+    # linear range partitioning on a 1-D sort key would give full-width
+    # stripes (area ~= global/n_files only in ONE dimension); the
+    # z-order key must confine BOTH dimensions: mean bbox area well
+    # under a quarter of the global rectangle
+    assert mean_area <= global_area / 4, mean_area
