@@ -128,3 +128,29 @@ def write_zordered(df: DataFrame, path: str, zkey_col: str,
     (df.repartitionByRange(n_files, zkey_col)
        .sortWithinPartitions(zkey_col)
        .write.format(fmt).mode(mode).save(path))
+
+
+def compact_parquet(spark: SparkSession, path: str, out_path: str,
+                    target_files: int, sort_by: Optional[str] = None
+                    ) -> int:
+    """Small-files compaction (the OPTIMIZE/maintenance pass every
+    streaming sink needs): rewrite a parquet dataset into
+    ``target_files`` right-sized files, optionally range-clustered on
+    ``sort_by`` so row-group statistics stay useful after compaction.
+
+    Writes to ``out_path`` (never in place — the swap is the caller's
+    atomic rename/metadata commit, exactly how Delta/Iceberg stage
+    compactions), returns the number of files written.  Plain
+    ``coalesce`` when unsorted (no shuffle — input files concatenate);
+    ``repartitionByRange`` + in-partition sort when clustering.
+    """
+    df = spark.read.parquet(path)
+    if sort_by is None:
+        df.coalesce(target_files).write.parquet(out_path)
+    else:
+        (df.repartitionByRange(target_files, sort_by)
+           .sortWithinPartitions(sort_by)
+           .write.parquet(out_path))
+    import glob as _glob
+    import os as _os
+    return len(_glob.glob(_os.path.join(out_path, "part-*")))

@@ -111,3 +111,16 @@ def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
     # z-order key must confine BOTH dimensions: mean bbox area well
     # under a quarter of the global rectangle
     assert mean_area <= global_area / 4, mean_area
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from dask_relabeling_spark.sources.formats import compact_parquet
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    nation = load_table(spark, SF, "nation")
+    nation.repartition(12).write.parquet(src)  # 12 tiny files
+    n_files = compact_parquet(spark, src, out, target_files=2,
+                              sort_by="n_nationkey")
+    assert n_files <= 2
+    assert canon(spark.read.parquet(out), ["n_nationkey"]) == \
+        canon(nation, ["n_nationkey"])
