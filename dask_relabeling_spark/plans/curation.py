@@ -453,21 +453,24 @@ def embedding_semantic_dedup(spark, sf_dir):
 
 
 # ------------------------------------- bigram LM scoring
-@register("docs_bigram_logprob", """
+@register("docs_bigram_logprob", f"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
   FROM documents),
-bb AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+bb AS (SELECT doc_id,
+              {_DUCK_H32.format(x='b')} AS hb,
+              {_DUCK_H32.format(x="string_split(b, ' ')[1]")} AS hc
+       FROM (
   SELECT doc_id, unnest(list_transform(
            generate_series(1, greatest(len(tk) - 1, 0)),
-           i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS b
+           i -> tk[i] || ' ' || tk[i + 1])) AS b
   FROM toks)),
-bfreq AS (SELECT w1, w2, count(*) AS cb FROM bb GROUP BY 1, 2),
-ctx AS (SELECT w1, count(*) AS c1 FROM bb GROUP BY 1)
+bfreq AS (SELECT hb, count(*) AS cb FROM bb GROUP BY 1),
+ctx AS (SELECT hc, count(*) AS c1 FROM bb GROUP BY 1)
 SELECT bb.doc_id, CAST(count(*) AS INT) AS n_bigrams,
        round(CAST(sum(CAST(ln(f.cb / x.c1) AS DECIMAL(27,18)))
                   AS DOUBLE) / count(*), 4) AS lp_per_bigram
-FROM bb JOIN bfreq f USING (w1, w2) JOIN ctx x USING (w1)
+FROM bb JOIN bfreq f USING (hb) JOIN ctx x USING (hc)
 GROUP BY bb.doc_id
 """)
 def docs_bigram_logprob(spark, sf_dir):
@@ -476,7 +479,16 @@ def docs_bigram_logprob(spark, sf_dir):
     device — EXACT DECIMAL(27,18) sums of the ln values so shuffle
     order cannot flip the final rounding).  One bigram explode feeds
     the transition-count table, the context-count table, and the
-    scoring join, all co-partitioned on the (w1, w2) / w1 keys."""
+    scoring join.
+
+    Scale shape (the fix behind SCALE.md's bigram row): transition and
+    context keys are the portable int64 ``token_hash`` of the bigram /
+    context strings, NOT the strings themselves — at corpus scale the
+    two count-table shuffles and the scoring join carry 8-byte keys
+    instead of arbitrary-length text.  Both engines hash identically,
+    so the (astronomically rare at test vocab) collision would merge
+    the same counts on both sides — the oracle stays exact."""
+    from ..operators.dedup import token_hash
     from ..operators.text import tokens_col
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens_col(F.col("text")).alias("tk"))
@@ -485,13 +497,15 @@ def docs_bigram_logprob(spark, sf_dir):
         .otherwise(F.array().cast("array<int>"))
     bigram = F.transform(idx, lambda i: F.struct(
         F.element_at(tk, i).alias("w1"),
-        F.element_at(tk, i + 1).alias("w2")))
-    bb = (toks.select("doc_id", F.explode(bigram).alias("b"))
-          .select("doc_id", "b.w1", "b.w2"))
-    bfreq = bb.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    ctx = bb.groupBy("w1").agg(F.count("*").alias("c1"))
+        F.concat_ws(" ", F.element_at(tk, i),
+                    F.element_at(tk, i + 1)).alias("b")))
+    bb = (toks.select("doc_id", F.explode(bigram).alias("g"))
+          .select("doc_id", token_hash(F.col("g.b")).alias("hb"),
+                  token_hash(F.col("g.w1")).alias("hc")))
+    bfreq = bb.groupBy("hb").agg(F.count("*").alias("cb"))
+    ctx = bb.groupBy("hc").agg(F.count("*").alias("c1"))
     lnp = F.log(F.col("cb") / F.col("c1"))
-    return (bb.join(bfreq, ["w1", "w2"]).join(ctx, "w1")
+    return (bb.join(bfreq, "hb").join(ctx, "hc")
             .groupBy("doc_id")
             .agg(F.count("*").cast("int").alias("n_bigrams"),
                  F.round(F.sum(lnp.cast("decimal(27,18)")).cast("double")
@@ -624,3 +638,28 @@ def dq_orders_constraints(spark, sf_dir):
                .select(F.lit("orphan_custkey").alias("check_name"),
                        "n_violations"))
     return base.unionByName(orphans).orderBy("check_name")
+
+
+# ------------------------------------- leakage-safe train/eval split
+@register("docs_leakage_safe_split", f"""
+SELECT doc_id,
+       CASE WHEN {_DUCK_H32.format(
+           x="'split|' || md5(text)")} % 10 < 8
+            THEN 'train' ELSE 'eval' END AS split
+FROM documents
+""")
+def docs_leakage_safe_split(spark, sf_dir):
+    """Train/eval split keyed on the CONTENT fingerprint, not the row
+    id: exact duplicates always land in the same split, so held-out
+    eval can never contain a training document's copy (the classic
+    contamination-by-duplication leak).  Stateless hash-Bernoulli —
+    reproducible across engines, reruns, and backfills; near-dup-safe
+    variants key the same hash on ``dedup_cluster_canonical``'s
+    cluster id instead.  Test pins the invariant: no fingerprint in
+    both splits."""
+    from ..operators.dedup import token_hash
+    d = t(spark, sf_dir, "documents")
+    h = token_hash(F.concat(F.lit("split|"), F.md5("text")))
+    return d.select(
+        "doc_id",
+        F.when(h % 10 < 8, "train").otherwise("eval").alias("split"))

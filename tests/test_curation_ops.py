@@ -345,3 +345,18 @@ def test_grouped_exact_quantiles_matches_per_group_sort(spark):
         want[(g, "p50")] = vals[(n - 1) // 2]
         want[(g, "p90")] = vals[9 * (n - 1) // 10]
     assert got == want
+
+
+# ------------------------------------------- leakage-safe split
+def test_leakage_safe_split_no_fingerprint_straddles(spark):
+    from dask_relabeling_spark.plans import REGISTRY
+    fn, _ = REGISTRY["docs_leakage_safe_split"]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = fn(spark, SF).join(docs, "doc_id") \
+        .select(F.md5("text").alias("fp"), "split")
+    straddlers = (out.groupBy("fp")
+                  .agg(F.countDistinct("split").alias("ns"))
+                  .filter(F.col("ns") > 1).count())
+    assert straddlers == 0
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "eval"}
