@@ -663,3 +663,62 @@ def docs_leakage_safe_split(spark, sf_dir):
     return d.select(
         "doc_id",
         F.when(h % 10 < 8, "train").otherwise("eval").alias("split"))
+
+
+# ------------------------------------- robust (MAD) anomaly counts
+@register("events_anomaly_mad", """
+WITH med AS (
+  SELECT g AS event_type, v AS med FROM (
+    SELECT event_type AS g, value AS v,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value) - 1 AS rk
+    FROM events) o
+  JOIN (SELECT event_type AS g, count(*) AS n
+        FROM events GROUP BY 1) n USING (g)
+  WHERE o.rk = (n.n - 1) // 2),
+dev AS (SELECT e.event_type, abs(e.value - m.med) AS d, m.med
+        FROM events e JOIN med m USING (event_type)),
+mad AS (
+  SELECT g AS event_type, v AS mad FROM (
+    SELECT event_type AS g, d AS v,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY d) - 1 AS rk
+    FROM dev) o
+  JOIN (SELECT event_type AS g, count(*) AS n
+        FROM dev GROUP BY 1) n USING (g)
+  WHERE o.rk = (n.n - 1) // 2)
+SELECT d.event_type,
+       CAST(count(*) FILTER (WHERE d.d > 5 * mad.mad) AS BIGINT)
+       AS n_outliers,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM dev d JOIN mad USING (event_type)
+GROUP BY d.event_type
+""")
+def events_anomaly_mad(spark, sf_dir):
+    """Robust anomaly detection: flag events whose |value - median|
+    exceeds 5x the Median Absolute Deviation of their type — the
+    outlier rule that, unlike the z-score (``events_value_anomalies``),
+    is not itself poisoned by the outliers it hunts.  Built by
+    composing ``grouped_exact_quantiles`` twice (per-type median, then
+    per-type median of the absolute deviations) — each an exact
+    two-phase prefix-rank with NO global sort or single-partition
+    percentile buffer — plus one broadcast of the per-type constants.
+    Deterministic: medians are exact order statistics (actual column
+    values), deviations are correctly-rounded doubles identical on
+    both engines, and the rule is a plain comparison."""
+    from ..functions.quantiles import grouped_exact_quantiles
+    ev = t(spark, sf_dir, "events")
+    med = (grouped_exact_quantiles(ev, "value", "event_type",
+                                   [("p50", 1, 2)])
+           .select("event_type", F.col("value").alias("med")))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", F.abs(F.col("value") - F.col("med"))
+                   .alias("d")))
+    mad = (grouped_exact_quantiles(dev, "d", "event_type",
+                                   [("p50", 1, 2)])
+           .select("event_type", F.col("value").alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.sum((F.col("d") > 5 * F.col("mad")).cast("long"))
+                 .alias("n_outliers"),
+                 F.count("*").alias("n_events")))

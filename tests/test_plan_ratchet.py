@@ -71,6 +71,8 @@ ALLOWED_NESTED_LOOP = {
         "k-means arm's 1-row packed-centroid broadcast per iteration",
     "orders_price_quartiles_by_priority":
         "3-row quantile-spec broadcast against the group-sizes table",
+    "events_anomaly_mad":
+        "1-row quantile-spec broadcast per grouped-median pass",
 }
 
 ALLOWED_SINGLE_PARTITION.update({
