@@ -20,11 +20,16 @@ Scale design (100 TB):
   across the cluster, and map-side combine reduces each partition to at
   most k*dim cells before the exchange — a hot cluster cannot pin a
   partition;
-* component sums use DECIMAL(27,9) (exact for float32-magnitude
-  inputs), and new centroid components are quantized to 3 decimals —
-  the same order-independence device as ``embedding_label_centroids``,
-  making every iteration bit-reproducible across shuffle orders AND
-  across engines, so the unrolled DuckDB oracle matches by hash;
+* component sums are exact integer nano-units (``floor(v*1e9 + 0.5)``
+  per component — every step IEEE-754-exact), and new centroid
+  components are quantized to integer milli-units by pure integer
+  floor-division, then converted back with ONE IEEE division by
+  1000.0 — the same order-independence device as
+  ``embedding_label_centroids``, with NO engine-build-dependent
+  decimal->double rounding anywhere (the channel behind that query's
+  round-2/3 driver red row), making every iteration bit-reproducible
+  across shuffle orders AND across engine builds, so the unrolled
+  DuckDB oracle matches by hash;
 * per-element distance folds run in array-index order on both engines
   (Spark ``aggregate`` left-fold from 0.0 == DuckDB ``list_reduce``
   left-fold), so even the doubles agree bit-for-bit.
@@ -70,14 +75,27 @@ def assign_clusters(vecs: DataFrame, cent: DataFrame,
 
 def update_centroids(assigned: DataFrame,
                      vec_col: str = "ve") -> DataFrame:
-    """Mean per (cluster, dim) with exact decimal sums, components
-    quantized to 3 decimals; re-packs arrays in dim order."""
-    exact = F.sum(F.col("v").cast("decimal(27,9)"))
+    """Mean per (cluster, dim), quantized to milli-units through pure
+    integer arithmetic; re-packs arrays in dim order.
+
+    Each component becomes exact nano-units via ``floor(v*1e9 + 0.5)``
+    (IEEE-exact on any engine), sums are plain BIGINT, and the
+    milli-unit mean is round-half-up(1000*s/n) as an exact integer
+    floor-division: ``num - pmod(num, den)`` is divisible by ``den``,
+    so the ``div`` below is exact and truncation direction is
+    irrelevant.  The only float op is the final single IEEE division by
+    1000.0 — bit-identical across engine builds."""
+    nano = F.floor(F.col("v") * F.lit(1000000000.0) + F.lit(0.5)) \
+            .cast("long")
     comp = (assigned
             .select("cluster", F.posexplode(vec_col).alias("pos", "v"))
             .groupBy("cluster", "pos")
-            .agg(F.round(exact.cast("double") / F.count("*"), 3)
-                 .alias("val")))
+            .agg(F.sum(nano).alias("s_nano"), F.count("*").alias("n"))
+            .withColumn("num", F.expr("2L * s_nano + n * 1000000L"))
+            .withColumn("den", F.expr("2L * n * 1000000L"))
+            .select("cluster", "pos",
+                    (F.expr("(num - pmod(num, den)) div den")
+                     .cast("double") / F.lit(1000.0)).alias("val")))
     return (comp.groupBy(F.col("cluster").alias("cid"))
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "val"))),
@@ -89,11 +107,13 @@ def kmeans_assignments(df: DataFrame, k: int = 8, n_iter: int = 2,
                        vec_col: str = "embedding") -> DataFrame:
     """Fixed-iteration Lloyd's k-means; returns (id, cluster) after
     ``n_iter`` assignment/update rounds.  Deterministic: centroids are
-    initialized from the k lowest-id vectors (the same convention as
-    ``similarity.ivf_cells``) and every update is order-independent."""
+    initialized from the k lowest-id vectors — selected by an actual
+    sort + limit (distributed TakeOrdered, k is small), NOT a
+    ``id < k`` value filter, so sparse or offset id spaces still yield
+    exactly min(k, n) centroids.  Every update is order-independent."""
     vecs = df.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias("ve"))
-    cent = (vecs.filter(F.col(id_col) < k)
+    cent = (vecs.orderBy(id_col).limit(k)
             .select(F.col(id_col).cast("int").alias("cid"),
                     F.col("ve").alias("cv")))
     assigned = assign_clusters(vecs, cent, id_col=id_col)

@@ -1001,14 +1001,24 @@ def docs_deterministic_shuffle(spark, sf_dir):
 
 # ------------------------------------- per-class embedding centroids
 @register("embedding_label_centroids", """
-SELECT label, CAST(u.s.i AS INT) AS dim,
-       round(CAST(sum(CAST(u.s.v AS DECIMAL(27,9))) AS DOUBLE)
-             / count(*), 3) AS centroid,
-       CAST(count(*) AS BIGINT) AS n_vecs
-FROM embeddings e,
-     unnest(list_transform(generate_series(1, len(e.embedding)),
-            i -> {'i': i, 'v': e.embedding[i]})) AS u(s)
-GROUP BY 1, 2
+WITH ex AS (
+  SELECT label, CAST(u.s.i AS INT) AS dim,
+         CAST(floor(CAST(u.s.v AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+           AS nano
+  FROM embeddings e,
+       unnest(list_transform(generate_series(1, len(e.embedding)),
+              i -> {'i': i, 'v': e.embedding[i]})) AS u(s)
+), g AS (
+  SELECT label, dim, sum(nano) AS s_nano, count(*) AS n
+  FROM ex GROUP BY 1, 2
+)
+SELECT label, dim,
+       CAST(((2 * s_nano + n * 1000000)
+             - ((((2 * s_nano + n * 1000000) % (2 * n * 1000000))
+                 + (2 * n * 1000000)) % (2 * n * 1000000)))
+            // (2 * n * 1000000) AS BIGINT) AS centroid_milli,
+       CAST(n AS BIGINT) AS n_vecs
+FROM g
 """)
 def embedding_label_centroids(spark, sf_dir):
     """Per-label mean embedding — the centroid-update step of k-means /
@@ -1017,23 +1027,43 @@ def embedding_label_centroids(spark, sf_dir):
     the cluster, so a hot label cannot pin a partition the way a
     per-label collect would.
 
-    Determinism: a double ``avg`` accumulates in shuffle-fetch order and
-    is NOT run-stable when the true mean sits on a round-half boundary
-    of ``round(_, 3)`` (observed: label=1/dim=18 flips 0.006<->0.007).
-    The mean is therefore computed as an exact DECIMAL(27,9) sum —
-    order-independent, and exact for float32-magnitude inputs, since a
-    float32 can never land on a 5e-10 half-point of the decimal grid so
-    both engines quantize identically — divided by the count, rounding
-    only at the very end."""
+    Determinism (the round-2/3 driver red row): a double ``avg``
+    accumulates in shuffle-fetch order, and even an order-independent
+    decimal sum rendered through ``round(CAST(.. AS DOUBLE)/n, 3)``
+    leaves a rounded-double channel where two engine BUILDS can round a
+    half-point differently.  So the output contains NO doubles at all:
+
+    * each float32 component becomes exact integer nano-units via
+      ``floor(v * 1e9 + 0.5)`` — float32->double cast, one IEEE-754
+      multiply, one IEEE add, one floor: every step is exactly
+      specified by IEEE 754, bit-identical on any compliant engine;
+    * the nano sums are plain BIGINT — order-independent, exact
+      (|sum| < ~1e9 * n; overflows only past ~1e9 high-magnitude rows
+      per (label,dim) group, far beyond the checked scale — at that
+      scale switch the accumulator to DECIMAL(38,0));
+    * the mean in milli-units is round-half-up(1000 * s/n) done as pure
+      integer floor-division:  floor((2s + n*1e6) / (2n*1e6)), where
+      the floor is implemented engine-portably by subtracting the
+      non-negative residue ``((x % d) + d) % d`` before dividing, so
+      the division is exact and truncation direction is irrelevant.
+
+    Result columns are BIGINT/INT only — integers hash identically on
+    any build."""
     em = t(spark, sf_dir, "embeddings")
-    exact_sum = F.sum(F.col("v").cast("double").cast("decimal(27,9)"))
-    return (em.select("label",
-                      F.posexplode("embedding").alias("pos", "v"))
-            .groupBy("label",
-                     (F.col("pos") + 1).cast("int").alias("dim"))
-            .agg(F.round(exact_sum.cast("double") / F.count("*"), 3)
-                 .alias("centroid"),
-                 F.count("*").alias("n_vecs")))
+    nano = F.floor(F.col("v").cast("double") * F.lit(1000000000.0)
+                   + F.lit(0.5)).cast("long")
+    g = (em.select("label", F.posexplode("embedding").alias("pos", "v"))
+         .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
+         .agg(F.sum(nano).alias("s_nano"),
+              F.count("*").alias("n")))
+    return (g.withColumn("num", F.expr("2L * s_nano + n * 1000000L"))
+            .withColumn("den", F.expr("2L * n * 1000000L"))
+            # num - pmod(num, den) is divisible by den, so the integer
+            # `div` is exact and truncation direction is irrelevant.
+            .select("label", "dim",
+                    F.expr("(num - pmod(num, den)) div den")
+                    .cast("long").alias("centroid_milli"),
+                    F.col("n").cast("long").alias("n_vecs")))
 
 
 # ------------------------------------ blocked fuzzy (edit-distance) match

@@ -71,25 +71,28 @@ def test_rows_only_queries_run(spark):
 
 
 def test_centroids_order_independent(spark):
-    """Regression for the round-2 driver hash-fail: a double ``avg``
+    """Regression for the round-2/3 driver hash-fail: a double ``avg``
     accumulates in shuffle-fetch order, and the (label=1, dim=18) mean
     sits on a round(_, 3) half boundary, so reruns flipped
-    0.006<->0.007.  The decimal-sum formulation must yield bit-identical
-    centroids across runs with different partitioning."""
+    0.006<->0.007; even the decimal-exact sum left a rounded-double
+    render channel where engine builds could disagree.  The query now
+    emits pure-integer milli-units, which must be identical across runs
+    with different partitioning (and, being BIGINT, across builds)."""
     q = QUERIES["embedding_label_centroids"]
 
     def run(parts):
         old = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         try:
-            rows = {(r["label"], r["dim"]): r["centroid"]
+            rows = {(r["label"], r["dim"]): r["centroid_milli"]
                     for r in q(spark, SF_DIR).collect()}
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         return rows
 
     a, b, c = run(32), run(7), run(1)
-    assert a == b == c          # exact float equality, no tolerance
+    assert a == b == c
+    assert all(isinstance(v, int) for v in a.values())
 
 
 @pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01",

@@ -31,6 +31,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
+    """Exact comparison, matching the driver's value-hash gate.
+
+    Floats compare BITWISE-equal (NaN==NaN allowed): the driver hashes
+    exact rendered values, so an `isclose` tolerance here is a softer
+    gate than the driver's — exactly the gap that let the round-2/3
+    `embedding_label_centroids` fix look green locally while the driver
+    kept failing it.  Any query emitting doubles must therefore produce
+    them through operations that are bit-deterministic across engines
+    (IEEE-pinned op order), or emit integers instead."""
     if a.shape != b.shape:
         return False
     for c in a.columns:
@@ -39,9 +48,8 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
             xa = pd.to_numeric(x, errors="coerce").to_numpy(float)
             ya = pd.to_numeric(y, errors="coerce").to_numpy(float)
             same_nan = np.isnan(xa) == np.isnan(ya)
-            close = np.isclose(xa, ya, rtol=1e-6, atol=1e-9,
-                               equal_nan=True)
-            if not (same_nan & close).all():
+            exact = xa == ya
+            if not (same_nan & (exact | np.isnan(xa))).all():
                 return False
         else:
             if not (x.astype(str).to_numpy() ==
