@@ -16,7 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from dask_relabeling_spark.session import get_spark  # noqa: E402
+from dask_relabeling_spark.session import (  # noqa: E402
+    get_spark, release_persists)
 from dask_relabeling_spark.plans import REGISTRY  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -89,6 +90,7 @@ def main() -> None:
             dt = time.perf_counter() - start
             best = dt if best is None else min(best, dt)
         spark.catalog.clearCache()
+        release_persists()
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)

@@ -19,6 +19,7 @@ from typing import List, Tuple
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import scoped_persist
 from .text import tokens_col
 
 # MinHash parameters — shared verbatim with the SQL oracle generator.
@@ -101,7 +102,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     # the shingle table feeds both sides of the self-join plus the size
     # aggregate — persist it once instead of recomputing the explode 3x
-    sh = _distinct_shingle_table(df, id_col, text_col, n).persist()
+    sh = scoped_persist(_distinct_shingle_table(df, id_col, text_col, n))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     inter = (sh.alias("a")
              .join(sh.alias("b"),
@@ -156,7 +157,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # both sides of the bucket self-join would otherwise recompute the
     # full shingle+hash+min-agg subtree; the signature table is tiny
     # (1 row/doc) — persist it
-    sig = minhash_signatures(df, id_col, text_col, n).persist()
+    sig = scoped_persist(minhash_signatures(df, id_col, text_col, n))
     bands = sig.select(
         "id",
         F.explode(F.array(*[
@@ -208,7 +209,7 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     """Near-dup pairs by SimHash hamming distance, candidate-limited by
     band equality (two 8-bit halves: hamming<=3 pairs share a half only if
     distance concentrates — classic SimHash banding; exact filter after)."""
-    sh = simhash(df, id_col, text_col).persist()
+    sh = scoped_persist(simhash(df, id_col, text_col))
     halves = sh.select(
         "id", "simhash",
         F.explode(F.array(
@@ -382,8 +383,8 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
          .crossJoin(n_row)
          .select("id", "term",
                  (F.col("tf") *
-                  F.floor(F.col("n_docs") / F.col("df"))).alias("w"))
-         .persist())
+                  F.floor(F.col("n_docs") / F.col("df"))).alias("w")))
+    w = scoped_persist(w)
     norms = w.groupBy("id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     dots = (w.alias("a")
             .join(w.alias("b"),
@@ -445,8 +446,9 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     (id_a, id_b, inter, union_sz), the ``ngram_jaccard_pairs``
     contract (a candidate-generation A/B with identical verify).
     """
-    toks = _distinct_shingle_table(df, id_col, text_col, n) \
-        .withColumnRenamed("sh", "tok").persist()
+    toks = scoped_persist(
+        _distinct_shingle_table(df, id_col, text_col, n)
+        .withColumnRenamed("sh", "tok"))
     sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     from pyspark.sql import Window

@@ -1,9 +1,38 @@
-"""SparkSession factory with the engine's scale-oriented defaults."""
+"""SparkSession factory with the engine's scale-oriented defaults,
+plus the scoped-persist registry operators use for cache hygiene."""
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+# DataFrames persisted by operators for intra-query reuse.  persist()
+# is the right call when a subtree feeds 2-3 consumers inside ONE
+# terminal action, but Spark's CacheManager pins the blocks until an
+# explicit unpersist — in a long-lived session every such query would
+# leak executor memory (round-3 ADVICE).  Operators therefore persist
+# through ``scoped_persist`` and long-lived callers (bench.py, the
+# query sweep, notebook sessions) call ``release_persists()`` after
+# consuming each result.
+_SCOPED: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` that is released by the next
+    ``release_persists()`` call."""
+    _SCOPED.append(df.persist())
+    return df
+
+
+def release_persists() -> None:
+    """Unpersist every ``scoped_persist``-ed DataFrame (idempotent;
+    safe to call while no query is running)."""
+    while _SCOPED:
+        df = _SCOPED.pop()
+        try:
+            df.unpersist()
+        except Exception:  # session already stopped — nothing pinned
+            pass
 
 
 def get_spark(app_name: str = "dask-relabeling-spark",

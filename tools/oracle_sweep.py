@@ -13,7 +13,8 @@ import pandas as pd
 
 sys.path.insert(0, ".")
 import __spark_entry__ as E  # noqa: E402
-from dask_relabeling_spark.session import get_spark  # noqa: E402
+from dask_relabeling_spark.session import (  # noqa: E402
+    get_spark, release_persists)
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -77,6 +78,8 @@ def main() -> int:
             bad.append((name, f"SPARK ERROR: {exc}"))
             print(f"ERROR  {name}: spark: {exc}")
             continue
+        finally:
+            release_persists()
         if name not in oracles:
             print(f"rows   {name}: {len(sdf)} (rows-only, no oracle)")
             continue
