@@ -106,10 +106,30 @@ def zorder_key(x, y, bits: int = 4):
     key keeps rows that are close in BOTH dimensions in the same files,
     so min/max file statistics prune scans for predicates on either
     column.  Pure integer bit arithmetic — identical on any engine.
+
+    PRECONDITION: inputs must already lie in ``[0, 2^bits)`` — callers
+    quantize first (``docs_zorder_layout`` buckets each dimension into
+    2^bits ranks).  Bits above ``bits`` are FOLDED IN with xor rather
+    than silently discarded, so out-of-range values still spread across
+    the key space instead of aliasing onto the low cells and defeating
+    file pruning (round-3 ADVICE) — but fold collisions make the key
+    non-monotone in each dimension, so treat quantization as required,
+    not optional.
     """
     from pyspark.sql import functions as F
     x, y = F.col(x) if isinstance(x, str) else x, \
         F.col(y) if isinstance(y, str) else y
+    # xor-fold ALL high bits down into the low `bits` window (doubling
+    # shifts, so every input bit influences the key); a no-op for
+    # in-range inputs.  Inputs are widened to long FIRST — Java shift
+    # counts wrap mod the operand width, so shiftright(int, 32) is the
+    # identity, not zero.
+    x, y = x.cast("long"), y.cast("long")
+    s = bits
+    while s < 64:
+        x = x.bitwiseXOR(F.shiftright(x, s))
+        y = y.bitwiseXOR(F.shiftright(y, s))
+        s *= 2
     parts = []
     for i in range(bits):
         parts.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i))

@@ -407,10 +407,21 @@ def tfidf_cosine_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def incremental_new_docs(batch: DataFrame, seen: DataFrame,
                          id_col: str = "doc_id",
-                         text_col: str = "text") -> DataFrame:
+                         text_col: str = "text",
+                         within_batch: bool = False) -> DataFrame:
     """Incremental-ingest dedup: keep only batch docs whose content
     fingerprint has never been seen in the existing corpus — a
     LEFT ANTI join on the hash.
+
+    CAVEAT (round-3 ADVICE): by default this checks the batch only
+    against the CORPUS — two rows inside the same batch with identical
+    text both pass as 'new', and neither fingerprint is in ``seen``
+    until the next snapshot refresh.  Pass ``within_batch=True`` to
+    also keep only the min-id row per fingerprint inside the batch
+    (one extra partial-agg'd groupBy on the fingerprint); leave it off
+    when upstream micro-batches are already unique, or when composing
+    with the streaming variant, whose per-key state dedups within and
+    across batches anyway (streaming/events.py).
 
     At 100 TB the seen-side is a fingerprint-only projection (16 bytes
     + id per doc), so the anti-join shuffles fingerprints, not text;
@@ -420,6 +431,10 @@ def incremental_new_docs(batch: DataFrame, seen: DataFrame,
     """
     fp = F.md5(F.col(text_col))
     new = batch.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+    if within_batch:
+        new = (new.groupBy("fingerprint")
+               .agg(F.min("id").alias("id"))
+               .select("id", "fingerprint"))
     old = seen.select(fp.alias("fingerprint"))
     return new.join(old, "fingerprint", "left_anti")
 

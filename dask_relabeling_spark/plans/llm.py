@@ -440,7 +440,7 @@ s AS (SELECT c.media_id, c.n, c.c0,
                       i -> ascii(substr(d.text, i, 1)))) AS sm
       FROM c JOIN d USING (media_id))
 SELECT media_id, CAST(n AS INT) AS n_bytes,
-       round(round_even(sm / c0, 6), 6) AS f0
+       round(round_even(coalesce(sm, 0) / greatest(c0, 1), 6), 6) AS f0
 FROM s
 """)
 def multimodal_features(spark, sf_dir):
@@ -457,8 +457,11 @@ def multimodal_features(spark, sf_dir):
     code points; ``octet_length == length`` asserted over the whole
     corpus at gate scale by ``tests/test_multimodal.py``, so a testdata
     regeneration that adds non-ASCII fails at the guard, not as an
-    opaque hash mismatch).  The ``decode='real'`` integration point
-    stays non-SQL by nature."""
+    opaque hash mismatch).  An EMPTY payload fake-decodes as a single
+    zero byte (np.zeros(1)) with f0 = 0.0; the oracle mirrors it with
+    ``coalesce(sm, 0) / greatest(c0, 1)`` (round-3 ADVICE: the bare
+    ``sm / c0`` was a latent NULL-vs-0.0 divergence).  The
+    ``decode='real'`` integration point stays non-SQL by nature."""
     from ..operators.multimodal import decode_and_featurize
     media = documents_as_media(t(spark, sf_dir, "documents"))
     feats = decode_and_featurize(media, decode="fake")

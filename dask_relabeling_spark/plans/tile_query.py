@@ -504,3 +504,75 @@ def relabel_components_3d_interior(spark: SparkSession, sf_dir: str
                     "max_z", "max_y", "max_x")
             .orderBy("min_z", "min_y", "min_x",
                      "max_z", "max_y", "max_x", "n_voxels"))
+
+
+@register("relabel_annotations_3d_summary",
+          "WITH RECURSIVE " + _ccl3_ctes() + f"""
+, foot AS (
+  SELECT comp.comp_id, i.z, i.y, i.x
+  FROM comp JOIN ids i ON i.id = comp.pid),
+boxes AS (
+  SELECT comp_id,
+         count(DISTINCT y * {W3} + x) AS n_cells,
+         CAST(min(x) AS BIGINT) AS min_x, CAST(min(y) AS BIGINT) AS min_y,
+         CAST(max(x) AS BIGINT) AS max_x, CAST(max(y) AS BIGINT) AS max_y,
+         CAST(min(z) AS BIGINT) AS min_z, CAST(max(z) AS BIGINT) AS max_z
+  FROM foot GROUP BY comp_id)
+SELECT min_x, min_y, max_x, max_y, min_z, max_z
+FROM boxes
+WHERE n_cells >= 2
+  AND (max_y < {_BAND_LO} OR min_y >= {_BAND_HI})
+  AND (max_x < {_BAND_LO} OR min_x >= {_BAND_HI})
+ORDER BY min_x, min_y, max_x, max_y, min_z, max_z
+""")
+def relabel_annotations_3d_summary(spark: SparkSession, sf_dir: str
+                                   ) -> DataFrame:
+    """HASH CHECK for the 3D annotation terminal's geometric content —
+    the 3D analog of ``relabel_annotations_summary``, closing round-3's
+    last rows-only gap to per-tile ownership bookkeeping.
+
+    Parse every tile's FeatureCollection from the EXTENSION terminal
+    (footprint contour + inclusive ``zRange``,
+    kernels/annotate.py::labels_to_annotations_3d), reduce each ring to
+    its global (x, y) bbox plus the zRange, and keep only INTERIOR
+    objects — bbox avoiding both overlap bands.  Under the
+    ``relabel_components_3d_interior`` argument those objects get exact
+    global 6-connected CCL on both sides (never dedup candidates;
+    band-touchers filter out symmetrically), and a footprint outer
+    contour's extremes are the footprint's pixel extremes, so the
+    multiset of (ring bbox, zRange) rows equals the oracle's interior
+    component boxes.  Components whose footprint has a single (y, x)
+    cell are dropped on both sides (the reference's own '< 2 contour
+    points' rule)."""
+    from ..operators.annotate_ops import ANNOTATION_SCHEMA
+    from ..operators.halo import exchange_records_from_pieces
+    from ..operators.pipeline import _geojson_finish
+    from ..kernels.ccl import segment_fn
+    pieces = _mask_tiles_3d(spark, sf_dir, as_pieces=True)
+    finish = _geojson_finish(GRID3, CHUNK3, OVERLAP3,
+                             None, 0.05, seg=segment_fn)
+    ann = exchange_records_from_pieces(pieces, 3, GRID3, finish,
+                                       ANNOTATION_SCHEMA)
+    feats = F.from_json(
+        "annotation",
+        "STRUCT<features: ARRAY<STRUCT<"
+        "geometry: STRUCT<coordinates: ARRAY<ARRAY<ARRAY<BIGINT>>>>, "
+        "properties: STRUCT<zRange: ARRAY<BIGINT>>>>>")
+    ring = F.col("f.geometry.coordinates")[0]
+    xs = F.transform(ring, lambda p: p[0])
+    ys = F.transform(ring, lambda p: p[1])
+    boxes = (ann.filter(F.col("annotation").isNotNull())
+             .select(F.explode(feats["features"]).alias("f"))
+             .select(F.array_min(xs).alias("min_x"),
+                     F.array_min(ys).alias("min_y"),
+                     F.array_max(xs).alias("max_x"),
+                     F.array_max(ys).alias("max_y"),
+                     F.col("f.properties.zRange")[0].alias("min_z"),
+                     F.col("f.properties.zRange")[1].alias("max_z")))
+    interior = (((F.col("max_y") < _BAND_LO)
+                 | (F.col("min_y") >= _BAND_HI)) &
+                ((F.col("max_x") < _BAND_LO)
+                 | (F.col("min_x") >= _BAND_HI)))
+    return (boxes.filter(interior)
+            .orderBy("min_x", "min_y", "max_x", "max_y",
+                     "min_z", "max_z"))

@@ -151,6 +151,6 @@ def compact_parquet(spark: SparkSession, path: str, out_path: str,
         (df.repartitionByRange(target_files, sort_by)
            .sortWithinPartitions(sort_by)
            .write.parquet(out_path))
-    import glob as _glob
-    import os as _os
-    return len(_glob.glob(_os.path.join(out_path, "part-*")))
+    # count through Spark's filesystem layer, not a local glob, so the
+    # answer is right on s3://, hdfs://, etc. (round-3 ADVICE)
+    return len(spark.read.parquet(out_path).inputFiles())
