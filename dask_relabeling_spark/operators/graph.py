@@ -74,3 +74,52 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
                        .alias("user_id"))
             .groupBy("user_id")
             .agg(F.count("*").alias("n_triangles")))
+
+
+def pagerank_scaled(edges: DataFrame, n_iter: int = 3,
+                    scale: int = 1_000_000) -> DataFrame:
+    """Deterministic integer-scaled PageRank over an undirected edge
+    list (u < v, distinct), damping 0.85, ``n_iter`` fixed unrolled
+    iterations.  Output: (id, rank_micro) in micro-units of probability.
+
+    All arithmetic is INTEGER — ranks live in micro-units and every
+    division is an integer ``div`` (``floor(r/outdeg)``,
+    ``85*sum div 100``) — so the result is order-independent across
+    shuffles and bit-identical on any engine build (the package's
+    determinism discipline; a float PageRank sums doubles in
+    shuffle-fetch order).  The truncation loses < outdeg micro-units of
+    mass per vertex per iteration — irrelevant for ranking, essential
+    for replayability.
+
+    Scale shape: each iteration is ONE shuffled equi-join (edges x
+    ranks, both keyed by vertex) feeding a partial+final sum — the same
+    per-iteration cost as the min-label-propagation CC operator; the
+    degree table and per-iteration join keys never funnel through a
+    single partition, and a fixed small ``n_iter`` keeps lineage
+    shallow (use localCheckpoint per iteration if raised).  An
+    undirected graph has no dangling vertices (every vertex has
+    degree >= 1), so no dangling-mass redistribution term is needed.
+    """
+    dir_e = (edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
+             .unionAll(edges.select(F.col("v").alias("s"),
+                                    F.col("u").alias("d"))))
+    deg = dir_e.groupBy("s").agg(F.count("*").alias("outdeg"))
+    n = deg.count()
+    init = scale // n                      # Python floor == SQL // here
+    base = (15 * scale) // (100 * n)
+    ranks = deg.select(F.col("s").alias("id"),
+                       F.lit(init).cast("long").alias("r"))
+    for _ in range(n_iter):
+        contrib = (dir_e
+                   .join(deg, "s")
+                   .join(ranks.withColumnRenamed("id", "s"), "s")
+                   .select("d", F.expr("r div outdeg").alias("c"))
+                   .groupBy(F.col("d").alias("id"))
+                   .agg(F.sum("c").alias("insum")))
+        ranks = (deg.select(F.col("s").alias("id"))
+                 .join(contrib, "id", "left")
+                 .select("id",
+                         (F.lit(base).cast("long")
+                          + F.expr("(85 * coalesce(insum, 0L)) div 100"))
+                         .cast("long").alias("r")))
+    return ranks.select("id", F.col("r").alias("rank_micro"))

@@ -213,6 +213,48 @@ def docs_quality_classifier(spark, sf_dir):
     return hashed_linear_score(t(spark, sf_dir, "documents"))
 
 
+# ------------------------------------- adaptive quality threshold
+@register("docs_adaptive_quality_filter", f"""
+WITH wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w
+            FROM generate_series(0, 255) t(i)),
+tok AS (SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS term
+        FROM documents),
+feats AS (SELECT doc_id,
+                 {_DUCK_H32.format(x='term')} % 256 AS bucket,
+                 count(*) AS tf
+          FROM tok GROUP BY 1, 2),
+sc AS (SELECT doc_id, CAST(sum(tf * w) AS BIGINT) AS score
+       FROM feats JOIN wt USING (bucket) GROUP BY doc_id),
+nn AS (SELECT count(*) AS n FROM sc),
+o AS (SELECT score, row_number() OVER (ORDER BY score) - 1 AS rk
+      FROM sc),
+thr AS (SELECT o.score AS v FROM o, nn
+        WHERE o.rk = (1 * (nn.n - 1)) // 4)
+SELECT sc.doc_id, sc.score
+FROM sc CROSS JOIN thr WHERE sc.score >= thr.v
+""")
+def docs_adaptive_quality_filter(spark, sf_dir):
+    """Adaptive-threshold curation: score every document with the
+    hashed linear classifier (integer scores), take the EXACT corpus
+    p25 of the score distribution (functions/quantiles.py — no global
+    sort), and keep the top three quartiles.  This is the realistic
+    shape of a quality gate — thresholds are set per-corpus from the
+    score distribution, not hard-coded — and the whole decision chain
+    is integer order statistics, so both engines keep the identical
+    document set."""
+    from ..functions.quantiles import exact_quantiles
+    sc = hashed_linear_score(t(spark, sf_dir, "documents")) \
+        .select("doc_id", "score")
+    thr = F.broadcast(
+        exact_quantiles(sc, "score", [("p25", 1, 4)])
+        .agg(F.min("value").alias("thr")))
+    return (sc.crossJoin(thr)
+            .filter(F.col("score") >= F.col("thr"))
+            .select("doc_id", "score"))
+
+
 # ------------------------------------- BPE merge-candidate counting
 @register("bpe_merge_candidates", """
 WITH toks AS (
@@ -312,8 +354,110 @@ def lineitem_exact_quantiles(spark, sf_dir):
         [("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)])
 
 
+# ------------------------------------- per-dimension embedding stats
+@register("embedding_dim_stats", """
+WITH ex AS (
+  SELECT CAST(u.s.i AS INT) AS dim,
+         CAST(floor(CAST(u.s.v AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+           AS nano,
+         CAST(floor(CAST(u.s.v AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+           AS milli
+  FROM embeddings e,
+       unnest(list_transform(generate_series(1, len(e.embedding)),
+              i -> {'i': i, 'v': e.embedding[i]})) AS u(s)),
+g AS (SELECT dim, sum(nano) AS s, sum(milli * milli) AS s2,
+             count(*) AS n
+      FROM ex GROUP BY 1)
+SELECT dim,
+       CAST(((2 * s + n * 1000000)
+             - ((((2 * s + n * 1000000) % (2 * n * 1000000))
+                 + (2 * n * 1000000)) % (2 * n * 1000000)))
+            // (2 * n * 1000000) AS BIGINT) AS mean_milli,
+       CAST(((2 * s2 + n) - ((((2 * s2 + n) % (2 * n)) + (2 * n))
+                             % (2 * n))) // (2 * n) AS BIGINT)
+         AS meansq_milli2,
+       CAST(n AS BIGINT) AS n_vecs
+FROM g
+""")
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension corpus statistics for feature normalization — the
+    mean/second-moment pass a standardization (z-score) step needs
+    before training.  Same integer discipline as
+    ``embedding_label_centroids``: components become IEEE-exact nano
+    (mean) and milli (second moment) units, sums are plain BIGINT, and
+    both outputs are round-half-up integer floor-divisions — no doubles
+    anywhere, so any engine build hashes identically.  The second
+    moment is defined over the milli-quantized components (milli² sums
+    stay < 2^63 even at ~1e9 rows/dim; the variance in milli² is
+    ``meansq_milli2 - mean_milli²`` on the consumer side).  One
+    posexplode + one (dim)-keyed partial+final agg — a hot dimension
+    cannot pin a partition."""
+    em = t(spark, sf_dir, "embeddings")
+    v = F.col("v").cast("double")
+    nano = F.floor(v * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
+    milli = F.floor(v * F.lit(1000.0) + F.lit(0.5)).cast("long")
+    g = (em.select(F.posexplode("embedding").alias("pos", "v"))
+         .groupBy((F.col("pos") + 1).cast("int").alias("dim"))
+         .agg(F.sum(nano).alias("s"),
+              F.sum(milli * milli).alias("s2"),
+              F.count("*").alias("n")))
+    return (g.withColumn("num1", F.expr("2L * s + n * 1000000L"))
+            .withColumn("den1", F.expr("2L * n * 1000000L"))
+            .withColumn("num2", F.expr("2L * s2 + n"))
+            .withColumn("den2", F.expr("2L * n"))
+            .select(
+                "dim",
+                F.expr("(num1 - pmod(num1, den1)) div den1")
+                .cast("long").alias("mean_milli"),
+                F.expr("(num2 - pmod(num2, den2)) div den2")
+                .cast("long").alias("meansq_milli2"),
+                F.col("n").cast("long").alias("n_vecs")))
+
+
+# ------------------------------------- winsorized feature clipping
+@register("events_value_winsorize_counts", """
+WITH nn AS (SELECT count(*) AS n FROM events),
+o AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rk
+      FROM events),
+p01 AS (SELECT o.value AS v FROM o, nn WHERE o.rk = (1 * (nn.n - 1)) // 100),
+p99 AS (SELECT o.value AS v FROM o, nn WHERE o.rk = (99 * (nn.n - 1)) // 100)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN value < p01.v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_lo,
+       CAST(sum(CASE WHEN value > p99.v THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clip_hi
+FROM events CROSS JOIN p01 CROSS JOIN p99
+GROUP BY event_type
+""")
+def events_value_winsorize_counts(spark, sf_dir):
+    """Winsorization audit — the robust-scaling preprocessing step of a
+    feature pipeline: EXACT global p01/p99 order statistics of the
+    value column (functions/quantiles.py — histogram + two-phase prefix
+    rank, no global sort, no single-partition percentile buffer),
+    broadcast as one row, then per-type counts of rows a p01/p99 clamp
+    would clip.  Output is pure integers; the quantile thresholds are
+    exact order statistics both engines select identically, so the
+    double comparisons agree bit-for-bit."""
+    from ..functions.quantiles import exact_quantiles
+    ev = t(spark, sf_dir, "events")
+    q = exact_quantiles(ev, "value",
+                        [("p01", 1, 100), ("p99", 99, 100)])
+    b = F.broadcast(q.agg(
+        F.min(F.when(F.col("q") == "p01", F.col("value"))).alias("p01"),
+        F.min(F.when(F.col("q") == "p99", F.col("value"))).alias("p99")))
+    return (ev.crossJoin(b)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.sum((F.col("value") < F.col("p01")).cast("long"))
+                 .alias("n_clip_lo"),
+                 F.sum((F.col("value") > F.col("p99")).cast("long"))
+                 .alias("n_clip_hi")))
+
+
 # ------------------------------------- PPJoin prefix-filtered Jaccard
-def _prefix_jaccard_sql() -> str:
+def _prefix_pairs_ctes() -> str:
+    """CTE chain ending in ``pairs`` (the PPJoin qualifying-pair set),
+    shared by the raw pair query and the cluster composition."""
     from .llm import _DUCK_SHINGLES
     return _DUCK_SHINGLES + """,
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY 1),
@@ -329,12 +473,38 @@ cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
 inter AS (SELECT c.id_a, c.id_b, count(*) AS inter
           FROM cand c JOIN sh ta ON ta.id = c.id_a
                       JOIN sh tb ON tb.id = c.id_b AND tb.sh = ta.sh
-          GROUP BY 1, 2)
-SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
-       CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_sz
-FROM inter i JOIN sizes sa ON sa.id = i.id_a
-             JOIN sizes sb ON sb.id = i.id_b
-WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 4
+          GROUP BY 1, 2),
+pairs AS (
+  SELECT i.id_a, i.id_b, CAST(i.inter AS BIGINT) AS inter,
+         CAST(sa.sz + sb.sz - i.inter AS BIGINT) AS union_sz
+  FROM inter i JOIN sizes sa ON sa.id = i.id_a
+               JOIN sizes sb ON sb.id = i.id_b
+  WHERE i.inter * 5 >= (sa.sz + sb.sz - i.inter) * 4)"""
+
+
+def _prefix_jaccard_sql() -> str:
+    return (_prefix_pairs_ctes()
+            + "\nSELECT id_a, id_b, inter, union_sz FROM pairs\n")
+
+
+def _prefix_clusters_sql() -> str:
+    return _prefix_pairs_ctes().replace(
+        "WITH ", "WITH RECURSIVE ", 1) + """,
+edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, r.lbl FROM reach r JOIN edges e ON e.s = r.id),
+comp AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+ranked AS (
+  SELECT c.cluster_id, c.id, row_number() OVER (
+           PARTITION BY c.cluster_id
+           ORDER BY d.n_chars DESC, c.id) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n_docs
+  FROM comp c JOIN documents d ON d.doc_id = c.id)
+SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs, id AS keep_id
+FROM ranked WHERE rn = 1
 """
 
 
@@ -350,6 +520,26 @@ def dedup_prefix_jaccard(spark, sf_dir):
     distinct words, so nearly every token-SET pair exceeds 0.8.)"""
     from ..operators.dedup import prefix_filtered_jaccard_pairs
     return prefix_filtered_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+@register("dedup_prefix_clusters", _prefix_clusters_sql())
+def dedup_prefix_clusters(spark, sf_dir):
+    """The SCALE PATH for PPJoin output (SCALE.md's prefix-jaccard
+    caveat made a first-class checked entry): qualifying pairs feed
+    straight into connected components + canonical-per-cluster instead
+    of materializing the quadratic pair list — a K-duplicated clique
+    collapses to ONE output row (cluster_id, n_docs, keep_id), so the
+    result stays linear in distinct content no matter the duplication
+    factor.  Same retention policy as ``dedup_cluster_canonical``
+    (longest member, ties to lowest id); the oracle closes the pair
+    graph with WITH RECURSIVE."""
+    from ..operators.dedup import (canonical_per_cluster,
+                                   connected_components,
+                                   prefix_filtered_jaccard_pairs)
+    docs = t(spark, sf_dir, "documents")
+    pairs = prefix_filtered_jaccard_pairs(docs)
+    clusters = connected_components(pairs)
+    return canonical_per_cluster(docs, clusters)
 
 
 # ------------------------------------- CDC MERGE / upsert
@@ -430,6 +620,57 @@ def events_user_triangles(spark, sf_dir):
     from ..operators.graph import cooccurrence_edges, triangle_counts
     ev = t(spark, sf_dir, "events")
     return triangle_counts(cooccurrence_edges(ev, max_group=20))
+
+
+# ------------------------------------- graph: integer PageRank
+def _pagerank_sql(n_iter: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled-iteration replay of ``graph.pagerank_scaled`` over the
+    same hub-guarded co-occurrence graph as the triangles oracle."""
+    sql = f"""WITH m AS (SELECT DISTINCT event_type,
+                         date_trunc('hour', ts) AS h, user_id
+           FROM events),
+grp AS (SELECT event_type, h FROM m
+        GROUP BY event_type, h HAVING count(*) <= 20),
+mg AS (SELECT m.* FROM m JOIN grp USING (event_type, h)),
+e AS (SELECT DISTINCT a.user_id AS u, b.user_id AS v
+      FROM mg a JOIN mg b
+        ON a.event_type = b.event_type AND a.h = b.h
+       AND a.user_id < b.user_id),
+de AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT s, count(*) AS outdeg FROM de GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT deg.s AS id, CAST({scale} // nn.n AS BIGINT) AS r
+       FROM deg CROSS JOIN nn)"""
+    for it in range(1, n_iter + 1):
+        sql += f""",
+c{it} AS (SELECT de.d AS id, sum(r{it - 1}.r // deg.outdeg) AS insum
+          FROM de JOIN deg ON deg.s = de.s
+                  JOIN r{it - 1} ON r{it - 1}.id = de.s
+          GROUP BY 1),
+r{it} AS (SELECT deg.s AS id,
+                 CAST((15 * {scale}) // (100 * nn.n)
+                      + (85 * coalesce(c{it}.insum, 0)) // 100
+                      AS BIGINT) AS r
+          FROM deg CROSS JOIN nn
+          LEFT JOIN c{it} ON c{it}.id = deg.s)"""
+    return sql + f"""
+SELECT id AS user_id, r AS rank_micro FROM r{n_iter}
+"""
+
+
+@register("events_user_pagerank", _pagerank_sql())
+def events_user_pagerank(spark, sf_dir):
+    """Link analysis over the hub-guarded user co-occurrence graph:
+    3 unrolled iterations of INTEGER-scaled PageRank (damping 0.85,
+    micro-unit ranks, every division an integer div — see
+    operators/graph.py: pagerank_scaled for why that makes the result
+    shuffle-order- and engine-build-independent).  One keyed
+    edges-x-ranks join + partial+final sum per iteration; the oracle
+    replays the iterations as unrolled CTEs."""
+    from ..operators.graph import cooccurrence_edges, pagerank_scaled
+    ev = t(spark, sf_dir, "events")
+    pr = pagerank_scaled(cooccurrence_edges(ev, max_group=20), n_iter=3)
+    return pr.select(F.col("id").alias("user_id"), "rank_micro")
 
 
 # ------------------------------------- SemDeDup composition
