@@ -48,6 +48,12 @@ ALLOWED_SINGLE_PARTITION = {
         "global count",
     "embedding_semantic_dedup":
         "k-means arm's 1-row packed-centroid aggregate per iteration",
+    "events_value_winsorize_counts":
+        "prefix-sum partition totals + 1-row global count + 1-row "
+        "p01/p99 threshold aggregate (exact-quantile machinery)",
+    "docs_adaptive_quality_filter":
+        "prefix-sum partition totals + 1-row global count + 1-row "
+        "p25 threshold aggregate (exact-quantile machinery)",
 }
 
 ALLOWED_NESTED_LOOP = {
@@ -73,6 +79,12 @@ ALLOWED_NESTED_LOOP = {
         "3-row quantile-spec broadcast against the group-sizes table",
     "events_anomaly_mad":
         "1-row quantile-spec broadcast per grouped-median pass",
+    "events_value_winsorize_counts":
+        "2-row quantile-rank broadcast + 1-row threshold broadcast "
+        "against the events scan",
+    "docs_adaptive_quality_filter":
+        "1-row quantile-rank broadcast + 1-row p25 threshold broadcast "
+        "against the score table",
 }
 
 ALLOWED_SINGLE_PARTITION.update({
