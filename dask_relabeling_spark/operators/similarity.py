@@ -218,9 +218,12 @@ def pq_codes(df: DataFrame, n_sub: int = 8, sub_dim: int = 8,
     sub-vectors of ``sub_dim`` dims; per sub-space, assign the nearest
     (L2, ties -> lowest centroid id) of ``n_centroids`` codebook entries
     and pack the per-sub-space code ids into one integer.  Codebooks are
-    the sub-vectors of the ``n_centroids`` lowest-id vectors — the same
-    deterministic stand-in quantizer as ``ivf_cells`` (a trained
-    codebook frame is a drop-in).
+    the sub-vectors of the vectors with ids ``0..n_centroids-1`` — the
+    same deterministic stand-in quantizer as ``ivf_cells`` (a trained
+    codebook frame is a drop-in).  PRECONDITION: ids are dense and
+    0-based (the driver tables are); for sparse/offset id spaces swap
+    in a rank-selected or trained codebook frame — the k-means operator
+    shows the sort+limit form.
 
     This is the memory side of large-scale ANN: 64 float32 dims become
     ``n_sub * log2(n_centroids)`` bits (here 16), so a 100 TB embedding
@@ -261,10 +264,12 @@ def ivf_cells(df: DataFrame, n_centroids: int = 8,
               id_col: str = "vec_id", vec_col: str = "embedding"
               ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
-    centroid cell by cosine (ties -> lowest centroid id).  Centroids are
-    the ``n_centroids`` lowest-id vectors — a deterministic quantizer
-    both engines can replay (a trained k-means drop-in just swaps the
-    centroid frame).
+    centroid cell by cosine (ties -> lowest centroid id).  Centroids
+    are the vectors with ids ``0..n_centroids-1`` — a deterministic
+    quantizer both engines can replay (a trained k-means drop-in just
+    swaps the centroid frame).  PRECONDITION: ids are dense and
+    0-based; see ``clustering.kmeans_assignments`` for the sort+limit
+    form that tolerates arbitrary id spaces.
 
     One broadcast nested-loop over the tiny centroid set + a fine-grained
     ``max_by`` aggregation keyed by vector id: the corpus never shuffles
@@ -313,3 +318,78 @@ def ivf_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     cand = df.join(cells.filter(F.col("cell").isin(probe))
                    .select(F.col("id").alias(id_col)), id_col)
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
+def ivfpq_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
+               n_centroids: int = 8, n_probe: int = 2,
+               n_sub: int = 8, sub_dim: int = 8, n_codes: int = 4,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """IVF-PQ ANN (the Jégou et al. IVFADC pipeline): coarse-probe the
+    ``n_probe`` nearest of ``n_centroids`` cells, then rank candidates
+    by ASYMMETRIC DISTANCE (ADC) — the query's per-sub-space L2 against
+    each candidate's PQ code, looked up from a precomputed
+    ``n_sub x n_codes`` distance table — WITHOUT touching the original
+    vectors.  This is the memory architecture of billion-vector search:
+    after indexing, the scan reads (id, cell, 16-bit code), never the
+    float payload; the full-precision corpus stays on cold storage.
+
+    Shape: probe selection is a Spark job over the centroid frame
+    (fold-order-aligned with cell assignment); the ADC table is ONE
+    broadcast row (n_sub * n_codes doubles); candidate ranking is a
+    narrow map + ``TakeOrderedAndProject``.  Determinism: every
+    distance folds in array-index order and the ADC sum is an explicit
+    left fold over sub-spaces, so ranks replay exactly in SQL.
+    Output: (rank, vec_id) — the ADC-approximate top-k."""
+    bits = max(1, (n_codes - 1).bit_length())
+    spark = df.sparkSession
+    qdf = spark.createDataFrame([(list(float(v) for v in query_vec),)],
+                                "qv array<double>")
+    cents = (df.select(F.col(id_col).alias("cid"),
+                       F.col(vec_col).cast("array<double>").alias("cv"))
+             .filter(F.col("cid") < n_centroids))
+    probe = [r["cid"] for r in
+             (cents.crossJoin(F.broadcast(qdf))
+              .select("cid", cosine(F.col("cv"), F.col("qv")).alias("cos"))
+              .orderBy(F.desc("cos"), "cid").limit(n_probe).collect())]
+    cells = ivf_cells(df, n_centroids, id_col, vec_col)
+    cand = (cells.filter(F.col("cell").isin(probe))
+            .select("id"))
+    codes = pq_codes(df, n_sub, sub_dim, n_codes, id_col, vec_col) \
+        .join(cand, "id")
+
+    # ADC table: one row, array over codebook id of array over sub-space
+    # of the query's sub-L2 to that codebook entry
+    cb = (df.select(F.col(id_col).alias("cid"),
+                    F.col(vec_col).cast("array<double>").alias("cv"))
+          .filter(F.col("cid") < n_codes))
+
+    def q_sub_l2(s: int) -> Column:
+        a = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+        b = F.slice(F.col("cv"), s * sub_dim + 1, sub_dim)
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, d: acc + d)
+
+    tab_rows = (cb.crossJoin(F.broadcast(qdf))
+                .select("cid", F.array(*[q_sub_l2(s)
+                                         for s in range(n_sub)])
+                        .alias("ds")))
+    tab = F.broadcast(tab_rows.agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("cid", "ds"))),
+        lambda e: e["ds"]).alias("tab")))
+
+    # explicit left fold over sub-spaces: ((0.0 + t0) + t1) + ...
+    adc = F.lit(0.0)
+    for s in range(n_sub):
+        code_s = (F.shiftright(F.col("code"), bits * s)
+                  .bitwiseAND((1 << bits) - 1)).cast("int")
+        adc = adc + F.element_at(F.element_at(F.col("tab"), code_s + 1),
+                                 s + 1)
+    ranked = (codes.crossJoin(tab)
+              .select("id", adc.alias("adc")))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("adc").asc(), F.col("id").asc())
+    return (ranked.orderBy(F.col("adc").asc(), F.col("id").asc())
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", F.col("id").alias(id_col)))

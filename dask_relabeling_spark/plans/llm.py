@@ -768,6 +768,75 @@ def ann_ivf_topk(spark, sf_dir):
                              n_centroids=8, n_probe=2)
 
 
+def _ivfpq_topk_sql(n_centroids: int = 8, n_probe: int = 2,
+                    n_sub: int = 8, sub_dim: int = 8,
+                    n_codes: int = 4) -> str:
+    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+           " * sqrt(list_dot_product({b}, {b})))")
+    subl2 = ("list_reduce(list_transform(generate_series(1, {sd}), "
+             "i -> ({x}[s.s * {sd} + i] - {y}[s.s * {sd} + i])"
+             " * ({x}[s.s * {sd} + i] - {y}[s.s * {sd} + i])), "
+             "(a, b) -> a + b)")
+    return f"""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
+c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {n_centroids}),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+pc AS (SELECT v.vec_id, c.cid,
+              {cos.format(a="v.ve", b="c.cv")} AS cos
+       FROM v, c),
+cell AS (SELECT vec_id, cid AS cell FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid) AS rn
+  FROM pc) WHERE rn = 1),
+probe AS (SELECT cid FROM (
+  SELECT c.cid, row_number() OVER (
+           ORDER BY {cos.format(a="c.cv", b="q.qv")} DESC, c.cid) AS rn
+  FROM c, q) WHERE rn <= {n_probe}),
+cb AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {n_codes}),
+subd AS (SELECT v.vec_id, cb.cid, s.s,
+                {subl2.format(x="v.ve", y="cb.cv", sd=sub_dim)} AS d
+         FROM v, cb, generate_series(0, {n_sub - 1}) s(s)),
+code AS (SELECT vec_id, s, cid FROM (
+  SELECT vec_id, s, cid,
+         row_number() OVER (PARTITION BY vec_id, s
+                            ORDER BY d, cid) AS rn
+  FROM subd) WHERE rn = 1),
+qtab AS (SELECT cb.cid, s.s,
+                {subl2.format(x="q.qv", y="cb.cv", sd=sub_dim)} AS d
+         FROM cb, q, generate_series(0, {n_sub - 1}) s(s)),
+cand AS (SELECT cell.vec_id FROM cell
+         JOIN probe ON cell.cell = probe.cid),
+adc AS (SELECT code.vec_id,
+               list_reduce(list(qtab.d ORDER BY code.s),
+                           (a, b) -> a + b) AS adc
+        FROM code
+        JOIN cand ON cand.vec_id = code.vec_id
+        JOIN qtab ON qtab.s = code.s AND qtab.cid = code.cid
+        GROUP BY code.vec_id)
+SELECT CAST(row_number() OVER (ORDER BY adc ASC, vec_id) AS INT) AS rank,
+       vec_id
+FROM adc ORDER BY rank LIMIT 10
+"""
+
+
+@register("ann_ivfpq_topk", _ivfpq_topk_sql())
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (IVFADC): coarse-probe 2 of 8 cells, then rank the
+    candidates by PQ asymmetric distance — per-sub-space query-to-
+    codebook L2 looked up from one broadcast table, never touching the
+    original vectors (operators/similarity.py: ivfpq_topk).  The oracle
+    replays quantize -> probe -> code -> ADC with identical fold
+    orders, so even the double distances agree bit-for-bit."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return S.ivfpq_topk(emb, [float(x) for x in qv], k=10,
+                        n_centroids=8, n_probe=2,
+                        n_sub=8, sub_dim=8, n_codes=4)
+
+
 @register("events_view_click_attribution", """
 SELECT c.user_id, v.event_id AS view_id, c.event_id AS click_id
 FROM events v JOIN events c

@@ -51,6 +51,9 @@ ALLOWED_SINGLE_PARTITION = {
     "events_value_winsorize_counts":
         "prefix-sum partition totals + 1-row global count + 1-row "
         "p01/p99 threshold aggregate (exact-quantile machinery)",
+    "ann_ivfpq_topk":
+        "1-row packed ADC-table aggregate (n_sub*n_codes doubles, "
+        "data-independent size)",
     "docs_adaptive_quality_filter":
         "prefix-sum partition totals + 1-row global count + 1-row "
         "p25 threshold aggregate (exact-quantile machinery)",
@@ -82,6 +85,9 @@ ALLOWED_NESTED_LOOP = {
     "events_value_winsorize_counts":
         "2-row quantile-rank broadcast + 1-row threshold broadcast "
         "against the events scan",
+    "ann_ivfpq_topk":
+        "centroid/codebook broadcasts (n_centroids + n_codes rows) + "
+        "1-row ADC table broadcast",
     "docs_adaptive_quality_filter":
         "1-row quantile-rank broadcast + 1-row p25 threshold broadcast "
         "against the score table",
