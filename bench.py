@@ -49,6 +49,8 @@ HEADLINE = [
     "embedding_kmeans",         # iterative Lloyd's (round 3)
     "dedup_prefix_jaccard",     # PPJoin prefix filtering (round 3)
     "lineitem_exact_quantiles",  # exact two-phase order stats (round 3)
+    "dedup_prefix_clusters",    # PPJoin -> CC scale path (round 4)
+    "events_user_pagerank",     # iterative integer PageRank (round 4)
 ]
 
 

@@ -105,6 +105,10 @@ def pagerank_scaled(edges: DataFrame, n_iter: int = 3,
                                     F.col("u").alias("d"))))
     deg = dir_e.groupBy("s").agg(F.count("*").alias("outdeg"))
     n = deg.count()
+    if n == 0:                    # empty graph (e.g. every group
+        return deg.select(        # hub-guarded away): empty result,
+            F.col("s").alias("id"),              # not a ZeroDivision
+            F.lit(0).cast("long").alias("rank_micro"))
     init = scale // n                      # Python floor == SQL // here
     base = (15 * scale) // (100 * n)
     ranks = deg.select(F.col("s").alias("id"),
