@@ -213,7 +213,45 @@ def docs_quality_classifier(spark, sf_dir):
     return hashed_linear_score(t(spark, sf_dir, "documents"))
 
 
-# ------------------------------------- adaptive quality threshold
+# ------------------------------------- right-to-be-forgotten purge
+@register("docs_gdpr_purge", """
+WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 13),
+kept AS (SELECT d.doc_id, d.source FROM documents d
+         LEFT JOIN del ON del.doc_id = d.doc_id
+         WHERE del.doc_id IS NULL),
+tot AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
+kg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+              md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                  ORDER BY CAST(doc_id AS VARCHAR))) AS survivor_fp
+       FROM kept GROUP BY source)
+SELECT kg.source, CAST(tot.n_total - kg.n_kept AS BIGINT) AS n_purged,
+       kg.n_kept, kg.survivor_fp
+FROM kg JOIN tot ON tot.source = kg.source
+""")
+def docs_gdpr_purge(spark, sf_dir):
+    """Right-to-be-forgotten maintenance: anti-join the corpus against
+    a deletion list (here ids ≡ 13 mod 97 — in production, the tombstone
+    table), emit a per-source audit row: purged/retained counts plus an
+    order-canonical md5 over the surviving id set, the verifiable
+    receipt a compliance process wants.  The anti-join is the shape
+    Delta/Iceberg DELETE executes (at scale it prunes via bloom/file
+    skipping on the id); the survivor fingerprint is a sorted-order
+    aggregation per source, partial-agg'd on the source key."""
+    d = t(spark, sf_dir, "documents")
+    kept = d.join(d.filter(F.col("doc_id") % 97 == 13).select("doc_id"),
+                  "doc_id", "left_anti")
+    totals = d.groupBy("source").agg(F.count("*").alias("n_total"))
+    return (kept.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_kept"),
+                 F.md5(F.array_join(
+                     F.array_sort(F.collect_list(
+                         F.col("doc_id").cast("string"))), ","))
+                 .alias("survivor_fp"))
+            .join(F.broadcast(totals), "source")
+            .select("source",
+                    (F.col("n_total") - F.col("n_kept")).cast("long")
+                    .alias("n_purged"),
+                    "n_kept", "survivor_fp"))
 @register("docs_adaptive_quality_filter", f"""
 WITH wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w
             FROM generate_series(0, 255) t(i)),
