@@ -221,8 +221,9 @@ kept AS (SELECT d.doc_id, d.source FROM documents d
          WHERE del.doc_id IS NULL),
 tot AS (SELECT source, count(*) AS n_total FROM documents GROUP BY 1),
 kg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
-              md5(string_agg(CAST(doc_id AS VARCHAR), ','
-                  ORDER BY CAST(doc_id AS VARCHAR))) AS survivor_fp
+              CAST(sum(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                           1, 8) AS BIGINT))
+                   AS BIGINT) AS survivor_fp
        FROM kept GROUP BY source)
 SELECT kg.source, CAST(tot.n_total - kg.n_kept AS BIGINT) AS n_purged,
        kg.n_kept, kg.survivor_fp
@@ -231,22 +232,23 @@ FROM kg JOIN tot ON tot.source = kg.source
 def docs_gdpr_purge(spark, sf_dir):
     """Right-to-be-forgotten maintenance: anti-join the corpus against
     a deletion list (here ids ≡ 13 mod 97 — in production, the tombstone
-    table), emit a per-source audit row: purged/retained counts plus an
-    order-canonical md5 over the surviving id set, the verifiable
-    receipt a compliance process wants.  The anti-join is the shape
-    Delta/Iceberg DELETE executes (at scale it prunes via bloom/file
-    skipping on the id); the survivor fingerprint is a sorted-order
-    aggregation per source, partial-agg'd on the source key."""
+    table), emit a per-source audit row: purged/retained counts plus a
+    set fingerprint over the surviving ids, the verifiable receipt a
+    compliance process wants.  The anti-join is the shape Delta/Iceberg
+    DELETE executes (at scale it prunes via bloom/file skipping on the
+    id); the fingerprint is the SUM of per-id 32-bit md5 hashes —
+    order-independent and partial-aggregable, so a hot source combines
+    map-side instead of funnelling its whole id set through one task
+    (a sorted-concat digest would)."""
+    from ..operators.dedup import token_hash
     d = t(spark, sf_dir, "documents")
     kept = d.join(d.filter(F.col("doc_id") % 97 == 13).select("doc_id"),
                   "doc_id", "left_anti")
     totals = d.groupBy("source").agg(F.count("*").alias("n_total"))
     return (kept.groupBy("source")
             .agg(F.count("*").cast("long").alias("n_kept"),
-                 F.md5(F.array_join(
-                     F.array_sort(F.collect_list(
-                         F.col("doc_id").cast("string"))), ","))
-                 .alias("survivor_fp"))
+                 F.sum(token_hash(F.col("doc_id").cast("string")))
+                 .cast("long").alias("survivor_fp"))
             .join(F.broadcast(totals), "source")
             .select("source",
                     (F.col("n_total") - F.col("n_kept")).cast("long")
