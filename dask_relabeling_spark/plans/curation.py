@@ -213,7 +213,69 @@ def docs_quality_classifier(spark, sf_dir):
     return hashed_linear_score(t(spark, sf_dir, "documents"))
 
 
-# ------------------------------------- right-to-be-forgotten purge
+# ------------------------------------- deterministic HLL sketch
+@register("events_hll_distinct_users", f"""
+WITH h AS (
+  SELECT event_type, user_id,
+         {_DUCK_H32.format(x="CAST(user_id AS VARCHAR)")} AS hh
+  FROM events),
+b AS (SELECT event_type, hh % 64 AS bucket, hh // 64 AS w FROM h),
+r AS (SELECT event_type, bucket,
+             CASE WHEN w = 0 THEN 27
+                  ELSE CAST(log2(w & -w) AS INT) + 1 END AS rho
+      FROM b),
+mx AS (SELECT event_type, bucket, max(rho) AS mr
+       FROM r GROUP BY 1, 2),
+s AS (SELECT event_type,
+             sum(1.0 / (CAST(1 AS BIGINT) << mr)) AS s_present,
+             count(*) AS nb
+      FROM mx GROUP BY 1),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+              AS n_exact
+       FROM events GROUP BY 1)
+SELECT s.event_type, ex.n_exact,
+       CAST(floor(0.709 * 4096.0 /
+                  (s.s_present + (64 - s.nb) * 1.0)) AS BIGINT)
+         AS hll_estimate
+FROM s JOIN ex ON ex.event_type = s.event_type
+""")
+def events_hll_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct-user estimate per event type — as a
+    HASH-CHECKED query, not just a pytest sketch: because the register
+    hash is the portable 32-bit md5 hash and the harmonic sum's terms
+    are exact powers of two (each addition needs < 34 mantissa bits),
+    the whole sketch is bit-deterministic across shuffle orders AND
+    engines, so the oracle replays the estimate exactly.  m=64
+    buckets (p=6), rho = trailing-zero rank of the remaining 26 hash
+    bits (via the w & -w lowest-set-bit trick + an exact log2 of a
+    power of two), raw alpha_64 * m^2 / S estimator (no small-range
+    correction — deterministic contract, documented).  Exact distinct
+    counts ride along for accuracy eyeballing.  Shape: one (type,
+    bucket)-keyed partial+final max, one per-type sum over <= 64 rows
+    — the mergeable-sketch scale pattern with a checked answer."""
+    from ..operators.dedup import token_hash
+    ev = t(spark, sf_dir, "events")
+    h = (ev.select("event_type",
+                   token_hash(F.col("user_id").cast("string")).alias("hh"))
+         .select("event_type", (F.col("hh") % 64).alias("bucket"),
+                 F.expr("hh div 64").alias("w")))
+    rho = F.when(F.col("w") == 0, F.lit(27)).otherwise(
+        F.log2(F.expr("w & -w")).cast("int") + 1)
+    mx = (h.select("event_type", "bucket", rho.alias("rho"))
+          .groupBy("event_type", "bucket")
+          .agg(F.max("rho").alias("mr")))
+    s = (mx.groupBy("event_type")
+         .agg(F.sum(F.lit(1.0) / F.expr("shiftleft(1L, mr)"))
+              .alias("s_present"),
+              F.count("*").alias("nb")))
+    est = F.floor(F.lit(0.709) * F.lit(4096.0)
+                  / (F.col("s_present")
+                     + (F.lit(64) - F.col("nb")).cast("double")))
+    ex = (ev.groupBy("event_type")
+          .agg(F.countDistinct("user_id").cast("long").alias("n_exact")))
+    return (s.join(ex, "event_type")
+            .select("event_type", "n_exact",
+                    est.cast("long").alias("hll_estimate")))
 @register("docs_gdpr_purge", """
 WITH del AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 13),
 kept AS (SELECT d.doc_id, d.source FROM documents d
