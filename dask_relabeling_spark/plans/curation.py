@@ -213,6 +213,46 @@ def docs_quality_classifier(spark, sf_dir):
     return hashed_linear_score(t(spark, sf_dir, "documents"))
 
 
+# ------------------------------------- contrastive negative sampling
+@register("docs_negative_samples", f"""
+WITH nn AS (SELECT count(*) AS n FROM documents),
+s AS (SELECT doc_id, j.j,
+             {_DUCK_H32.format(
+                 x="CAST(doc_id AS VARCHAR) || '|' || CAST(j.j AS VARCHAR)")}
+               % nn.n AS raw
+      FROM documents, nn, generate_series(1, 2) j(j))
+SELECT doc_id, CAST(j AS INT) AS j,
+       CAST(CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT n FROM nn)
+                 ELSE raw END AS BIGINT) AS neg_id
+FROM s
+""")
+def docs_negative_samples(spark, sf_dir):
+    """Contrastive-training negative sampling: k=2 deterministic
+    pseudo-random negatives per document — ``md5(doc_id | j) mod n``,
+    bumped by one on self-collision.  Stateless seeded hashing (the
+    package's sampling discipline): no RNG state to synchronize across
+    executors, identical on reruns and engines, and at 100 TB the
+    sample is a narrow map over the corpus plus one broadcast scalar n
+    — no shuffle at all.  (Relies on dense 0-based doc ids, as the
+    driver corpus has; for sparse ids compose with the dense re-index
+    pass first.)"""
+    from ..operators.dedup import token_hash
+    d = t(spark, sf_dir, "documents")
+    n_row = F.broadcast(d.agg(F.count("*").alias("n")))
+    ex = (d.crossJoin(n_row)
+          .select("doc_id", "n",
+                  F.explode(F.array(F.lit(1), F.lit(2))).alias("j")))
+    raw = token_hash(F.concat(F.col("doc_id").cast("string"),
+                              F.lit("|"),
+                              F.col("j").cast("string"))) % F.col("n")
+    return (ex.withColumn("raw", raw)
+            .select("doc_id", F.col("j").cast("int").alias("j"),
+                    F.when(F.col("raw") == F.col("doc_id"),
+                           (F.col("raw") + 1) % F.col("n"))
+                    .otherwise(F.col("raw"))
+                    .cast("long").alias("neg_id")))
+
+
 # ------------------------------------- deterministic HLL sketch
 @register("events_hll_distinct_users", f"""
 WITH h AS (

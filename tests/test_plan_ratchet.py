@@ -54,6 +54,7 @@ ALLOWED_SINGLE_PARTITION = {
     "ann_ivfpq_topk":
         "1-row packed ADC-table aggregate (n_sub*n_codes doubles, "
         "data-independent size)",
+    "docs_negative_samples": "1-row corpus-count aggregate",
     "docs_adaptive_quality_filter":
         "prefix-sum partition totals + 1-row global count + 1-row "
         "p25 threshold aggregate (exact-quantile machinery)",
@@ -88,6 +89,7 @@ ALLOWED_NESTED_LOOP = {
     "ann_ivfpq_topk":
         "centroid/codebook broadcasts (n_centroids + n_codes rows) + "
         "1-row ADC table broadcast",
+    "docs_negative_samples": "1-row corpus-count broadcast",
     "docs_adaptive_quality_filter":
         "1-row quantile-rank broadcast + 1-row p25 threshold broadcast "
         "against the score table",
