@@ -660,3 +660,69 @@ def relabel_annotations_tile_interior_counts(spark: SparkSession,
             .groupBy("cy", "cx")
             .agg(F.count("*").cast("long").alias("n_interior_features"))
             .orderBy("cy", "cx"))
+
+
+@register("relabel_annotations_3d_tile_counts",
+          "WITH RECURSIVE " + _ccl3_ctes() + f"""
+, foot AS (
+  SELECT comp.comp_id, i.z, i.y, i.x
+  FROM comp JOIN ids i ON i.id = comp.pid),
+boxes AS (
+  SELECT comp_id,
+         count(DISTINCT y * {W3} + x) AS n_cells,
+         min(y) AS min_y, min(x) AS min_x,
+         max(y) AS max_y, max(x) AS max_x
+  FROM foot GROUP BY comp_id),
+own AS (
+  SELECT min_y // {CHUNK3[1]} AS cy, min_x // {CHUNK3[2]} AS cx
+  FROM boxes
+  WHERE n_cells >= 2
+    AND (max_y < {_BAND_LO} OR min_y >= {_BAND_HI})
+    AND (max_x < {_BAND_LO} OR min_x >= {_BAND_HI}))
+SELECT 0 AS cz, CAST(cy AS INT) AS cy, CAST(cx AS INT) AS cx,
+       CAST(count(*) AS BIGINT) AS n_interior_features
+FROM own GROUP BY cy, cx
+ORDER BY cy, cx
+""")
+def relabel_annotations_3d_tile_counts(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Per-tile OWNERSHIP hash check for the 3D annotation terminal —
+    the 3D analog of ``relabel_annotations_tile_interior_counts``: an
+    interior object (footprint bbox outside both overlap bands) is
+    owned by exactly its containing tile, computable in SQL as
+    (min div CHUNK) from the 6-connected closure; the Spark side counts
+    interior features per EMITTING tile.  With this, the only unchecked
+    content anywhere in the tile surface is band-touching ownership —
+    the checkerboard-parity decision itself."""
+    from ..operators.annotate_ops import ANNOTATION_SCHEMA
+    from ..operators.halo import exchange_records_from_pieces
+    from ..operators.pipeline import _geojson_finish
+    from ..kernels.ccl import segment_fn
+    pieces = _mask_tiles_3d(spark, sf_dir, as_pieces=True)
+    finish = _geojson_finish(GRID3, CHUNK3, OVERLAP3,
+                             None, 0.05, seg=segment_fn)
+    ann = exchange_records_from_pieces(pieces, 3, GRID3, finish,
+                                       ANNOTATION_SCHEMA)
+    feats_schema = ("STRUCT<features: ARRAY<STRUCT<"
+                    "geometry: STRUCT<coordinates: "
+                    "ARRAY<ARRAY<ARRAY<BIGINT>>>>>>>")
+    ring = F.col("f.geometry.coordinates")[0]
+    xs = F.transform(ring, lambda p: p[0])
+    ys = F.transform(ring, lambda p: p[1])
+    feats = (ann.filter(F.col("annotation").isNotNull())
+             .select("cz", "cy", "cx",
+                     F.explode(F.from_json("annotation", feats_schema)
+                               ["features"]).alias("f"))
+             .select("cz", "cy", "cx",
+                     F.array_min(ys).alias("min_y"),
+                     F.array_min(xs).alias("min_x"),
+                     F.array_max(ys).alias("max_y"),
+                     F.array_max(xs).alias("max_x")))
+    interior = (((F.col("max_y") < _BAND_LO)
+                 | (F.col("min_y") >= _BAND_HI)) &
+                ((F.col("max_x") < _BAND_LO)
+                 | (F.col("min_x") >= _BAND_HI)))
+    return (feats.filter(interior)
+            .groupBy("cz", "cy", "cx")
+            .agg(F.count("*").cast("long").alias("n_interior_features"))
+            .orderBy("cy", "cx"))
