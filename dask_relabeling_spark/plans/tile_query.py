@@ -726,3 +726,33 @@ def relabel_annotations_3d_tile_counts(spark: SparkSession,
             .groupBy("cz", "cy", "cx")
             .agg(F.count("*").cast("long").alias("n_interior_features"))
             .orderBy("cy", "cx"))
+
+
+@register("relabel_sorted_label_stats",
+          "WITH RECURSIVE " + _ccl_ctes() + """
+SELECT CAST(count(DISTINCT c.comp_id) AS BIGINT) AS n_labels,
+       CAST(count(DISTINCT c.comp_id) AS BIGINT) AS max_dense_id,
+       CAST(count(*) AS BIGINT) AS n_fg_pixels
+FROM ids i JOIN comp c ON c.pid = i.id
+""")
+def relabel_sorted_label_stats(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Driver hash row for ``sort_label_indices`` (reference ops
+    #15/#16, ``relabeling.py:312-346`` / ``chunkops.py:104-113``) on
+    its DISTRIBUTED path: run the full 2D pipeline, dense-re-index the
+    labels with the no-driver-barrier variant, and check the property
+    that defines correctness: after re-indexing, max(label) ==
+    count(distinct nonzero labels) == the CCL component count — i.e.
+    ids are exactly the dense range 1..L (0 = background), which the
+    oracle knows as count(DISTINCT comp_id) from the shared closure.
+    A dropped, duplicated, or non-dense id breaks the equality and the
+    hash."""
+    from ..operators.relabel_ops import sort_label_indices
+    ts = _labeled_2d(spark, sf_dir)
+    dense = sort_label_indices(ts, distributed=True)
+    ex = (dense.df.select(F.explode("data").alias("l"))
+          .filter(F.col("l") != 0))
+    return ex.agg(
+        F.countDistinct("l").cast("long").alias("n_labels"),
+        F.max("l").cast("long").alias("max_dense_id"),
+        F.count("*").cast("long").alias("n_fg_pixels"))

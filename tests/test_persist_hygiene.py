@@ -40,8 +40,11 @@ def test_scoped_persists_released(spark, docs):
     # the persists are real (the operators did pin blocks) ...
     assert _persistent_rdd_count(spark) > base
     release_persists()
-    # ... and releasing drops every one of them.
-    assert _persistent_rdd_count(spark) == base
+    # ... and releasing drops every one of them.  <= (not ==): in a
+    # full-suite run the ContextCleaner may asynchronously reap OTHER
+    # tests' localCheckpoint blocks during this test, so the count can
+    # legitimately drop below the starting baseline.
+    assert _persistent_rdd_count(spark) <= base
 
 
 def test_release_is_idempotent(spark):

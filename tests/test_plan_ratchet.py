@@ -55,6 +55,9 @@ ALLOWED_SINGLE_PARTITION = {
         "1-row packed ADC-table aggregate (n_sub*n_codes doubles, "
         "data-independent size)",
     "docs_negative_samples": "1-row corpus-count aggregate",
+    "relabel_sorted_label_stats":
+        "1-row global label-stats aggregate (one partial row per "
+        "partition) + dense_ids prefix-sum partition totals",
     "docs_adaptive_quality_filter":
         "prefix-sum partition totals + 1-row global count + 1-row "
         "p25 threshold aggregate (exact-quantile machinery)",
