@@ -213,6 +213,70 @@ def docs_quality_classifier(spark, sf_dir):
     return hashed_linear_score(t(spark, sf_dir, "documents"))
 
 
+# ------------------------------------- unaligned duplicate spans
+@register("docs_duplicate_spans", f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, greatest(len(tk) - 7, 0)),
+           i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' ||
+                tk[i+3] || ' ' || tk[i+4] || ' ' || tk[i+5] || ' ' ||
+                tk[i+6] || ' ' || tk[i+7])) AS win
+  FROM toks),
+wh AS (SELECT doc_id, {_DUCK_H32.format(x='win')} AS h FROM w),
+shared AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd
+                          FROM wh GROUP BY h) WHERE nd > 1)
+SELECT wh.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(sum(CASE WHEN shared.h IS NULL THEN 0 ELSE 1 END)
+            AS BIGINT) AS n_shared_windows
+FROM wh LEFT JOIN shared ON shared.h = wh.h
+GROUP BY wh.doc_id
+""")
+def docs_duplicate_spans(spark, sf_dir):
+    """Unaligned duplicate-SPAN detection (the Lee et al. 2022
+    'Deduplicating Training Data' substring shape): stride-1 8-token
+    windows, so duplicated passages are caught at ANY offset — the
+    regime fixed-boundary segment dedup (``docs_segment_dedup``)
+    structurally misses.  Per doc: total windows and windows whose
+    hash occurs in >1 document (the doc's duplicated-span exposure; a
+    downstream pass drops or trims docs above a threshold).
+
+    Scale shape: the window stream is ~n_tokens rows (the bigram-LM
+    cost class) carried as 8-byte hashes, one (hash)-keyed count
+    distinct + one hash-keyed semi-ish join back — partial-agg'd both
+    sides, AQE splits boilerplate-hash skew; nothing all-pairs,
+    nothing driver-side."""
+    from ..operators.dedup import _fan_out, token_hash
+    from ..operators.text import tokens_col
+    # materialize the token array ONCE per doc before indexing into it:
+    # element_at over the raw split(...) expression would re-tokenize
+    # per window element (no CSE across HOF lambdas — the
+    # _distinct_shingle_table lesson; 3.4x measured here), and _fan_out
+    # spreads the single-file scan across cores
+    d = (_fan_out(t(spark, sf_dir, "documents"))
+         .select("doc_id", tokens_col(F.col("text")).alias("tk")))
+    tk = F.col("tk")
+    idx = F.when(F.size(tk) >= 8,
+                 F.sequence(F.lit(1), F.size(tk) - 7)) \
+        .otherwise(F.array().cast("array<int>"))
+    win = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(tk, i + k) for k in range(8)]))
+    wh = (d.select("doc_id", F.explode(win).alias("win"))
+          .select("doc_id", token_hash(F.col("win")).alias("h")))
+    shared = (wh.groupBy("h")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .filter(F.col("nd") > 1)
+              .select("h", F.lit(1).alias("is_shared")))
+    return (wh.join(shared, "h", "left")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_windows"),
+                 F.sum(F.coalesce("is_shared", F.lit(0))).cast("long")
+                 .alias("n_shared_windows")))
+
+
 # ------------------------------------- contrastive negative sampling
 @register("docs_negative_samples", f"""
 WITH nn AS (SELECT count(*) AS n FROM documents),
