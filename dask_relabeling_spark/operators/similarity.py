@@ -387,7 +387,6 @@ def ivfpq_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                                  s + 1)
     ranked = (codes.crossJoin(tab)
               .select("id", adc.alias("adc")))
-    from pyspark.sql import Window
     w = Window.orderBy(F.col("adc").asc(), F.col("id").asc())
     return (ranked.orderBy(F.col("adc").asc(), F.col("id").asc())
             .limit(k)
