@@ -158,3 +158,40 @@ def test_prefix_sum_deterministic_across_runs(spark):
     b = exclusive_prefix_sum(df.repartition(13), "key", "v").toPandas() \
         .sort_values("key").reset_index(drop=True)
     assert (a["offset"] == b["offset"]).all()
+
+
+# ------------------- integer milli-mean (the centroids-red-row fix)
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_milli_mean_formula_matches_exact_rational(spark, seed):
+    """The milli-mean integer floor-division device behind
+    embedding_label_centroids / update_centroids / embedding_dim_stats:
+    with s in NANO units, milli = round-half-up(s / (n*1e6)) computed as
+    floor((2s + n*1e6) / (2n*1e6)) via the subtract-pmod-then-div trick
+    must equal exact Fraction arithmetic for positive AND negative sums,
+    including exact half-points."""
+    from fractions import Fraction
+    rng = np.random.RandomState(seed)
+    sums = rng.randint(-10**12, 10**12, 40).tolist()
+    # force exact half-points into the sample: s = (2k+1)*n*500000
+    # makes s/(n*1e6) = k + 1/2 exactly
+    ns = rng.randint(1, 10**6, 40).tolist()
+    for i in range(0, 40, 5):
+        sums[i] = (2 * (i + 3) + 1) * ns[i] * 500_000 * (-1 if i % 2
+                                                         else 1)
+    df = spark.createDataFrame(
+        [(int(s), int(n)) for s, n in zip(sums, ns)], "s long, n long")
+    got = (df.withColumn("num", F.expr("2L * s + n * 1000000L"))
+           .withColumn("den", F.expr("2L * n * 1000000L"))
+           .selectExpr("s", "n",
+                       "CAST((num - pmod(num, den)) div den AS LONG)"
+                       " AS milli")
+           .collect())
+    for r in got:
+        q = Fraction(2 * r.s + r.n * 1_000_000,
+                     2 * r.n * 1_000_000)
+        expect = q.numerator // q.denominator  # true floor
+        assert r.milli == expect, (r.s, r.n)
+        # and it IS round-half-up (toward +inf) of s / (n*1e6)
+        import math
+        half = Fraction(r.s, 1_000_000 * r.n)
+        assert expect == math.floor(half + Fraction(1, 2)), (r.s, r.n)
