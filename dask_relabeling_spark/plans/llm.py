@@ -15,7 +15,7 @@ from ..operators import text as TX
 from ..operators.asof import asof_join
 from ..operators.multimodal import documents_as_media, media_metadata
 from ..streaming.events import sessionize_batch, windowed_event_counts
-from .relational import register, t
+from .relational import REGISTRY, register, t
 
 # Portable token hash, DuckDB side (Spark side: operators.dedup.token_hash)
 _DUCK_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
@@ -835,6 +835,65 @@ def ann_ivfpq_topk(spark, sf_dir):
     return S.ivfpq_topk(emb, [float(x) for x in qv], k=10,
                         n_centroids=8, n_probe=2,
                         n_sub=8, sub_dim=8, n_codes=4)
+
+
+def _ann_recall_panel_sql() -> str:
+    """Compose the three approximate arms' registered oracles (each a
+    self-contained WITH query, legal as a parenthesized CTE body in
+    DuckDB) against the brute-force arm and count overlaps."""
+    exact = REGISTRY["ann_cosine_topk"][1]
+    lsh = REGISTRY["ann_lsh_topk"][1]
+    ivf = REGISTRY["ann_ivf_topk"][1]
+    pq = REGISTRY["ann_ivfpq_topk"][1]
+    return f"""
+WITH ex AS ({exact}),
+l AS ({lsh}),
+iv AS ({ivf}),
+pq AS ({pq})
+SELECT * FROM (
+  SELECT 'ivf' AS method, CAST(count(*) AS BIGINT) AS hits_at_10
+  FROM iv JOIN ex ON ex.vec_id = iv.vec_id
+  UNION ALL
+  SELECT 'ivfpq', CAST(count(*) AS BIGINT)
+  FROM pq JOIN ex ON ex.vec_id = pq.vec_id
+  UNION ALL
+  SELECT 'lsh', CAST(count(*) AS BIGINT)
+  FROM l JOIN ex ON ex.vec_id = l.vec_id)
+ORDER BY method
+"""
+
+
+@register("ann_recall_panel", _ann_recall_panel_sql())
+def ann_recall_panel(spark, sf_dir):
+    """ANN index-quality monitoring — the recall gate a production
+    vector store runs after (re)building an index: recall@10 of each
+    approximate method (hyperplane-LSH bucket, IVF probe-2/8, IVF-PQ
+    ADC) against the brute-force cosine top-10, as exact integer hit
+    counts.  All four arms are the registered operators themselves, so
+    this also pins their mutual consistency; the oracle composes the
+    same four registered oracle queries.  At scale the exact arm runs
+    on a fixed evaluation sample, the approximate arms on the index —
+    the panel's cost is the sample size, not the corpus."""
+    emb = t(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in
+          emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    exact = S.cosine_topk(emb, qv, k=10).select("vec_id")
+    arms = [
+        ("ivf", S.ivf_cosine_topk(emb, qv, k=10,
+                                  n_centroids=8, n_probe=2)),
+        ("ivfpq", S.ivfpq_topk(emb, qv, k=10, n_centroids=8, n_probe=2,
+                               n_sub=8, sub_dim=8, n_codes=4)),
+        ("lsh", S.lsh_cosine_topk(emb, qv, S.default_lsh_planes(),
+                                  k=10)),
+    ]
+    parts = [a.select("vec_id").join(exact, "vec_id")
+             .agg(F.count("*").cast("long").alias("hits_at_10"))
+             .select(F.lit(m).alias("method"), "hits_at_10")
+             for m, a in arms]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method")
 
 
 @register("events_view_click_attribution", """

@@ -55,6 +55,9 @@ ALLOWED_SINGLE_PARTITION = {
         "1-row packed ADC-table aggregate (n_sub*n_codes doubles, "
         "data-independent size)",
     "docs_negative_samples": "1-row corpus-count aggregate",
+    "ann_recall_panel":
+        "inherits the arms' 1-row aggregates (ADC table, hit counts) — "
+        "all data-independent sizes",
     "relabel_sorted_label_stats":
         "1-row global label-stats aggregate (one partial row per "
         "partition) + dense_ids prefix-sum partition totals",
@@ -93,6 +96,8 @@ ALLOWED_NESTED_LOOP = {
         "centroid/codebook broadcasts (n_centroids + n_codes rows) + "
         "1-row ADC table broadcast",
     "docs_negative_samples": "1-row corpus-count broadcast",
+    "ann_recall_panel":
+        "inherits the arms' centroid/codebook/ADC-table broadcasts",
     "docs_adaptive_quality_filter":
         "1-row quantile-rank broadcast + 1-row p25 threshold broadcast "
         "against the score table",
