@@ -85,9 +85,10 @@ def ivf_cell_assignments(df: DataFrame, n_centroids: int = 8,
                          vec_col: str = "embedding") -> DataFrame:
     """Multi-assignment IVF quantization: every vector is assigned to its
     ``n_assign`` nearest centroid cells by cosine (ties -> lowest cid).
-    Centroids are the ``n_centroids`` lowest-id vectors — the same
-    deterministic quantizer as ``ivf_cells`` (a trained k-means drop-in
-    swaps the centroid frame).
+    Centroids are the ``n_centroids`` lowest-id vectors (sort+limit —
+    sparse/offset id spaces work) — the same deterministic quantizer as
+    ``ivf_cells`` (a trained k-means drop-in swaps the centroid
+    frame).
 
     Shape: corpus x broadcast(tiny centroids) nested-loop, then a
     ``row_number`` window partitioned by the high-cardinality vector id
@@ -96,7 +97,7 @@ def ivf_cell_assignments(df: DataFrame, n_centroids: int = 8,
     """
     vecs = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
-    cents = (vecs.filter(F.col("id") < n_centroids)
+    cents = (vecs.orderBy("id").limit(n_centroids)
              .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
     scored = (vecs.crossJoin(F.broadcast(cents))
               .select("id", "cid",
@@ -217,13 +218,11 @@ def pq_codes(df: DataFrame, n_sub: int = 8, sub_dim: int = 8,
     """Product-quantization codes: split each vector into ``n_sub``
     sub-vectors of ``sub_dim`` dims; per sub-space, assign the nearest
     (L2, ties -> lowest centroid id) of ``n_centroids`` codebook entries
-    and pack the per-sub-space code ids into one integer.  Codebooks are
-    the sub-vectors of the vectors with ids ``0..n_centroids-1`` — the
+    and pack the per-sub-space code ids into one integer.  Codebooks
+    are the sub-vectors of the ``n_centroids`` LOWEST-ID vectors,
+    selected by sort+limit (so sparse/offset id spaces work too) — the
     same deterministic stand-in quantizer as ``ivf_cells`` (a trained
-    codebook frame is a drop-in).  PRECONDITION: ids are dense and
-    0-based (the driver tables are); for sparse/offset id spaces swap
-    in a rank-selected or trained codebook frame — the k-means operator
-    shows the sort+limit form.
+    codebook frame is a drop-in).
 
     This is the memory side of large-scale ANN: 64 float32 dims become
     ``n_sub * log2(n_centroids)`` bits (here 16), so a 100 TB embedding
@@ -237,7 +236,7 @@ def pq_codes(df: DataFrame, n_sub: int = 8, sub_dim: int = 8,
     bits = max(1, (n_centroids - 1).bit_length())
     vecs = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
-    cents = (vecs.filter(F.col("id") < n_centroids)
+    cents = (vecs.orderBy("id").limit(n_centroids)
              .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
 
     def sub_l2(s: int) -> Column:
@@ -265,11 +264,10 @@ def ivf_cells(df: DataFrame, n_centroids: int = 8,
               ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
     centroid cell by cosine (ties -> lowest centroid id).  Centroids
-    are the vectors with ids ``0..n_centroids-1`` — a deterministic
-    quantizer both engines can replay (a trained k-means drop-in just
-    swaps the centroid frame).  PRECONDITION: ids are dense and
-    0-based; see ``clustering.kmeans_assignments`` for the sort+limit
-    form that tolerates arbitrary id spaces.
+    are the ``n_centroids`` LOWEST-ID vectors, selected by sort+limit
+    (sparse/offset id spaces work) — a deterministic quantizer both
+    engines can replay (a trained k-means drop-in just swaps the
+    centroid frame).
 
     One broadcast nested-loop over the tiny centroid set + a fine-grained
     ``max_by`` aggregation keyed by vector id: the corpus never shuffles
@@ -279,7 +277,7 @@ def ivf_cells(df: DataFrame, n_centroids: int = 8,
     """
     vecs = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
-    cents = (vecs.filter(F.col("id") < n_centroids)
+    cents = (vecs.orderBy("id").limit(n_centroids)
              .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
     scored = (vecs.crossJoin(F.broadcast(cents))
               .select("id", "cid",
@@ -307,7 +305,7 @@ def ivf_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                                 f"{vec_col} array<double>")
     cents = (df.select(F.col(id_col).alias("cid"),
                        F.col(vec_col).cast("array<double>").alias("cv"))
-             .filter(F.col("cid") < n_centroids))
+             .orderBy("cid").limit(n_centroids))
     probe = [r["cid"] for r in
              (cents.crossJoin(F.broadcast(qdf))
               .select("cid", cosine(F.col("cv"),
@@ -347,7 +345,7 @@ def ivfpq_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                                 "qv array<double>")
     cents = (df.select(F.col(id_col).alias("cid"),
                        F.col(vec_col).cast("array<double>").alias("cv"))
-             .filter(F.col("cid") < n_centroids))
+             .orderBy("cid").limit(n_centroids))
     probe = [r["cid"] for r in
              (cents.crossJoin(F.broadcast(qdf))
               .select("cid", cosine(F.col("cv"), F.col("qv")).alias("cos"))
@@ -362,7 +360,7 @@ def ivfpq_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     # of the query's sub-L2 to that codebook entry
     cb = (df.select(F.col(id_col).alias("cid"),
                     F.col(vec_col).cast("array<double>").alias("cv"))
-          .filter(F.col("cid") < n_codes))
+          .orderBy("cid").limit(n_codes))
 
     def q_sub_l2(s: int) -> Column:
         a = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)

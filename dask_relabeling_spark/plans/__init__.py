@@ -100,6 +100,9 @@ _CHANGED_THIS_ROUND = [
     "embedding_label_centroids",  # r2+r3 hash-fail -> integer milli out
     "embedding_kmeans",           # centroid quantization -> integer milli
     "embedding_semantic_dedup",   # fixed k=8 -> scale-true k=ceil(n/64)
+    "ann_ivf_topk",               # quantizer init: id<k -> rank-based
+    "embedding_pq_codes",         # same (codebook selection)
+    "embedding_neardup_pairs",    # same (IVF multi-assignment centroids)
 ]
 
 

@@ -196,7 +196,7 @@ def _ivf_neardup_sql(n_centroids: int = 8, n_assign: int = 2) -> str:
 WITH v AS (SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
-c AS (SELECT id AS cid, ve AS cv FROM v WHERE id < {n_centroids}),
+c AS (SELECT cid, cv FROM (SELECT id AS cid, ve AS cv, row_number() OVER (ORDER BY id) AS rn FROM v) WHERE rn <= {n_centroids}),
 pc AS (SELECT v.id, c.cid, {cos.format(a="v.ve", b="c.cv")} AS cos
        FROM v, c),
 cell AS (SELECT id, cid AS cell FROM (
@@ -732,7 +732,7 @@ def _ivf_topk_sql(n_centroids: int = 8, n_probe: int = 2) -> str:
 WITH v AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
-c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {n_centroids}),
+c AS (SELECT cid, cv FROM (SELECT vec_id AS cid, ve AS cv, row_number() OVER (ORDER BY vec_id) AS rn FROM v) WHERE rn <= {n_centroids}),
 q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
 pc AS (SELECT v.vec_id, c.cid,
               {cos.format(a="v.ve", b="c.cv")} AS cos
@@ -781,7 +781,7 @@ def _ivfpq_topk_sql(n_centroids: int = 8, n_probe: int = 2,
 WITH v AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
-c AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {n_centroids}),
+c AS (SELECT cid, cv FROM (SELECT vec_id AS cid, ve AS cv, row_number() OVER (ORDER BY vec_id) AS rn FROM v) WHERE rn <= {n_centroids}),
 q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
 pc AS (SELECT v.vec_id, c.cid,
               {cos.format(a="v.ve", b="c.cv")} AS cos
@@ -795,7 +795,7 @@ probe AS (SELECT cid FROM (
   SELECT c.cid, row_number() OVER (
            ORDER BY {cos.format(a="c.cv", b="q.qv")} DESC, c.cid) AS rn
   FROM c, q) WHERE rn <= {n_probe}),
-cb AS (SELECT vec_id AS cid, ve AS cv FROM v WHERE vec_id < {n_codes}),
+cb AS (SELECT cid, cv FROM (SELECT vec_id AS cid, ve AS cv, row_number() OVER (ORDER BY vec_id) AS rn FROM v) WHERE rn <= {n_codes}),
 subd AS (SELECT v.vec_id, cb.cid, s.s,
                 {subl2.format(x="v.ve", y="cb.cv", sd=sub_dim)} AS d
          FROM v, cb, generate_series(0, {n_sub - 1}) s(s)),
@@ -1424,7 +1424,7 @@ def _pq_codes_sql(n_sub: int = 8, sub_dim: int = 8,
 WITH v AS (SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
-c AS (SELECT id AS cid, ve AS cv FROM v WHERE id < {n_centroids}),
+c AS (SELECT cid, cv FROM (SELECT id AS cid, ve AS cv, row_number() OVER (ORDER BY id) AS rn FROM v) WHERE rn <= {n_centroids}),
 d AS (SELECT v.id, c.cid, {dists} FROM v, c),
 r AS (SELECT id, cid, {ranks} FROM d)
 SELECT id, CAST({packed} AS BIGINT) AS code
