@@ -114,7 +114,7 @@ def kmeans_assignments(df: DataFrame, k: int = 8, n_iter: int = 2,
     vecs = df.select(F.col(id_col),
                      F.col(vec_col).cast("array<double>").alias("ve"))
     cent = (vecs.orderBy(id_col).limit(k)
-            .select(F.col(id_col).cast("int").alias("cid"),
+            .select(F.col(id_col).cast("long").alias("cid"),
                     F.col("ve").alias("cv")))
     assigned = assign_clusters(vecs, cent, id_col=id_col)
     for _ in range(n_iter - 1):

@@ -307,7 +307,8 @@ def canonical_per_cluster(df: DataFrame, clusters: DataFrame,
 
 
 def segment_dedup(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", seg_len: int = 16) -> DataFrame:
+                  text_col: str = "text", seg_len: int = 16,
+                  out_text: bool = False) -> DataFrame:
     """Corpus-wide segment-level exact dedup (the Dolma/CCNet
     paragraph-dedup pattern, on fixed ``seg_len``-token segments since
     the driver corpus has no newlines): every duplicated segment is kept
@@ -321,7 +322,10 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
     single (id, pos) struct, so a segment repeated millions of times
     (boilerplate at 100 TB) costs map-side partial-min, never a
     collect.  Docs whose every segment lost are dropped (fully
-    boilerplate).  Output: id, n_segs, n_kept, md5 of the cleaned text.
+    boilerplate).  Output: id, n_segs, n_kept, md5 of the cleaned text —
+    or, with ``out_text=True``, (id, clean_text) carrying the
+    reassembled text itself, the residue a downstream near-dup pass
+    (PPJoin, MinHash) should run on instead of the raw corpus.
     """
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != "")
     base = (df.select(F.col(id_col).alias("id"), toks.alias("tk"))
@@ -347,6 +351,8 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
     ordered = F.array_join(
         F.transform(F.array_sort(F.collect_list(
             F.struct("seg_idx", "seg"))), lambda s: s["seg"]), " ")
+    if out_text:
+        return kept.groupBy("id").agg(ordered.alias("clean_text"))
     return (kept.groupBy("id")
             .agg(F.max("n_segs").alias("n_segs"),
                  F.count("*").cast("bigint").alias("n_kept"),

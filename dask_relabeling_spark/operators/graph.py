@@ -100,10 +100,19 @@ def pagerank_scaled(edges: DataFrame, n_iter: int = 3,
     undirected graph has no dangling vertices (every vertex has
     degree >= 1), so no dangling-mass redistribution term is needed.
     """
-    dir_e = (edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
-             .unionAll(edges.select(F.col("v").alias("s"),
-                                    F.col("u").alias("d"))))
-    deg = dir_e.groupBy("s").agg(F.count("*").alias("outdeg"))
+    from ..session import scoped_persist
+
+    dir_e = scoped_persist(
+        edges.select(F.col("u").alias("s"), F.col("v").alias("d"))
+        .unionAll(edges.select(F.col("v").alias("s"),
+                               F.col("u").alias("d"))))
+    deg = scoped_persist(dir_e.groupBy("s")
+                         .agg(F.count("*").alias("outdeg")))
+    # n must be a driver-side scalar (it parameterizes the literals
+    # below); counting the PERSISTED degree table means this extra
+    # action costs one cached scan, not a recomputation of the whole
+    # edge-building lineage — and each of the n_iter joins below reads
+    # dir_e/deg from cache instead of re-deriving them.
     n = deg.count()
     if n == 0:                    # empty graph (e.g. every group
         return deg.select(        # hub-guarded away): empty result,

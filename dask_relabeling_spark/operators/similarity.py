@@ -218,11 +218,19 @@ def pq_codes(df: DataFrame, n_sub: int = 8, sub_dim: int = 8,
     """Product-quantization codes: split each vector into ``n_sub``
     sub-vectors of ``sub_dim`` dims; per sub-space, assign the nearest
     (L2, ties -> lowest centroid id) of ``n_centroids`` codebook entries
-    and pack the per-sub-space code ids into one integer.  Codebooks
+    and pack the per-sub-space codes into one integer.  Codebooks
     are the sub-vectors of the ``n_centroids`` LOWEST-ID vectors,
     selected by sort+limit (so sparse/offset id spaces work too) — the
     same deterministic stand-in quantizer as ``ivf_cells`` (a trained
     codebook frame is a drop-in).
+
+    The packed field is the codebook entry's RANK (0-based position in
+    cid order), never the raw cid value: ranks always fit the
+    ``bits``-wide field regardless of the corpus id space, and the ADC
+    table in ``ivfpq_topk`` (sorted by cid, indexed positionally) lines
+    up with them by construction.  Packing raw cids would overflow the
+    field — and silently corrupt neighboring sub-space codes — the
+    moment ids aren't dense 0-based.
 
     This is the memory side of large-scale ANN: 64 float32 dims become
     ``n_sub * log2(n_centroids)`` bits (here 16), so a 100 TB embedding
@@ -231,13 +239,20 @@ def pq_codes(df: DataFrame, n_sub: int = 8, sub_dim: int = 8,
     pass over that join (JVM ``zip_with``/``aggregate`` on array
     slices), then ONE ``min_by``-per-sub-space aggregation keyed by the
     high-cardinality vector id — no skew, no second shuffle.
-    Output: (id, code) with code = sum(code_s << (bits*s)).
+    Output: (id, code) with code = sum(rank_s << (bits*s)).
     """
     bits = max(1, (n_centroids - 1).bit_length())
     vecs = df.select(F.col(id_col).alias("id"),
                      F.col(vec_col).cast("array<double>").alias("v"))
+    # (crank, cid, cv): rank derived by packing the tiny codebook into
+    # one sorted row and posexploding — no global window, no exchange.
     cents = (vecs.orderBy("id").limit(n_centroids)
-             .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
+             .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+             .agg(F.array_sort(F.collect_list(F.struct("cid", "cv")))
+                  .alias("cs"))
+             .select(F.posexplode("cs").alias("crank", "c"))
+             .select("crank", F.col("c.cid").alias("cid"),
+                     F.col("c.cv").alias("cv")))
 
     def sub_l2(s: int) -> Column:
         a = F.slice(F.col("v"), s * sub_dim + 1, sub_dim)
@@ -246,10 +261,11 @@ def pq_codes(df: DataFrame, n_sub: int = 8, sub_dim: int = 8,
                            F.lit(0.0), lambda acc, d: acc + d)
 
     scored = (vecs.crossJoin(F.broadcast(cents))
-              .select("id", "cid",
+              .select("id", "crank",
                       *[sub_l2(s).alias(f"d{s}") for s in range(n_sub)]))
+    # ties -> lowest cid == lowest crank (rank is monotone in cid)
     code_terms = [
-        F.min_by("cid", F.struct(F.col(f"d{s}"), F.col("cid")))
+        F.min_by("crank", F.struct(F.col(f"d{s}"), F.col("crank")))
         .alias(f"c{s}") for s in range(n_sub)]
     agg = scored.groupBy("id").agg(*code_terms)
     packed = None
@@ -318,6 +334,61 @@ def ivf_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def _probe_cells(cents: DataFrame, qdf: DataFrame, n_probe: int
+                 ) -> List:
+    """Select the ``n_probe`` coarse cells nearest the query.  Runs as
+    a Spark job over the (cid, cv) centroid frame — never driver-side
+    numpy — so the float fold order matches the cell-assignment
+    expression exactly.  Returns the probed cid list (<= n_probe
+    rows collected)."""
+    return [r["cid"] for r in
+            (cents.crossJoin(F.broadcast(qdf))
+             .select("cid", cosine(F.col("cv"), F.col("qv")).alias("cos"))
+             .orderBy(F.desc("cos"), "cid").limit(n_probe).collect())]
+
+
+def _adc_table(cb: DataFrame, qdf: DataFrame, n_sub: int, sub_dim: int
+               ) -> DataFrame:
+    """One broadcast row: array over codebook RANK (cid-sorted
+    position — matching the rank ``pq_codes`` packs) of array over
+    sub-space of the query's sub-L2 to that codebook entry."""
+    def q_sub_l2(s: int) -> Column:
+        a = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+        b = F.slice(F.col("cv"), s * sub_dim + 1, sub_dim)
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, d: acc + d)
+
+    tab_rows = (cb.crossJoin(F.broadcast(qdf))
+                .select("cid", F.array(*[q_sub_l2(s)
+                                         for s in range(n_sub)])
+                        .alias("ds")))
+    return F.broadcast(tab_rows.agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("cid", "ds"))),
+        lambda e: e["ds"]).alias("tab")))
+
+
+def _adc_topk(codes: DataFrame, tab: DataFrame, k: int, n_sub: int,
+              n_codes: int, id_col: str) -> DataFrame:
+    """Rank (id, code) rows by asymmetric distance — an explicit left
+    fold ((0.0 + t0) + t1) + ... over sub-spaces so the double sums
+    replay exactly in SQL — then global top-k via
+    ``TakeOrderedAndProject``.  Output: (rank, id_col)."""
+    bits = max(1, (n_codes - 1).bit_length())
+    adc = F.lit(0.0)
+    for s in range(n_sub):
+        code_s = (F.shiftright(F.col("code"), bits * s)
+                  .bitwiseAND((1 << bits) - 1)).cast("int")
+        adc = adc + F.element_at(F.element_at(F.col("tab"), code_s + 1),
+                                 s + 1)
+    ranked = (codes.crossJoin(tab)
+              .select("id", adc.alias("adc")))
+    w = Window.orderBy(F.col("adc").asc(), F.col("id").asc())
+    return (ranked.orderBy(F.col("adc").asc(), F.col("id").asc())
+            .limit(k)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", F.col("id").alias(id_col)))
+
+
 def ivfpq_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
                n_centroids: int = 8, n_probe: int = 2,
                n_sub: int = 8, sub_dim: int = 8, n_codes: int = 4,
@@ -339,54 +410,77 @@ def ivfpq_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     distance folds in array-index order and the ADC sum is an explicit
     left fold over sub-spaces, so ranks replay exactly in SQL.
     Output: (rank, vec_id) — the ADC-approximate top-k."""
-    bits = max(1, (n_codes - 1).bit_length())
     spark = df.sparkSession
     qdf = spark.createDataFrame([(list(float(v) for v in query_vec),)],
                                 "qv array<double>")
     cents = (df.select(F.col(id_col).alias("cid"),
                        F.col(vec_col).cast("array<double>").alias("cv"))
              .orderBy("cid").limit(n_centroids))
-    probe = [r["cid"] for r in
-             (cents.crossJoin(F.broadcast(qdf))
-              .select("cid", cosine(F.col("cv"), F.col("qv")).alias("cos"))
-              .orderBy(F.desc("cos"), "cid").limit(n_probe).collect())]
+    probe = _probe_cells(cents, qdf, n_probe)
     cells = ivf_cells(df, n_centroids, id_col, vec_col)
     cand = (cells.filter(F.col("cell").isin(probe))
             .select("id"))
     codes = pq_codes(df, n_sub, sub_dim, n_codes, id_col, vec_col) \
         .join(cand, "id")
-
-    # ADC table: one row, array over codebook id of array over sub-space
-    # of the query's sub-L2 to that codebook entry
     cb = (df.select(F.col(id_col).alias("cid"),
                     F.col(vec_col).cast("array<double>").alias("cv"))
           .orderBy("cid").limit(n_codes))
+    tab = _adc_table(cb, qdf, n_sub, sub_dim)
+    return _adc_topk(codes, tab, k, n_sub, n_codes, id_col)
 
-    def q_sub_l2(s: int) -> Column:
-        a = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
-        b = F.slice(F.col("cv"), s * sub_dim + 1, sub_dim)
-        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                           F.lit(0.0), lambda acc, d: acc + d)
 
-    tab_rows = (cb.crossJoin(F.broadcast(qdf))
-                .select("cid", F.array(*[q_sub_l2(s)
-                                         for s in range(n_sub)])
-                        .alias("ds")))
-    tab = F.broadcast(tab_rows.agg(F.transform(
-        F.array_sort(F.collect_list(F.struct("cid", "ds"))),
-        lambda e: e["ds"]).alias("tab")))
+def build_ivfpq_index(df: DataFrame, path: str, n_centroids: int = 8,
+                      n_sub: int = 8, sub_dim: int = 8, n_codes: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding"
+                      ) -> None:
+    """Materialize an IVF-PQ index on disk — the build-once half of a
+    production vector store.  Three parquet tables under ``path``:
 
-    # explicit left fold over sub-spaces: ((0.0 + t0) + t1) + ...
-    adc = F.lit(0.0)
-    for s in range(n_sub):
-        code_s = (F.shiftright(F.col("code"), bits * s)
-                  .bitwiseAND((1 << bits) - 1)).cast("int")
-        adc = adc + F.element_at(F.element_at(F.col("tab"), code_s + 1),
-                                 s + 1)
-    ranked = (codes.crossJoin(tab)
-              .select("id", adc.alias("adc")))
-    w = Window.orderBy(F.col("adc").asc(), F.col("id").asc())
-    return (ranked.orderBy(F.col("adc").asc(), F.col("id").asc())
-            .limit(k)
-            .withColumn("rank", F.row_number().over(w).cast("int"))
-            .select("rank", F.col("id").alias(id_col)))
+    * ``index/`` — (id, code) partitioned BY CELL: queries prune
+      non-probed cells at the SCAN (hive partition pruning), and each
+      row carries 16 bits of code instead of the float payload — a
+      100 TB float corpus becomes a few-GB index;
+    * ``centroids/`` — the (cid, cv) coarse quantizer (n_centroids
+      rows);
+    * ``codebook/`` — the (cid, cv) PQ codebook (n_codes rows).
+
+    Both metadata tables are what the deterministic stand-in quantizer
+    derives (lowest-id vectors); a trained k-means build writes its
+    own frames and the query side is unchanged.  The raw vector table
+    is NOT referenced by queries after this returns."""
+    cells = ivf_cells(df, n_centroids, id_col, vec_col)
+    codes = pq_codes(df, n_sub, sub_dim, n_codes, id_col, vec_col)
+    (cells.join(codes, "id")
+     .write.mode("overwrite").partitionBy("cell")
+     .parquet(f"{path}/index"))
+    cents = (df.select(F.col(id_col).alias("cid"),
+                       F.col(vec_col).cast("array<double>").alias("cv"))
+             .orderBy("cid").limit(n_centroids))
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+    cents.limit(n_codes).write.mode("overwrite") \
+        .parquet(f"{path}/codebook")
+
+
+def ivfpq_topk_indexed(spark, path: str, query_vec: Sequence[float],
+                       k: int = 10, n_probe: int = 2, n_sub: int = 8,
+                       sub_dim: int = 8, n_codes: int = 4,
+                       id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ ANN against a STORED index (``build_ivfpq_index``): the
+    query-side plan reads only the tiny centroid/codebook metadata and
+    the (id, code) rows of the probed cells — partition pruning keeps
+    every other cell's files untouched, and the float corpus is never
+    opened.  This is the shape that actually runs at 100 TB: the
+    query-time cost is ~(n_probe/n_centroids) of a 16-bit-code scan,
+    not an index rebuild.  Distances replay the identical fold orders
+    as the build (parquet round-trips doubles losslessly), so results
+    are bit-identical to the rebuild-per-query ``ivfpq_topk``."""
+    qdf = spark.createDataFrame([(list(float(v) for v in query_vec),)],
+                                "qv array<double>")
+    cents = spark.read.parquet(f"{path}/centroids")
+    probe = _probe_cells(cents, qdf, n_probe)
+    codes = (spark.read.parquet(f"{path}/index")
+             .filter(F.col("cell").isin([int(c) for c in probe]))
+             .select("id", "code"))
+    cb = spark.read.parquet(f"{path}/codebook")
+    tab = _adc_table(cb, qdf, n_sub, sub_dim)
+    return _adc_topk(codes, tab, k, n_sub, n_codes, id_col)

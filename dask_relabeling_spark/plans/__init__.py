@@ -22,26 +22,13 @@ from . import curation  # noqa: F401  (round-3 pipeline extensions)
 
 # Latest round in which each entry's driver row was green (hash ✓, or
 # structurally rows-only `no_oracle` with matching row count).  Sourced
-# from CORRECTNESS_r0{1,2,3}.json; an entry appears once, under the
+# from CORRECTNESS_r0{1,2,3,4}.json; an entry appears once, under the
 # LATEST round that checked it green.
 _ROUND1_GREEN = [
-    "discount_band_totals", "union_priority_mix",
-    "grouped_udf_priority_stats", "top_parts_by_price",
-    "nested_json_docs", "events_props_extract",
-    "pivot_status_by_priority", "lineitem_price_quantiles",
-    "global_sorted_orders", "cube_order_stats", "rollup_nation_region",
-    "customers_without_orders", "suppliers_with_shipments",
-    "parts_above_avg_price", "suppliers_per_nation_list",
-    "part_name_tokens", "q5_supplier_nation_volume",
-    "set_ops_customer_cohorts", "q4_late_ship_priority",
-    "q13_customer_order_distribution", "q18_large_volume_orders",
-    "profile_orders", "lineitem_price_stats", "part_token_positions",
-    "orders_price_histogram", "events_value_anomalies",
-    "grouping_sets_revenue", "ntile_customer_quartiles", "events_funnel",
-    "events_user_retention_cohorts", "orders_vs_shipments_by_day",
-    "events_value_percentiles", "salted_brand_revenue",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q10_returned_items", "q12_late_priority_lines",
+    "events_funnel", "events_user_retention_cohorts",
+    "orders_vs_shipments_by_day", "events_value_percentiles",
+    "salted_brand_revenue", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q10_returned_items", "q12_late_priority_lines",
 ]
 
 _ROUND2_GREEN = [
@@ -59,7 +46,7 @@ _ROUND2_GREEN = [
     "events_sessionize", "events_session_windows",
     "docs_stratified_sample", "events_hourly_gapfill",
     "dedup_cluster_canonical", "docs_pack_sequences",
-    "docs_weighted_interleave", "ann_ivf_topk",
+    "docs_weighted_interleave",
     "events_view_click_attribution", "text_repetition", "doc_chunks",
     "events_asof_next_purchase", "docs_curation_pipeline",
     "docs_deterministic_shuffle", "parts_fuzzy_name_pairs",
@@ -72,21 +59,21 @@ _ROUND3_GREEN = [
     "ann_lsh_topk", "text_fingerprint", "events_lead_lag_deltas",
     "docs_fixed_per_lang_sample", "docs_importance_sample",
     "text_bpe_token_stats", "events_sliding_windows",
-    "embedding_neardup_pairs", "relabel_components",
+    "relabel_components",
     "relabel_annotations", "orders_by_year_month",
-    "multimodal_features", "embedding_pq_codes", "docs_hybrid_rrf",
+    "multimodal_features", "docs_hybrid_rrf",
     "docs_unigram_logprob", "relabel_annotations_3d",
     "relabel_annotations_summary", "relabel_components_3d_interior",
-    "embedding_kmeans", "docs_tfidf_cosine_pairs",
+    "docs_tfidf_cosine_pairs",
     "events_session_overlap", "docs_quality_classifier",
     "bpe_merge_candidates", "docs_incremental_dedup",
     "docs_zorder_layout", "lineitem_exact_quantiles",
     "dedup_prefix_jaccard", "orders_merge_upsert",
-    "events_user_triangles", "embedding_semantic_dedup",
+    "events_user_triangles",
     "docs_bigram_logprob", "events_incremental_rollup",
     "orders_price_quartiles_by_priority", "dq_orders_constraints",
     "docs_leakage_safe_split", "events_anomaly_mad",
-    "relabel_components_summary", "scan_filter_project",
+    "scan_filter_project",
     "q1_pricing_summary", "broadcast_join_brand_revenue",
     "q3_shipping_priority", "events_adjacent_pairs",
     "distinct_parts_per_flag", "top_customers_per_nation",
@@ -94,28 +81,58 @@ _ROUND3_GREEN = [
     "word_counts",
 ]
 
+_ROUND4_GREEN = [
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_recall_panel",
+    "cube_order_stats", "customers_without_orders",
+    "dedup_prefix_clusters", "discount_band_totals",
+    "docs_adaptive_quality_filter", "docs_duplicate_spans",
+    "docs_gdpr_purge", "docs_negative_samples", "embedding_dim_stats",
+    "embedding_kmeans", "embedding_label_centroids",
+    "embedding_neardup_pairs", "embedding_pq_codes",
+    "embedding_semantic_dedup", "events_hll_distinct_users",
+    "events_props_extract", "events_user_pagerank",
+    "events_value_anomalies", "events_value_winsorize_counts",
+    "global_sorted_orders", "grouped_udf_priority_stats",
+    "grouping_sets_revenue", "lineitem_price_quantiles",
+    "lineitem_price_stats", "nested_json_docs",
+    "ntile_customer_quartiles", "orders_price_histogram",
+    "part_name_tokens", "part_token_positions", "parts_above_avg_price",
+    "pivot_status_by_priority", "profile_orders",
+    "q13_customer_order_distribution", "q18_large_volume_orders",
+    "q4_late_ship_priority", "q5_supplier_nation_volume",
+    "relabel_annotations_3d_summary", "relabel_annotations_3d_tile_counts",
+    "relabel_annotations_tile_interior_counts",
+    "relabel_components_summary", "relabel_sorted_label_stats",
+    "rollup_nation_region", "set_ops_customer_cohorts",
+    "suppliers_per_nation_list", "suppliers_with_shipments",
+    "top_parts_by_price", "union_priority_mix",
+]
+
 # Red rows + entries whose implementation or plan changed since their
 # last driver row — fresh evidence required, keep at the very front.
+# (Round 5: populated as operators are touched this round.)
 _CHANGED_THIS_ROUND = [
-    "embedding_label_centroids",  # r2+r3 hash-fail -> integer milli out
-    "embedding_kmeans",           # centroid quantization -> integer milli
-    "embedding_semantic_dedup",   # fixed k=8 -> scale-true k=ceil(n/64)
-    "ann_ivf_topk",               # quantizer init: id<k -> rank-based
-    "embedding_pq_codes",         # same (codebook selection)
-    "embedding_neardup_pairs",    # same (IVF multi-assignment centroids)
+    "embedding_pq_codes",     # pack centroid RANK, not raw cid (ADVICE)
+    "ann_ivfpq_topk",         # ADC lookup keyed by rank, not cid value
+    "ann_recall_panel",       # downstream of the rank-keyed codes
+    "embedding_kmeans",       # cluster label stays LONG (no INT cast)
+    "embedding_semantic_dedup",  # downstream of the LONG kmeans label
+    "events_user_pagerank",   # dir_e/deg cached; no extra lineage scan
 ]
 
 
 def _reorder() -> None:
     front = [n for n in _CHANGED_THIS_ROUND if n in REGISTRY]
-    green = set(_ROUND1_GREEN) | set(_ROUND2_GREEN) | set(_ROUND3_GREEN)
+    green = (set(_ROUND1_GREEN) | set(_ROUND2_GREEN)
+             | set(_ROUND3_GREEN) | set(_ROUND4_GREEN))
     # Anything with no green evidence at all is new this round -> front.
     front += [n for n in REGISTRY if n not in front and n not in green]
     # Flagship hash row next: keep per-round evidence for the core.
     front += [n for n in ["relabel_components_summary"]
               if n not in front]
-    # Stalest evidence first: round 1, then 2, then 3.
-    for lst in (_ROUND1_GREEN, _ROUND2_GREEN, _ROUND3_GREEN):
+    # Stalest evidence first: round 1, then 2, then 3, then 4.
+    for lst in (_ROUND1_GREEN, _ROUND2_GREEN, _ROUND3_GREEN,
+                _ROUND4_GREEN):
         front += [n for n in lst if n in REGISTRY and n not in front]
     assert len(front) == len(REGISTRY), "reorder dropped/duplicated entries"
     snapshot = {name: REGISTRY[name] for name in front}

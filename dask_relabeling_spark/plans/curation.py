@@ -58,7 +58,7 @@ def _kmeans_ctes(k, n_iter: int = 2) -> str:
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
 c1 AS (SELECT cid, cv FROM (
-         SELECT CAST(vec_id AS INT) AS cid, ve AS cv,
+         SELECT CAST(vec_id AS BIGINT) AS cid, ve AS cv,
                 row_number() OVER (ORDER BY vec_id) AS rn
          FROM v) WHERE rn <= {k})"""
     for it in range(1, n_iter + 1):
@@ -726,6 +726,67 @@ def dedup_prefix_jaccard(spark, sf_dir):
     distinct words, so nearly every token-SET pair exceeds 0.8.)"""
     from ..operators.dedup import prefix_filtered_jaccard_pairs
     return prefix_filtered_jaccard_pairs(t(spark, sf_dir, "documents"))
+
+
+def _seg_prefix_clusters_sql() -> str:
+    """Compose the segment-dedup CTEs (ending in ``clean(doc_id,
+    text)``) with the PPJoin cluster chain re-sourced at the cleaned
+    text: the shingle base reads FROM clean instead of FROM documents,
+    and the retention score is the cleaned length."""
+    seg = """t0 AS (
+  SELECT doc_id AS id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+sbase AS (SELECT id, tk, CAST(ceil(len(tk) / 16.0) AS BIGINT) AS n_segs
+          FROM t0 WHERE len(tk) > 0),
+segs AS (SELECT id, i - 1 AS seg_idx,
+                array_to_string(tk[(i-1)*16+1 : i*16], ' ') AS seg
+         FROM sbase,
+              unnest(generate_series(1, CAST(n_segs AS INT))) AS u(i)),
+skeep AS (SELECT id, seg_idx, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY id, seg_idx) AS rn
+          FROM segs),
+clean AS (SELECT id AS doc_id, string_agg(seg, ' ' ORDER BY seg_idx)
+                 AS text
+          FROM skeep WHERE rn = 1 GROUP BY id)"""
+    body = _prefix_clusters_sql()
+    body = body.replace("WITH RECURSIVE ", "", 1)
+    body = body.replace("FROM documents\n)", "FROM clean\n)", 1)
+    body = body.replace(
+        "JOIN documents d ON d.doc_id = c.id",
+        "JOIN (SELECT doc_id, length(text) AS n_chars FROM clean) d\n"
+        "           ON d.doc_id = c.id")
+    return "WITH RECURSIVE " + seg + ",\n" + body.lstrip()
+
+
+@register("dedup_segment_then_prefix", _seg_prefix_clusters_sql())
+def dedup_segment_then_prefix(spark, sf_dir):
+    """Boilerplate-aware PPJoin (SCALE.md's documented mitigation for
+    the prefix-join's input-pair bound, made a first-class checked
+    entry): corpus-wide SEGMENT dedup first — every duplicated
+    16-token window survives only at its first (doc, position)
+    occurrence, so exact-duplicated and boilerplate-heavy text
+    vanishes for the cost of one segment-keyed shuffle — then the
+    AllPairs/PPJoin prefix-filter + connected components + canonical
+    retention runs on the RESIDUE.  On duplication-heavy corpora the
+    quadratic C(K,2) pair volume that bounds the raw
+    ``dedup_prefix_clusters`` collapses before candidate generation
+    ever sees it (measured on the 10x replicated probe: the raw path's
+    pair explosion never forms).  Retention score is the cleaned
+    length (longest residue, ties to lowest id)."""
+    from ..operators.dedup import (canonical_per_cluster,
+                                   connected_components,
+                                   prefix_filtered_jaccard_pairs,
+                                   segment_dedup)
+    docs = t(spark, sf_dir, "documents")
+    cleaned = segment_dedup(docs, out_text=True)
+    pairs = prefix_filtered_jaccard_pairs(cleaned, id_col="id",
+                                          text_col="clean_text")
+    clusters = connected_components(pairs)
+    scored = cleaned.select("id",
+                            F.length("clean_text").alias("n_chars"))
+    return canonical_per_cluster(scored, clusters, id_col="id")
 
 
 @register("dedup_prefix_clusters", _prefix_clusters_sql())

@@ -837,6 +837,35 @@ def ann_ivfpq_topk(spark, sf_dir):
                         n_sub=8, sub_dim=8, n_codes=4)
 
 
+@register("ann_ivfpq_indexed", _ivfpq_topk_sql())
+def ann_ivfpq_indexed(spark, sf_dir):
+    """IVF-PQ ANN against a PERSISTED index — the production vector-
+    store shape (index built once, queries read 16-bit codes): build
+    writes (id, code) parquet partitioned by cell plus tiny
+    centroid/codebook metadata tables to a fresh temp dir
+    (operators/similarity.py: build_ivfpq_index), then the query side
+    probes 2 of 8 cells and ranks by ADC reading ONLY the stored
+    index — partition pruning skips the other cells' files and the
+    float corpus is never opened (ivfpq_topk_indexed).  The oracle
+    replays quantize -> probe -> code -> ADC from the raw table, so a
+    single row lost, duplicated, or re-quantized by the write/read
+    round-trip breaks the hash.
+
+    SIDE EFFECT AT BUILD TIME (same contract as
+    parquet_sink_roundtrip): the index write runs when the builder is
+    invoked; each invocation gets its own temp dir so concurrent
+    gate/bench/ratchet runs cannot race."""
+    import tempfile
+    emb = t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = tempfile.mkdtemp(prefix="spark_ivfpq_index_")
+    S.build_ivfpq_index(emb, path, n_centroids=8,
+                        n_sub=8, sub_dim=8, n_codes=4)
+    return S.ivfpq_topk_indexed(spark, path, [float(x) for x in qv],
+                                k=10, n_probe=2,
+                                n_sub=8, sub_dim=8, n_codes=4)
+
+
 def _ann_recall_panel_sql() -> str:
     """Compose the three approximate arms' registered oracles (each a
     self-contained WITH query, legal as a parenthesized CTE body in
@@ -1417,16 +1446,18 @@ def _pq_codes_sql(n_sub: int = 8, sub_dim: int = 8,
     ranks = ", ".join(
         f"row_number() OVER (PARTITION BY id ORDER BY d{s}, cid) AS r{s}"
         for s in range(n_sub))
+    # pack the codebook entry's RANK (crank), never the raw cid — the
+    # same id-space-safe field packing as the Spark operator
     packed = " + ".join(
-        f"(max(CASE WHEN r{s} = 1 THEN cid END) * {1 << (bits * s)})"
+        f"(max(CASE WHEN r{s} = 1 THEN crank END) * {1 << (bits * s)})"
         for s in range(n_sub))
     return f"""
 WITH v AS (SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
-c AS (SELECT cid, cv FROM (SELECT id AS cid, ve AS cv, row_number() OVER (ORDER BY id) AS rn FROM v) WHERE rn <= {n_centroids}),
-d AS (SELECT v.id, c.cid, {dists} FROM v, c),
-r AS (SELECT id, cid, {ranks} FROM d)
+c AS (SELECT cid, cv, rn - 1 AS crank FROM (SELECT id AS cid, ve AS cv, row_number() OVER (ORDER BY id) AS rn FROM v) WHERE rn <= {n_centroids}),
+d AS (SELECT v.id, c.cid, c.crank, {dists} FROM v, c),
+r AS (SELECT id, cid, crank, {ranks} FROM d)
 SELECT id, CAST({packed} AS BIGINT) AS code
 FROM r GROUP BY id
 """

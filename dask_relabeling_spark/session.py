@@ -2,7 +2,9 @@
 plus the scoped-persist registry operators use for cache hygiene."""
 from __future__ import annotations
 
+import contextlib
 import os
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -13,26 +15,46 @@ from pyspark.sql import DataFrame, SparkSession
 # leak executor memory (round-3 ADVICE).  Operators therefore persist
 # through ``scoped_persist`` and long-lived callers (bench.py, the
 # query sweep, notebook sessions) call ``release_persists()`` after
-# consuming each result.
-_SCOPED: list[DataFrame] = []
+# consuming each result.  The registry is keyed per SparkSession
+# (round-4 ADVICE): releasing one session's persists cannot drop
+# blocks a query on another session is still reusing, and entries
+# from a stopped session don't linger under an unrelated key.
+_SCOPED: dict[int, list[DataFrame]] = {}
 
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """``df.persist()`` that is released by the next
-    ``release_persists()`` call."""
-    _SCOPED.append(df.persist())
+    ``release_persists()`` call against the same SparkSession."""
+    _SCOPED.setdefault(id(df.sparkSession), []).append(df.persist())
     return df
 
 
-def release_persists() -> None:
+def release_persists(spark: SparkSession | None = None) -> None:
     """Unpersist every ``scoped_persist``-ed DataFrame (idempotent;
-    safe to call while no query is running)."""
-    while _SCOPED:
-        df = _SCOPED.pop()
-        try:
-            df.unpersist()
-        except Exception:  # session already stopped — nothing pinned
-            pass
+    safe to call while no query is running).  With ``spark`` given,
+    only that session's persists are dropped; with ``None`` (the
+    single-session callers: bench.py, oracle sweep, tests) every
+    registered session is flushed."""
+    keys = [id(spark)] if spark is not None else list(_SCOPED)
+    for key in keys:
+        scoped = _SCOPED.pop(key, [])
+        while scoped:
+            df = scoped.pop()
+            try:
+                df.unpersist()
+            except Exception:  # session already stopped — nothing pinned
+                pass
+
+
+@contextlib.contextmanager
+def persist_scope(spark: SparkSession) -> Iterator[None]:
+    """Context manager form: persists created inside the block (on
+    ``spark``) are released on exit — the notebook/threaded-caller
+    pattern the flat ``release_persists()`` cannot scope."""
+    try:
+        yield
+    finally:
+        release_persists(spark)
 
 
 def get_spark(app_name: str = "dask-relabeling-spark",

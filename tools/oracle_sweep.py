@@ -46,11 +46,21 @@ def values_match(a: pd.DataFrame, b: pd.DataFrame) -> bool:
     for c in a.columns:
         x, y = a[c], b[c]
         if pd.api.types.is_float_dtype(x) or pd.api.types.is_float_dtype(y):
-            xa = pd.to_numeric(x, errors="coerce").to_numpy(float)
-            ya = pd.to_numeric(y, errors="coerce").to_numpy(float)
-            same_nan = np.isnan(xa) == np.isnan(ya)
-            exact = xa == ya
-            if not (same_nan & (exact | np.isnan(xa))).all():
+            # True bit-pattern comparison: ``==`` would pass -0.0 vs
+            # 0.0, and coercion failures collapsing to NaN on both
+            # sides would pass too — both softer than the driver's
+            # rendered-value hash.  Coercion failure (a non-numeric
+            # value in a float-dtyped column) is itself a mismatch
+            # unless the raw values were NaN on both sides.
+            xr = pd.to_numeric(x, errors="coerce")
+            yr = pd.to_numeric(y, errors="coerce")
+            bad_x = xr.isna().to_numpy() & ~pd.isna(x).to_numpy()
+            bad_y = yr.isna().to_numpy() & ~pd.isna(y).to_numpy()
+            if bad_x.any() or bad_y.any():
+                return False
+            xa = xr.to_numpy(float)
+            ya = yr.to_numpy(float)
+            if (xa.view(np.uint64) != ya.view(np.uint64)).any():
                 return False
         else:
             if not (x.astype(str).to_numpy() ==
