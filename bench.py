@@ -51,6 +51,10 @@ HEADLINE = [
     "lineitem_exact_quantiles",  # exact two-phase order stats (round 3)
     "dedup_prefix_clusters",    # PPJoin -> CC scale path (round 4)
     "events_user_pagerank",     # iterative integer PageRank (round 4)
+    "ann_ivfpq_indexed",        # persisted-index ANN round trip (round 5;
+                                # measured time = index BUILD + query — the
+                                # query alone reads only probed (id, code))
+    "dedup_segment_then_prefix",  # boilerplate-aware PPJoin (round 5)
 ]
 
 

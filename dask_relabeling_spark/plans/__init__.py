@@ -118,6 +118,8 @@ _CHANGED_THIS_ROUND = [
     "embedding_kmeans",       # cluster label stays LONG (no INT cast)
     "embedding_semantic_dedup",  # downstream of the LONG kmeans label
     "events_user_pagerank",   # dir_e/deg cached; no extra lineage scan
+    "relabel_annotations",    # rows-only -> full parity-ownership oracle
+    "docs_segment_dedup",     # segment_dedup grew the out_text path
 ]
 
 

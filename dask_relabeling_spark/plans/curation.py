@@ -779,8 +779,11 @@ def dedup_segment_then_prefix(spark, sf_dir):
                                    connected_components,
                                    prefix_filtered_jaccard_pairs,
                                    segment_dedup)
+    from ..session import scoped_persist
     docs = t(spark, sf_dir, "documents")
-    cleaned = segment_dedup(docs, out_text=True)
+    # three consumers (shingle table, retention score, canonical join):
+    # persist the residue once instead of re-running the segment pass
+    cleaned = scoped_persist(segment_dedup(docs, out_text=True))
     pairs = prefix_filtered_jaccard_pairs(cleaned, id_col="id",
                                           text_col="clean_text")
     clusters = connected_components(pairs)

@@ -48,9 +48,11 @@ def release_persists(spark: SparkSession | None = None) -> None:
 
 @contextlib.contextmanager
 def persist_scope(spark: SparkSession) -> Iterator[None]:
-    """Context manager form: persists created inside the block (on
-    ``spark``) are released on exit — the notebook/threaded-caller
-    pattern the flat ``release_persists()`` cannot scope."""
+    """Context manager form: on exit, release every scoped persist of
+    ``spark``'s registry (the block's and any earlier unreleased ones
+    on the same session — scoping is per SparkSession, not per block).
+    Lets a notebook/threaded caller on session A run queries without
+    dropping blocks a concurrent caller on session B still reuses."""
     try:
         yield
     finally:

@@ -54,6 +54,10 @@ ALLOWED_SINGLE_PARTITION = {
     "ann_ivfpq_topk":
         "1-row packed ADC-table aggregate (n_sub*n_codes doubles, "
         "data-independent size)",
+    "ann_ivfpq_indexed":
+        "same 1-row ADC-table aggregate as ann_ivfpq_topk (the stored "
+        "codebook is n_codes rows; the candidate scan itself is "
+        "partition-pruned and never single-partition)",
     "docs_negative_samples": "1-row corpus-count aggregate",
     "ann_recall_panel":
         "inherits the arms' 1-row aggregates (ADC table, hit counts) — "
@@ -95,6 +99,9 @@ ALLOWED_NESTED_LOOP = {
     "ann_ivfpq_topk":
         "centroid/codebook broadcasts (n_centroids + n_codes rows) + "
         "1-row ADC table broadcast",
+    "ann_ivfpq_indexed":
+        "stored-codebook x 1-row query broadcast + 1-row ADC table "
+        "broadcast over the pruned (id, code) scan",
     "docs_negative_samples": "1-row corpus-count broadcast",
     "ann_recall_panel":
         "inherits the arms' centroid/codebook/ADC-table broadcasts",
