@@ -488,11 +488,22 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     prefix = (toks.join(dfreq, "tok").join(sizes, "id")
               .withColumn("rk", rk)
               .filter(F.col("rk") <= plen)
-              .select("id", "tok"))
+              .select("id", "tok", "sz"))
+    # LENGTH FILTER (lossless, the AllPairs/PPJoin size bound):
+    # J(a,b) >= t  =>  inter >= t*union >= t*max(|a|,|b|), and
+    # inter <= min(|a|,|b|), so min*den >= max*num.  Applied INSIDE the
+    # candidate join it prunes shingle-colliding but size-incompatible
+    # pairs before the distinct and before the verify joins ever see
+    # them — at boilerplate shingle frequencies this is the difference
+    # between verify work ~ true-candidate count and ~ collision count.
     cand = (prefix.alias("a")
             .join(prefix.alias("b"),
                   (F.col("a.tok") == F.col("b.tok")) &
-                  (F.col("a.id") < F.col("b.id")))
+                  (F.col("a.id") < F.col("b.id")) &
+                  (F.least(F.col("a.sz"), F.col("b.sz"))
+                   * threshold_den
+                   >= F.greatest(F.col("a.sz"), F.col("b.sz"))
+                   * threshold_num))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())

@@ -120,6 +120,8 @@ _CHANGED_THIS_ROUND = [
     "events_user_pagerank",   # dir_e/deg cached; no extra lineage scan
     "relabel_annotations",    # rows-only -> full parity-ownership oracle
     "docs_segment_dedup",     # segment_dedup grew the out_text path
+    "dedup_prefix_jaccard",   # PPJoin candidate join grew the lossless
+    "dedup_prefix_clusters",  # length filter (min*den >= max*num)
 ]
 
 
