@@ -91,10 +91,12 @@ def _kmeans_sql(k: int = 8, n_iter: int = 2) -> str:
 
 @register("embedding_kmeans", _kmeans_sql())
 def embedding_kmeans(spark, sf_dir):
-    """Two unrolled Lloyd iterations, k=8, init = lowest-id vectors.
-    Assignment is a narrow map against a packed 1-row broadcast of the
-    centroids; the update is a (cluster, dim)-keyed partial+final agg
-    with exact decimal sums (see operators/clustering.py)."""
+    """Two unrolled Lloyd iterations, k=8, init = lowest-id vectors
+    (labels stay LONG end to end — no INT narrowing that could collide
+    distinct >2^31 centroid ids).  Assignment is a narrow map against a
+    packed 1-row broadcast of the centroids; the update is a
+    (cluster, dim)-keyed partial+final agg over exact integer
+    nano-unit sums (see operators/clustering.py)."""
     return kmeans_assignments(t(spark, sf_dir, "embeddings"),
                               k=8, n_iter=2)
 
