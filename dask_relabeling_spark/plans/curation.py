@@ -753,12 +753,13 @@ clean AS (SELECT id AS doc_id, string_agg(seg, ' ' ORDER BY seg_idx)
                  AS text
           FROM skeep WHERE rn = 1 GROUP BY id)"""
     body = _prefix_clusters_sql()
-    body = body.replace("WITH RECURSIVE ", "", 1)
-    body = body.replace("FROM documents\n)", "FROM clean\n)", 1)
-    body = body.replace(
-        "JOIN documents d ON d.doc_id = c.id",
-        "JOIN (SELECT doc_id, length(text) AS n_chars FROM clean) d\n"
-        "           ON d.doc_id = c.id")
+    for old, new in (("WITH RECURSIVE ", ""),
+                     ("FROM documents\n)", "FROM clean\n)"),
+                     ("JOIN documents d ON d.doc_id = c.id",
+                      "JOIN (SELECT doc_id, length(text) AS n_chars "
+                      "FROM clean) d\n           ON d.doc_id = c.id")):
+        assert old in body, f"prefix-cluster SQL shape changed: {old!r}"
+        body = body.replace(old, new, 1)
     return "WITH RECURSIVE " + seg + ",\n" + body.lstrip()
 
 
