@@ -122,6 +122,8 @@ _CHANGED_THIS_ROUND = [
     "docs_segment_dedup",     # segment_dedup grew the out_text path
     "dedup_prefix_jaccard",   # PPJoin candidate join grew the lossless
     "dedup_prefix_clusters",  # length filter (min*den >= max*num)
+    "relabel_components_3d",  # rows-only -> parity-ownership oracle
+    "relabel_annotations_3d",  # rows-only -> parity-ownership oracle
 ]
 
 

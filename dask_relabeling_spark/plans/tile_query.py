@@ -288,8 +288,126 @@ def _mask_tiles_3d(spark: SparkSession, sf_dir: str,
                    overlaps=(0, 0, 0), image_shape=(D3, H3, W3))
 
 
-@register("relabel_components_3d", None)  # CCL: not SQL-expressible
+def _ccl3_ctes() -> str:
+    """6-connected 3D CCL closure over the unthinned voxel mask
+    (~60 k voxels at the sf0.01 gate)."""
+    return f"""pts AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_suppkey % {D3} AS INT) AS z,
+                  CAST(l_orderkey % {H3} AS INT) AS y,
+                  CAST(l_partkey % {W3} AS INT) AS x
+  FROM lineitem),
+ids AS MATERIALIZED (
+  SELECT z, y, x, (z * {H3} + y) * {W3} + x AS id FROM pts),
+edges AS MATERIALIZED (
+  SELECT a.id AS ea, b.id AS eb
+  FROM ids a JOIN ids b
+    ON (b.z = a.z + 1 AND b.y = a.y AND b.x = a.x)
+    OR (b.z = a.z AND b.y = a.y + 1 AND b.x = a.x)
+    OR (b.z = a.z AND b.y = a.y AND b.x = a.x + 1)),
+sym(ea, eb) AS MATERIALIZED (
+  SELECT ea, eb FROM edges UNION ALL SELECT eb, ea FROM edges),
+walk(pid, lbl) AS (
+  SELECT id, id FROM ids
+  UNION
+  SELECT s.eb, w.lbl FROM walk w JOIN sym s ON s.ea = w.pid),
+comp AS (SELECT pid, min(lbl) AS comp_id FROM walk GROUP BY pid)"""
+
+
+def _ownership3_ctes() -> str:
+    """Per-(component, tile) ownership scoring for the 3D pipeline —
+    the same checkerboard-parity replay as
+    ``_annotations_ownership_sql``, valid here because the 3D geometry
+    collapses to the 2D rule: the z axis has one chunk and zero
+    overlap, so the kernel skips every z-constrained region
+    (``kernels/relabel.py`` overlap-0 guard) and the claim order is
+    again (y,x)-corners -> x-faces -> y-faces.  The full-visibility
+    contract holds with ~6x margin: measured max component bbox side
+    is 4 (sf0.01) / 11 (sf0.1) vs the 64 px halo — so a tile with a
+    core voxel sees the whole component, halo-only fragments always
+    drop, and the float32 thresholds replay as exact rationals.
+    Emits ``vox``, ``cstat``, ``grid3``, ``stat3`` and ``kept3``
+    (one row per tile that keeps a component, joined to its stats).
+    The parity x threshold corner-loss case (an object whose only
+    even-parity-tile share is sub-threshold is dropped by ALL tiles —
+    ``test_corner_object_sub_threshold_parity_loss``) is reproduced,
+    not papered over: such components appear in no tile's kept3."""
+    return f""",
+vox AS MATERIALIZED (
+  SELECT c.comp_id, i.z, i.y, i.x FROM comp c JOIN ids i ON i.id = c.pid),
+cstat AS (
+  SELECT comp_id, count(*) AS n_total,
+         count(DISTINCT y * {W3} + x) AS n_cells,
+         CAST(min(z) AS BIGINT) AS zmin, CAST(max(z) AS BIGINT) AS zmax
+  FROM vox GROUP BY comp_id),
+grid3 AS (SELECT 0 AS cz, gy.v AS cy, gx.v AS cx
+          FROM generate_series(0, {GRID3[1] - 1}) gy(v),
+               generate_series(0, {GRID3[2] - 1}) gx(v)),
+stat3 AS (
+  SELECT v.comp_id, g.cy, g.cx,
+         count(*) FILTER (WHERE v.y // {CHUNK3[1]} = g.cy
+                            AND v.x // {CHUNK3[2]} = g.cx) AS n_core,
+         bool_or(v.y // {CHUNK3[1]} <> g.cy
+                 AND v.x // {CHUNK3[2]} <> g.cx) AS in_corner,
+         bool_or(v.x // {CHUNK3[2]} <> g.cx
+                 AND v.y // {CHUNK3[1]} = g.cy) AS in_xface,
+         bool_or(v.y // {CHUNK3[1]} <> g.cy
+                 AND v.x // {CHUNK3[2]} = g.cx) AS in_yface
+  FROM vox v JOIN grid3 g
+    ON v.y >= g.cy * {CHUNK3[1]}
+              - (CASE WHEN g.cy > 0 THEN {OVERLAP3[1]} ELSE 0 END)
+   AND v.y < (g.cy + 1) * {CHUNK3[1]}
+             + (CASE WHEN g.cy < {GRID3[1] - 1}
+                     THEN {OVERLAP3[1]} ELSE 0 END)
+   AND v.x >= g.cx * {CHUNK3[2]}
+              - (CASE WHEN g.cx > 0 THEN {OVERLAP3[2]} ELSE 0 END)
+   AND v.x < (g.cx + 1) * {CHUNK3[2]}
+             + (CASE WHEN g.cx < {GRID3[2] - 1}
+                     THEN {OVERLAP3[2]} ELSE 0 END)
+  GROUP BY 1, 2, 3),
+kept3 AS (
+  SELECT s.comp_id, s.cy, s.cx, n.n_cells, n.zmin, n.zmax
+  FROM stat3 s JOIN cstat n USING (comp_id)
+  WHERE s.n_core >= 1
+    AND (20 * s.n_core > 19 * n.n_total
+         OR (20 * s.n_core >= n.n_total
+             AND CASE WHEN s.in_corner
+                        THEN s.cy % 2 = 0 AND s.cx % 2 = 0
+                      WHEN s.in_xface THEN s.cx % 2 = 0
+                      WHEN s.in_yface THEN s.cy % 2 = 0
+                      ELSE true END)))"""
+
+
+def _components_3d_sql() -> str:
+    """Full per-tile replay for the 3D flagship: the merged label
+    field equals the union of kept components painted at their true
+    voxels (bbox <= halo means every kept component's spill lies
+    inside the neighbor paste bands), and a component lost to the
+    corner parity x threshold case is zero in every tile — so
+    per-tile counts are voxel/component counts of someone-kept
+    components, grouped by the voxel's OWN tile."""
+    return ("WITH RECURSIVE " + _ccl3_ctes() + _ownership3_ctes() + f""",
+keptset AS (SELECT DISTINCT comp_id FROM kept3),
+per AS (
+  SELECT v.y // {CHUNK3[1]} AS cy, v.x // {CHUNK3[2]} AS cx,
+         count(*) AS n_fg, count(DISTINCT v.comp_id) AS n_obj
+  FROM vox v JOIN keptset k USING (comp_id)
+  GROUP BY 1, 2)
+SELECT CAST(g.cz AS INT) AS cz, CAST(g.cy AS INT) AS cy,
+       CAST(g.cx AS INT) AS cx,
+       CAST(coalesce(per.n_fg, 0) AS INT) AS n_fg_pixels,
+       CAST(coalesce(per.n_obj, 0) AS INT) AS n_objects_touching
+FROM grid3 g LEFT JOIN per ON per.cy = g.cy AND per.cx = g.cx
+ORDER BY cz, cy, cx
+""")
+
+
+@register("relabel_components_3d", _components_3d_sql())
 def relabel_components_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3D flagship terminal on the BASELINE.md geometry —
+    HASH-checked as of round 5 (previously rows-only): per-tile
+    foreground-voxel and touching-object counts of the merged field,
+    replayed by the full checkerboard-parity ownership oracle over
+    the 6-connected CCL closure (``_ownership3_ctes``)."""
     pieces = _mask_tiles_3d(spark, sf_dir, as_pieces=True)
     labeled = image2labels_from_pieces(
         pieces, 3, GRID3, CHUNK3, (D3, H3, W3), spark,
@@ -402,7 +520,22 @@ def relabel_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cy", "cx"))
 
 
-@register("relabel_annotations_3d", None)  # GeoJSON assembly: not SQL
+def _annotations_3d_sql() -> str:
+    return ("WITH RECURSIVE " + _ccl3_ctes() + _ownership3_ctes() + """,
+agg AS (
+  SELECT cy, cx, count(*) AS nf, min(zmin) AS mnz, max(zmax) AS mxz
+  FROM kept3 WHERE n_cells >= 2
+  GROUP BY cy, cx)
+SELECT CAST(g.cz AS INT) AS cz, CAST(g.cy AS INT) AS cy,
+       CAST(g.cx AS INT) AS cx,
+       CAST(coalesce(agg.nf, 0) AS INT) AS n_features,
+       agg.mnz AS min_z, agg.mxz AS max_z
+FROM grid3 g LEFT JOIN agg ON agg.cy = g.cy AND agg.cx = g.cx
+ORDER BY cz, cy, cx
+""")
+
+
+@register("relabel_annotations_3d", _annotations_3d_sql())
 def relabel_annotations_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3D flagship ending in the EXTENSION annotation terminal: the
     reference's own 3D annotation path cannot execute (its tests pass
@@ -412,7 +545,10 @@ def relabel_annotations_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     (kernels/annotate.py::labels_to_annotations_3d).  Same BASELINE.md
     geometry and fused 2-pass/1-shuffle plan as ``relabel_annotations``.
     Output: per-tile feature counts + the min/max z over the tile's
-    annotated objects (deterministic; JSON itself is pytest-covered)."""
+    annotated objects.  HASH-checked as of round 5 (previously
+    rows-only): the oracle replays per-tile ownership via
+    ``_ownership3_ctes`` and keeps components whose footprint has
+    >= 2 (y, x) cells (the '< 2 contour points' rule)."""
     from ..operators.annotate_ops import ANNOTATION_SCHEMA
     from ..operators.halo import exchange_records_from_pieces
     from ..operators.pipeline import _geojson_finish
@@ -484,31 +620,6 @@ def relabel_annotations_summary(spark: SparkSession, sf_dir: str
                     F.array_max(xs).alias("max_x"),
                     F.array_max(ys).alias("max_y"))
             .orderBy("min_x", "min_y", "max_x", "max_y"))
-
-
-def _ccl3_ctes() -> str:
-    """6-connected 3D CCL closure over the unthinned voxel mask
-    (~60 k voxels at the sf0.01 gate)."""
-    return f"""pts AS MATERIALIZED (
-  SELECT DISTINCT CAST(l_suppkey % {D3} AS INT) AS z,
-                  CAST(l_orderkey % {H3} AS INT) AS y,
-                  CAST(l_partkey % {W3} AS INT) AS x
-  FROM lineitem),
-ids AS MATERIALIZED (
-  SELECT z, y, x, (z * {H3} + y) * {W3} + x AS id FROM pts),
-edges AS MATERIALIZED (
-  SELECT a.id AS ea, b.id AS eb
-  FROM ids a JOIN ids b
-    ON (b.z = a.z + 1 AND b.y = a.y AND b.x = a.x)
-    OR (b.z = a.z AND b.y = a.y + 1 AND b.x = a.x)
-    OR (b.z = a.z AND b.y = a.y AND b.x = a.x + 1)),
-sym(ea, eb) AS MATERIALIZED (
-  SELECT ea, eb FROM edges UNION ALL SELECT eb, ea FROM edges),
-walk(pid, lbl) AS (
-  SELECT id, id FROM ids
-  UNION
-  SELECT s.eb, w.lbl FROM walk w JOIN sym s ON s.ea = w.pid),
-comp AS (SELECT pid, min(lbl) AS comp_id FROM walk GROUP BY pid)"""
 
 
 # y/x overlap bands: [CHUNK - OVERLAP, CHUNK + OVERLAP) around the one

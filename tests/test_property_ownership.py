@@ -122,6 +122,67 @@ def test_ownership_rule_matches_kernel(data):
         _oracle_counts(mask, (gy, gx))
 
 
+@settings(max_examples=25, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.floats(0.03, 0.15))
+def test_ownership_rule_matches_kernel_3d(seed, density):
+    """The 3D collapse the `relabel_components_3d` /
+    `relabel_annotations_3d` oracles rely on: with one z chunk and
+    zero z overlap the kernel skips every z-constrained region, so
+    per-tile survival follows the SAME corner -> x-face -> y-face
+    parity rule, scored on voxel counts."""
+    d, grid = 4, (1, 2, 2)
+    h = w = 2 * CHUNK
+    rng = np.random.default_rng(seed)
+    vol = (rng.random((d, h, w)) < density).astype(np.int64)
+    # prune components violating the (y, x)-bbox <= OV contract
+    lab = ccl_label(vol)
+    for lb in range(1, lab.max() + 1):
+        _, ys, xs = np.nonzero(lab == lb)
+        if ys.ptp() + 1 > OV or xs.ptp() + 1 > OV:
+            vol[lab == lb] = 0
+    # kernel side: per-tile expanded view (full z) -> 3D CCL -> remove
+    kernel = {}
+    for cy in range(2):
+        for cx in range(2):
+            hws = halo_widths((0, cy, cx), grid, (0, OV, OV))
+            (_, _), (lo_y, hi_y), (lo_x, hi_x) = hws
+            view = vol[:, cy * CHUNK - lo_y: (cy + 1) * CHUNK + hi_y,
+                       cx * CHUNK - lo_x: (cx + 1) * CHUNK + hi_x]
+            removed = remove_overlapped_objects(
+                ccl_label(view), (0, OV, OV), THRESH, (0, cy, cx), grid)
+            kernel[(cy, cx)] = int(
+                len(np.unique(removed[removed != 0])))
+    # rule side from global CCL (no size filter: remove drops nothing
+    # by size, and 1-voxel comps are keep3 in their containing tile)
+    lab = ccl_label(vol)
+    rule = {t: 0 for t in kernel}
+    for lb in range(1, lab.max() + 1):
+        _, ys, xs = np.nonzero(lab == lb)
+        n_total = len(ys)
+        for cy in range(2):
+            for cx in range(2):
+                y_in = ys // CHUNK == cy
+                x_in = xs // CHUNK == cx
+                n_core = int((y_in & x_in).sum())
+                if n_core == 0:
+                    continue
+                if 20 * n_core > 19 * n_total:
+                    keep = True
+                elif 20 * n_core < n_total:
+                    keep = False
+                elif (~y_in & ~x_in).any():
+                    keep = cy % 2 == 0 and cx % 2 == 0
+                elif (~x_in & y_in).any():
+                    keep = cx % 2 == 0
+                elif (~y_in & x_in).any():
+                    keep = cy % 2 == 0
+                else:
+                    keep = True
+                if keep:
+                    rule[(cy, cx)] += 1
+    assert kernel == rule
+
+
 @pytest.mark.parametrize("band_objects", [
     # hand-placed band-touchers around the (8|8) internal borders of a
     # 2x2 grid: (pixels) straddling y-border, x-border, and the corner
