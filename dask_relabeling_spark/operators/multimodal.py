@@ -2,12 +2,15 @@
 
 Media (image/audio/video) ride Spark as ``BinaryType`` columns next to a
 metadata struct; decode / feature-extract / resize / frame-sample are
-Arrow-batched ``mapInPandas`` stages.  The actual codecs (PIL/ffmpeg/...)
-are NOT available in this environment, so the decode step is a clearly
-marked stub: ``decode='fake'`` produces a deterministic synthetic decode
-(so the Spark-side plumbing — schema, batching, partitioning — is fully
-testable), ``decode='real'`` raises ``NotImplementedError`` where the codec
-call belongs.
+Arrow-batched ``mapInPandas`` stages.  Decode modes:
+
+* ``decode='fake'`` — deterministic synthetic decode from the payload
+  bytes (exercises schema, batching, partitioning end-to-end);
+* ``decode='real'`` — an ACTUAL decode for the formats a pure-NumPy
+  codec can handle: binary PGM/PPM payloads (``P5``/``P6`` magic)
+  decode for real via ``kernels/codecs.py``; any other magic raises
+  ``NotImplementedError`` at the clearly marked PIL/ffmpeg integration
+  point (those libraries are not available in this environment).
 
 Scale: payload bytes never leave the executor (no collect); per-batch
 memory is bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``; the
@@ -56,18 +59,42 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     )
 
 
+def documents_as_pgm_media(df: DataFrame, w: int = 16, h: int = 16
+                           ) -> DataFrame:
+    """Synthesize REAL binary PGM (``P5``) payloads from document text:
+    the raster is the text's bytes cycled to ``w*h`` after a standard
+    netpbm header — so ``decode='real'`` exercises an actual format
+    parse, while every raster byte stays SQL-replayable
+    (``ascii(substr(text, ((i-1) % len)+1, 1))``).  Header and raster
+    are concatenated JVM-side (one narrow projection, no Python)."""
+    n = w * h
+    cycled = F.expr(
+        f"substring(repeat(text, CAST(ceil({n} / length(text)) AS INT)),"
+        f" 1, {n})")
+    header = F.lit(f"P5\n{w} {h}\n255\n".encode())
+    return df.filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.concat(header, F.encode(cycled, "utf-8")).alias("payload"),
+        F.struct(F.lit(w).alias("width"), F.lit(h).alias("height"),
+                 F.lit(None).cast("int").alias("sample_rate"),
+                 F.lit(None).cast("int").alias("n_frames")).alias("meta"))
+
+
 def decode_and_featurize(df: DataFrame, decode: str = "fake",
                          feature_dim: int = 8) -> DataFrame:
     """Decode payloads and emit a fixed-width feature vector per item.
 
-    ``decode='real'`` is the integration point for PIL/torchaudio/ffmpeg —
-    deliberately unimplemented here.  ``decode='fake'`` derives the
-    "pixels" deterministically from the payload bytes, so every downstream
-    contract (schema, batch shape, feature arithmetic) is exercised for
-    real.
+    ``decode='real'`` decodes PGM/PPM payloads with the pure-NumPy
+    netpbm codec (feature arithmetic then runs on the true raster);
+    other formats raise at the PIL/torchaudio/ffmpeg integration
+    point.  ``decode='fake'`` derives the "pixels" deterministically
+    from the payload bytes, so every downstream contract (schema,
+    batch shape, feature arithmetic) is exercised for real.
     """
     if decode not in ("fake", "real"):
         raise ValueError(decode)
+    from ..kernels.codecs import decode_pnm
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,11 +102,15 @@ def decode_and_featurize(df: DataFrame, decode: str = "fake",
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"])
                 if decode == "real":
-                    raise NotImplementedError(
-                        "media codecs unavailable in this environment; "
-                        "plug PIL/ffmpeg decode here")
-                # deterministic fake decode: bytes -> uint8 "pixels"
-                px = np.frombuffer(payload, dtype=np.uint8)
+                    if payload[:2] not in (b"P5", b"P6"):
+                        raise NotImplementedError(
+                            "only PGM/PPM decode without external "
+                            "codecs; plug PIL/ffmpeg here for "
+                            f"{payload[:2]!r}")
+                    px = decode_pnm(payload).ravel()
+                else:
+                    # deterministic fake decode: bytes -> uint8 "pixels"
+                    px = np.frombuffer(payload, dtype=np.uint8)
                 if len(px) == 0:
                     px = np.zeros(1, dtype=np.uint8)
                 # bucket-mean feature: split pixels into feature_dim chunks
@@ -128,33 +159,49 @@ def resize_media(df: DataFrame, out_w: int = 16, out_h: int = 16,
     pipelines with the scan; output payloads are fixed-size so the
     downstream batch memory footprint is exactly predictable.
 
-    ``decode='real'`` is the PIL/cv2 integration point (unavailable
-    here); ``decode='fake'`` treats the payload as a row-major uint8
+    ``decode='real'`` decodes PGM/PPM payloads for real (pure-NumPy
+    netpbm codec), nearest-neighbor-resamples the true raster, and
+    re-encodes PGM/PPM; other magics raise at the PIL/cv2 integration
+    point.  ``decode='fake'`` treats the payload as a row-major uint8
     image of ``meta.width x meta.height`` (padded/truncated), resampled
     by nearest-neighbor index arithmetic — deterministic, so the
     contract is testable end-to-end.
     """
     if decode not in ("fake", "real"):
         raise ValueError(decode)
+    from ..kernels.codecs import decode_pnm, encode_pgm, encode_ppm
 
     def gen(batches):
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                if decode == "real":
-                    raise NotImplementedError(
-                        "plug PIL/cv2 resize here")
                 meta = row["meta"]
-                w = int(meta["width"] or 8)
-                h = int(meta["height"] or 8)
-                px = np.frombuffer(bytes(row["payload"]), dtype=np.uint8)
-                img = np.resize(px, (h, w))  # pad/cycle to declared dims
-                ys = (np.arange(out_h) * h) // out_h
-                xs = (np.arange(out_w) * w) // out_w
-                out = img[np.ix_(ys, xs)]
+                if decode == "real":
+                    payload = bytes(row["payload"])
+                    if payload[:2] not in (b"P5", b"P6"):
+                        raise NotImplementedError(
+                            "only PGM/PPM resize without external "
+                            "codecs; plug PIL/cv2 here for "
+                            f"{payload[:2]!r}")
+                    img = decode_pnm(payload)
+                    h, w = img.shape[:2]
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    out = img[np.ix_(ys, xs)]
+                    out_payload = (encode_pgm(out) if out.ndim == 2
+                                   else encode_ppm(out))
+                else:
+                    w = int(meta["width"] or 8)
+                    h = int(meta["height"] or 8)
+                    px = np.frombuffer(bytes(row["payload"]),
+                                       dtype=np.uint8)
+                    img = np.resize(px, (h, w))  # pad/cycle to dims
+                    ys = (np.arange(out_h) * h) // out_h
+                    xs = (np.arange(out_w) * w) // out_w
+                    out_payload = img[np.ix_(ys, xs)].tobytes()
                 recs.append({
                     "media_id": int(row["media_id"]), "kind": row["kind"],
-                    "payload": out.tobytes(),
+                    "payload": out_payload,
                     "meta": {"width": out_w, "height": out_h,
                              "sample_rate": meta["sample_rate"],
                              "n_frames": meta["n_frames"]}})

@@ -429,6 +429,51 @@ def multimodal_metadata(spark, sf_dir):
               .withColumn("height", F.col("height").cast("int"))
 
 
+_PGM_W = _PGM_H = 16
+_PGM_HEADER_LEN = len(f"P5\n{_PGM_W} {_PGM_H}\n255\n".encode())
+
+
+@register("multimodal_pgm_decode", f"""
+WITH d AS (SELECT doc_id AS media_id, text, length(text) AS L
+           FROM documents WHERE length(text) > 0),
+px AS (SELECT media_id,
+              list_transform(generate_series(1, {_PGM_W * _PGM_H // 8}),
+                i -> ascii(substr(text,
+                                  CAST(((i - 1) % L) + 1 AS INT), 1)))
+              AS p
+       FROM d)
+SELECT media_id,
+       CAST({_PGM_HEADER_LEN + _PGM_W * _PGM_H} AS INT) AS n_bytes,
+       round(round_even(list_sum(p) / {_PGM_W * _PGM_H // 8}.0, 6), 6)
+         AS f0
+FROM px
+""")
+def multimodal_pgm_decode(spark, sf_dir):
+    """The multimodal ``decode='real'`` path, exercised with an ACTUAL
+    image format: binary PGM payloads are synthesized JVM-side from
+    document bytes (netpbm header + text bytes cycled to a 16x16
+    raster, operators/multimodal.py::documents_as_pgm_media), then
+    decoded FOR REAL by the pure-NumPy netpbm codec
+    (kernels/codecs.py::decode_pnm — header tokenizer, comment
+    handling, raster length validation) before the same bucket-mean
+    featurization as ``multimodal_features``.  The oracle replays the
+    cycled raster bytes with ``ascii(substr(...))`` (valid on the
+    pure-ASCII corpus — the ``test_multimodal`` guard) and the chunk
+    mean with ``round_even``; a header mis-parse, off-by-one in the
+    raster offset, or a dropped/duplicated pixel shifts f0 or n_bytes
+    and breaks the hash.  Formats needing external codecs (JPEG/PNG/
+    video) remain documented NotImplementedError integration points."""
+    from ..operators.multimodal import (decode_and_featurize,
+                                        documents_as_pgm_media)
+    media = documents_as_pgm_media(t(spark, sf_dir, "documents"),
+                                   w=_PGM_W, h=_PGM_H)
+    feats = decode_and_featurize(media, decode="real")
+    return feats.select("media_id", "n_bytes",
+                        F.round(F.element_at("feature", 1), 6)
+                        .alias("f0"))
+
+
+
 @register("multimodal_features", """
 WITH d AS (SELECT doc_id AS media_id, text,
                   octet_length(encode(text)) AS n FROM documents),

@@ -99,3 +99,73 @@ def test_corpus_pure_ascii_for_fake_decode_oracle(spark):
         bad = d.filter(F.octet_length(F.encode("text", "utf-8"))
                        != F.length("text")).count()
         assert bad == 0, f"non-ASCII text in {sf}"
+
+
+def test_pnm_codec_roundtrip():
+    """encode -> decode is identity for PGM and PPM, including a header
+    comment and a non-square raster."""
+    import numpy as np
+    from dask_relabeling_spark.kernels.codecs import (decode_pnm,
+                                                      encode_pgm,
+                                                      encode_ppm)
+    g = (np.arange(6 * 4, dtype=np.uint8).reshape(6, 4) * 7) % 256
+    assert (decode_pnm(encode_pgm(g)) == g).all()
+    c = (np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3) * 11) % 256
+    assert (decode_pnm(encode_ppm(c)) == c).all()
+    # netpbm comments anywhere in the header
+    commented = b"P5\n# a comment\n4 2\n# another\n255\n" + bytes(8)
+    assert decode_pnm(commented).shape == (2, 4)
+
+
+def test_pnm_codec_rejects_garbage():
+    import pytest as _pytest
+    from dask_relabeling_spark.kernels.codecs import decode_pnm
+    with _pytest.raises(ValueError):
+        decode_pnm(b"JFIF....")            # wrong magic
+    with _pytest.raises(ValueError):
+        decode_pnm(b"P5\n4 2\n255\n" + bytes(3))   # truncated raster
+
+
+def test_real_decode_pgm_payloads(spark):
+    """decode='real' actually parses the synthesized PGM payloads:
+    n_bytes includes the header, and the feature arithmetic runs on
+    the decoded raster (byte-checkable against the source text)."""
+    import numpy as np
+    from dask_relabeling_spark.operators.multimodal import (
+        decode_and_featurize, documents_as_pgm_media)
+    docs = t(spark, SF_DIR, "documents").limit(3)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    media = documents_as_pgm_media(docs)
+    feats = {r["media_id"]: r for r in
+             decode_and_featurize(media, decode="real").collect()}
+    for mid, text in src.items():
+        row = feats[mid]
+        assert row["n_bytes"] == 13 + 256
+        raster = np.frombuffer(
+            (text.encode() * (256 // len(text) + 1))[:256], np.uint8)
+        expect = float(np.round(raster[:32].astype(float).mean(), 6))
+        assert row["feature"][0] == expect
+
+
+def test_real_resize_pgm_roundtrip(spark):
+    """resize decode='real': decode PGM -> nearest-neighbor resample ->
+    re-encode PGM; the output payload decodes to the expected pixels."""
+    import numpy as np
+    from dask_relabeling_spark.kernels.codecs import decode_pnm
+    from dask_relabeling_spark.operators.multimodal import (
+        documents_as_pgm_media, resize_media)
+    docs = t(spark, SF_DIR, "documents").limit(2)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    media = documents_as_pgm_media(docs)
+    out = {r["media_id"]: r for r in
+           resize_media(media, out_w=4, out_h=4,
+                        decode="real").collect()}
+    for mid, text in src.items():
+        img = np.frombuffer(
+            (text.encode() * (256 // len(text) + 1))[:256],
+            np.uint8).reshape(16, 16)
+        ys = (np.arange(4) * 16) // 4
+        xs = (np.arange(4) * 16) // 4
+        got = decode_pnm(bytes(out[mid]["payload"]))
+        assert (got == img[np.ix_(ys, xs)]).all()
+        assert out[mid]["meta"]["width"] == 4
