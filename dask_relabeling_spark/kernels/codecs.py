@@ -65,6 +65,59 @@ def _header_tokens(payload: bytes, n_tokens: int) -> Tuple[list, int]:
     return toks, i + 1
 
 
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int = 8000
+                     ) -> bytes:
+    """Encode a 1-D int16 array as a mono PCM-16 WAV (RIFF) file."""
+    if samples.ndim != 1:
+        raise ValueError(f"mono PCM wants 1-D samples, got {samples.shape}")
+    data = np.ascontiguousarray(samples, dtype="<i2").tobytes()
+    n = len(data)
+
+    def le32(v: int) -> bytes:
+        return v.to_bytes(4, "little")
+
+    def le16(v: int) -> bytes:
+        return v.to_bytes(2, "little")
+
+    return (b"RIFF" + le32(36 + n) + b"WAVE"
+            + b"fmt " + le32(16) + le16(1) + le16(1)      # PCM, mono
+            + le32(sample_rate) + le32(sample_rate * 2)   # byte rate
+            + le16(2) + le16(16)                          # align, bits
+            + b"data" + le32(n) + data)
+
+
+def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
+    """Decode a mono PCM-16 WAV: walk the RIFF chunk list (unknown
+    chunks are skipped, as the format allows), validate the fmt chunk,
+    and return (int16 samples, sample_rate).  Raises ValueError for
+    non-RIFF/WAVE payloads or non-PCM16-mono encodings (compressed
+    audio belongs at the external-codec integration point)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload: {payload[:4]!r}")
+    i, n = 12, len(payload)
+    fmt = data = None
+    while i + 8 <= n:
+        cid = payload[i:i + 4]
+        size = int.from_bytes(payload[i + 4:i + 8], "little")
+        body = payload[i + 8:i + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)          # chunks are 2-byte aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if (audio_format, channels, bits) != (1, 1, 16):
+        raise ValueError(
+            f"only PCM-16 mono decodes here (got format={audio_format}, "
+            f"channels={channels}, bits={bits})")
+    return np.frombuffer(data, dtype="<i2"), sample_rate
+
+
 def decode_pnm(payload: bytes) -> np.ndarray:
     """Decode binary PGM/PPM bytes: (h, w) uint8 for ``P5``,
     (h, w, 3) uint8 for ``P6``.  Raises ValueError on anything else —

@@ -81,6 +81,32 @@ def documents_as_pgm_media(df: DataFrame, w: int = 16, h: int = 16
                  F.lit(None).cast("int").alias("n_frames")).alias("meta"))
 
 
+def documents_as_wav_media(df: DataFrame, n_samples: int = 128,
+                           sample_rate: int = 8000) -> DataFrame:
+    """Synthesize REAL mono PCM-16 WAV payloads from document text:
+    the data chunk is the text's bytes cycled to ``2*n_samples``
+    (little-endian int16 sample i = byte(2i) + 256*byte(2i+1), signed)
+    after a standard 44-byte RIFF header — ``decode='real'`` exercises
+    an actual RIFF chunk walk while every sample stays SQL-replayable.
+    Header and data are concatenated JVM-side (narrow projection)."""
+    from ..kernels.codecs import encode_wav_pcm16
+    n = 2 * n_samples
+    # fixed data length -> the whole header is one constant byte string
+    header = encode_wav_pcm16(np.zeros(n_samples, dtype=np.int16),
+                              sample_rate)[:44]
+    cycled = F.expr(
+        f"substring(repeat(text, CAST(ceil({n} / length(text)) AS INT)),"
+        f" 1, {n})")
+    return df.filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.concat(F.lit(header), F.encode(cycled, "utf-8")).alias("payload"),
+        F.struct(F.lit(None).cast("int").alias("width"),
+                 F.lit(None).cast("int").alias("height"),
+                 F.lit(sample_rate).alias("sample_rate"),
+                 F.lit(None).cast("int").alias("n_frames")).alias("meta"))
+
+
 def decode_and_featurize(df: DataFrame, decode: str = "fake",
                          feature_dim: int = 8) -> DataFrame:
     """Decode payloads and emit a fixed-width feature vector per item.
@@ -94,7 +120,7 @@ def decode_and_featurize(df: DataFrame, decode: str = "fake",
     """
     if decode not in ("fake", "real"):
         raise ValueError(decode)
-    from ..kernels.codecs import decode_pnm
+    from ..kernels.codecs import decode_pnm, decode_wav
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,12 +128,15 @@ def decode_and_featurize(df: DataFrame, decode: str = "fake",
             for _, row in pdf.iterrows():
                 payload = bytes(row["payload"])
                 if decode == "real":
-                    if payload[:2] not in (b"P5", b"P6"):
+                    if payload[:2] in (b"P5", b"P6"):
+                        px = decode_pnm(payload).ravel()
+                    elif payload[:4] == b"RIFF":
+                        px = decode_wav(payload)[0]
+                    else:
                         raise NotImplementedError(
-                            "only PGM/PPM decode without external "
-                            "codecs; plug PIL/ffmpeg here for "
-                            f"{payload[:2]!r}")
-                    px = decode_pnm(payload).ravel()
+                            "only PGM/PPM/PCM-WAV decode without "
+                            "external codecs; plug PIL/ffmpeg here for "
+                            f"{payload[:4]!r}")
                 else:
                     # deterministic fake decode: bytes -> uint8 "pixels"
                     px = np.frombuffer(payload, dtype=np.uint8)

@@ -429,6 +429,49 @@ def multimodal_metadata(spark, sf_dir):
               .withColumn("height", F.col("height").cast("int"))
 
 
+_WAV_N = 128      # mono PCM-16 samples per synthesized payload
+
+
+@register("multimodal_wav_decode", f"""
+WITH d AS (SELECT doc_id AS media_id, text, length(text) AS L
+           FROM documents WHERE length(text) > 0),
+sm AS (SELECT media_id,
+              list_transform(
+                list_transform(generate_series(1, {_WAV_N // 8}),
+                  i -> ascii(substr(text,
+                               CAST(((2*i - 2) % L) + 1 AS INT), 1))
+                       + 256 * ascii(substr(text,
+                               CAST(((2*i - 1) % L) + 1 AS INT), 1))),
+                v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)
+              AS s
+       FROM d)
+SELECT media_id, CAST({44 + 2 * _WAV_N} AS INT) AS n_bytes,
+       round(round_even(list_sum(s) / {_WAV_N // 8}.0, 6), 6) AS f0
+FROM sm
+""")
+def multimodal_wav_decode(spark, sf_dir):
+    """The audio modality's ``decode='real'`` hash row, symmetric to
+    ``multimodal_pgm_decode``: mono PCM-16 WAV payloads synthesized
+    JVM-side (44-byte RIFF header + text bytes cycled into 128
+    little-endian int16 samples), decoded FOR REAL by the pure-NumPy
+    RIFF chunk walker (kernels/codecs.py::decode_wav — chunk
+    traversal, fmt validation, PCM-16-mono check), then the shared
+    bucket-mean featurization runs on the true samples.  The oracle
+    reconstructs each sample as lo + 256*hi from the cycled text bytes
+    (signed fold included for fidelity; ASCII bytes never set the sign
+    bit) — a header mis-walk, endianness flip, or sample off-by-one
+    shifts f0/n_bytes and breaks the hash.  Compressed audio remains a
+    documented external-codec integration point."""
+    from ..operators.multimodal import (decode_and_featurize,
+                                        documents_as_wav_media)
+    media = documents_as_wav_media(t(spark, sf_dir, "documents"),
+                                   n_samples=_WAV_N)
+    feats = decode_and_featurize(media, decode="real")
+    return feats.select("media_id", "n_bytes",
+                        F.round(F.element_at("feature", 1), 6)
+                        .alias("f0"))
+
+
 _PGM_W = _PGM_H = 16
 _PGM_HEADER_LEN = len(f"P5\n{_PGM_W} {_PGM_H}\n255\n".encode())
 

@@ -169,3 +169,54 @@ def test_real_resize_pgm_roundtrip(spark):
         got = decode_pnm(bytes(out[mid]["payload"]))
         assert (got == img[np.ix_(ys, xs)]).all()
         assert out[mid]["meta"]["width"] == 4
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    """encode -> decode is identity; unknown chunks (with odd-size
+    padding, per RIFF) are skipped during the walk."""
+    import numpy as np
+    from dask_relabeling_spark.kernels.codecs import (decode_wav,
+                                                      encode_wav_pcm16)
+    s = (np.arange(100, dtype=np.int64) * 997 - 40000).astype(np.int16)
+    payload = encode_wav_pcm16(s, sample_rate=16000)
+    got, rate = decode_wav(payload)
+    assert rate == 16000 and (got == s).all()
+    # inject an unknown odd-sized chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    spliced = payload[:fmt_end] + junk + payload[fmt_end:]
+    got2, _ = decode_wav(spliced)
+    assert (got2 == s).all()
+
+
+def test_wav_codec_rejects_non_pcm16_mono():
+    import pytest as _pytest
+    import numpy as np
+    from dask_relabeling_spark.kernels.codecs import (decode_wav,
+                                                      encode_wav_pcm16)
+    with _pytest.raises(ValueError):
+        decode_wav(b"OggS....")
+    payload = bytearray(encode_wav_pcm16(np.zeros(4, np.int16)))
+    payload[22] = 2                       # channels = 2
+    with _pytest.raises(ValueError):
+        decode_wav(bytes(payload))
+
+
+def test_real_decode_wav_payloads(spark):
+    """decode='real' walks the RIFF chunks of the synthesized WAVs and
+    features run on the true int16 samples."""
+    import numpy as np
+    from dask_relabeling_spark.operators.multimodal import (
+        decode_and_featurize, documents_as_wav_media)
+    docs = t(spark, SF_DIR, "documents").limit(3)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    media = documents_as_wav_media(docs)
+    feats = {r["media_id"]: r for r in
+             decode_and_featurize(media, decode="real").collect()}
+    for mid, text in src.items():
+        row = feats[mid]
+        assert row["n_bytes"] == 44 + 256
+        raw = (text.encode() * (256 // len(text) + 1))[:256]
+        samples = np.frombuffer(raw, "<i2")
+        expect = float(np.round(samples[:16].astype(float).mean(), 6))
+        assert row["feature"][0] == expect
