@@ -118,6 +118,71 @@ def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
     return np.frombuffer(data, dtype="<i2"), sample_rate
 
 
+def encode_y4m_mono(frames: np.ndarray, fps: Tuple[int, int] = (25, 1)
+                    ) -> bytes:
+    """Encode (n_frames, h, w) uint8 as a YUV4MPEG2 stream (Cmono —
+    one luma plane per frame, no chroma)."""
+    if frames.ndim != 3:
+        raise ValueError(f"want (n, h, w), got {frames.shape}")
+    n, h, w = frames.shape
+    header = (f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 "
+              "Cmono\n").encode()
+    body = b"".join(
+        b"FRAME\n" + np.ascontiguousarray(f, dtype=np.uint8).tobytes()
+        for f in frames)
+    return header + body
+
+
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """Decode a YUV4MPEG2 stream into (n_frames, h, w[, 3]) uint8.
+    Supports ``Cmono`` (1 plane) and ``C444`` (3 full planes); the
+    subsampled chroma modes belong at the external-codec integration
+    point.  Per-frame parameter tags (``FRAME`` extensions) are
+    accepted and ignored."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError(f"not a YUV4MPEG2 payload: {payload[:9]!r}")
+    nl = payload.index(b"\n")
+    w = h = None
+    colorspace = "C420"  # the spec default; unsupported -> raises below
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t.startswith("W"):
+            w = int(t[1:])
+        elif t.startswith("H"):
+            h = int(t[1:])
+        elif t.startswith("C"):
+            colorspace = t
+    if w is None or h is None:
+        raise ValueError("missing W/H in YUV4MPEG2 header")
+    if colorspace == "Cmono":
+        planes = 1
+    elif colorspace == "C444":
+        planes = 3
+    else:
+        raise ValueError(
+            f"only Cmono/C444 decode here (got {colorspace}); plug "
+            "ffmpeg for subsampled chroma")
+    fsize = w * h * planes
+    frames = []
+    i = nl + 1
+    n = len(payload)
+    while i < n:
+        if payload[i:i + 5] != b"FRAME":
+            raise ValueError("corrupt frame marker")
+        i = payload.index(b"\n", i) + 1      # skip frame params
+        raw = np.frombuffer(payload, dtype=np.uint8, count=fsize,
+                            offset=i)
+        frames.append(raw.reshape((h, w) if planes == 1
+                                  else (planes, h, w)))
+        i += fsize
+    out = np.stack(frames) if frames else \
+        np.zeros((0, h, w) if planes == 1 else (0, planes, h, w),
+                 dtype=np.uint8)
+    if planes == 3:
+        out = np.moveaxis(out, 1, -1)        # (n, h, w, 3)
+    return out
+
+
 def decode_pnm(payload: bytes) -> np.ndarray:
     """Decode binary PGM/PPM bytes: (h, w) uint8 for ``P5``,
     (h, w, 3) uint8 for ``P6``.  Raises ValueError on anything else —

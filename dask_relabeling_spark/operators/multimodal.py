@@ -107,6 +107,34 @@ def documents_as_wav_media(df: DataFrame, n_samples: int = 128,
                  F.lit(None).cast("int").alias("n_frames")).alias("meta"))
 
 
+def documents_as_y4m_media(df: DataFrame, w: int = 16, h: int = 16,
+                           n_frames: int = 8) -> DataFrame:
+    """Synthesize REAL YUV4MPEG2 (Cmono) payloads from document text:
+    frame ``fi``'s luma plane is bytes ``fi*w*h .. (fi+1)*w*h`` of the
+    text cycled to ``n_frames*w*h`` — so ``decode='real'`` exercises an
+    actual multi-frame container parse while every frame byte stays
+    SQL-replayable.  Built JVM-side as one concat (header + FRAME
+    markers + raster slices), no Python."""
+    fsz = w * h
+    total = n_frames * fsz
+    header = F.lit(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode())
+    cycled = F.expr(
+        f"substring(repeat(text, CAST(ceil({total} / length(text)) "
+        f"AS INT)), 1, {total})")
+    parts = [header]
+    for fi in range(n_frames):
+        parts.append(F.lit(b"FRAME\n"))
+        parts.append(F.encode(
+            F.substring(cycled, fi * fsz + 1, fsz), "utf-8"))
+    return df.filter(F.length("text") > 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.concat(*parts).alias("payload"),
+        F.struct(F.lit(w).alias("width"), F.lit(h).alias("height"),
+                 F.lit(None).cast("int").alias("sample_rate"),
+                 F.lit(n_frames).alias("n_frames")).alias("meta"))
+
+
 def decode_and_featurize(df: DataFrame, decode: str = "fake",
                          feature_dim: int = 8) -> DataFrame:
     """Decode payloads and emit a fixed-width feature vector per item.
@@ -247,21 +275,34 @@ def sample_frames(df: DataFrame, every_k: int = 4,
     video pipeline — per-item output count is n_frames/k, payload bytes
     stay executor-side throughout.
 
-    ``decode='real'`` is the ffmpeg/pyav integration point; the fake
-    substrate splits the payload into ``meta.n_frames`` equal byte
-    slices (last frame keeps the remainder).
+    ``decode='real'`` parses YUV4MPEG2 payloads with the pure-NumPy
+    Y4M codec — frames come from ACTUAL container frame boundaries,
+    and ``meta.n_frames`` is ignored in favor of the container's own
+    count; other magics raise at the ffmpeg/pyav integration point.
+    The fake substrate splits the payload into ``meta.n_frames`` equal
+    byte slices (last frame keeps the remainder).
     """
     if decode not in ("fake", "real"):
         raise ValueError(decode)
+    from ..kernels.codecs import decode_y4m
 
     def gen(batches):
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                if decode == "real":
-                    raise NotImplementedError(
-                        "plug ffmpeg/pyav frame extraction here")
                 payload = bytes(row["payload"])
+                if decode == "real":
+                    if not payload.startswith(b"YUV4MPEG2"):
+                        raise NotImplementedError(
+                            "only YUV4MPEG2 frame extraction without "
+                            "external codecs; plug ffmpeg/pyav here "
+                            f"for {payload[:4]!r}")
+                    frames = decode_y4m(payload)
+                    for fi in range(0, len(frames), every_k):
+                        recs.append({"media_id": int(row["media_id"]),
+                                     "frame_idx": fi,
+                                     "frame": frames[fi].tobytes()})
+                    continue
                 n = int(row["meta"]["n_frames"] or 1)
                 n = max(n, 1)
                 step = max(len(payload) // n, 1)

@@ -429,6 +429,54 @@ def multimodal_metadata(spark, sf_dir):
               .withColumn("height", F.col("height").cast("int"))
 
 
+_Y4M_FSZ = 16 * 16   # luma bytes per synthesized Cmono frame
+_Y4M_NF = 8          # frames per payload; every_k=4 keeps fi in {0, 4}
+
+
+@register("multimodal_y4m_frames", f"""
+WITH d AS (SELECT doc_id AS media_id, text, length(text) AS L
+           FROM documents WHERE length(text) > 0),
+f AS (SELECT media_id, fi FROM d, unnest([0, 4]) AS u(fi)),
+s AS (SELECT f.media_id, f.fi,
+             list_sum(list_transform(generate_series(1, {_Y4M_FSZ}),
+               j -> ascii(substr(d.text,
+                      CAST(((f.fi * {_Y4M_FSZ} + j - 1) % d.L) + 1
+                           AS INT), 1)))) AS f_sum
+      FROM f JOIN d ON d.media_id = f.media_id)
+SELECT media_id, CAST(fi AS INT) AS frame_idx,
+       CAST({_Y4M_FSZ} AS INT) AS n_bytes,
+       CAST(f_sum AS BIGINT) AS f_sum
+FROM s
+""")
+def multimodal_y4m_frames(spark, sf_dir):
+    """The video modality's ``decode='real'`` hash row, completing the
+    image/audio/video triple: YUV4MPEG2 (Cmono) payloads synthesized
+    JVM-side (plain-text stream header + FRAME markers + text bytes
+    cycled into 8 luma planes), parsed FOR REAL by the pure-NumPy Y4M
+    codec (kernels/codecs.py::decode_y4m — header tokens, per-frame
+    marker walk, plane validation), then every 4th frame sampled at
+    ACTUAL container frame boundaries (operators/multimodal.py::
+    sample_frames(decode='real')).  Each kept frame is reduced to an
+    exact byte sum JVM-side; the oracle re-derives the same sums from
+    the cycled text bytes, so a mis-walked FRAME marker, wrong frame
+    size, or off-by-one frame boundary shifts f_sum and breaks the
+    hash.  Subsampled-chroma/compressed video remains a documented
+    external-codec integration point."""
+    from ..operators.multimodal import (documents_as_y4m_media,
+                                        sample_frames)
+    media = documents_as_y4m_media(t(spark, sf_dir, "documents"),
+                                   w=16, h=16, n_frames=_Y4M_NF)
+    frames = sample_frames(media, every_k=4, decode="real")
+    return (frames
+            .select("media_id", "frame_idx",
+                    F.decode("frame", "utf-8").alias("fs"))
+            .select("media_id", "frame_idx",
+                    F.length("fs").cast("int").alias("n_bytes"),
+                    F.expr("aggregate(transform(sequence(1, length(fs)),"
+                           " i -> ascii(substr(fs, i, 1))), 0L,"
+                           " (a, x) -> a + x)").alias("f_sum")))
+
+
 _WAV_N = 128      # mono PCM-16 samples per synthesized payload
 
 

@@ -220,3 +220,46 @@ def test_real_decode_wav_payloads(spark):
         samples = np.frombuffer(raw, "<i2")
         expect = float(np.round(samples[:16].astype(float).mean(), 6))
         assert row["feature"][0] == expect
+
+
+def test_y4m_codec_roundtrip_and_variants():
+    """encode -> decode identity for Cmono; C444 reshapes to
+    (n, h, w, 3); frame parameter tags are ignored; subsampled chroma
+    rejects."""
+    import numpy as np
+    import pytest as _pytest
+    from dask_relabeling_spark.kernels.codecs import (decode_y4m,
+                                                      encode_y4m_mono)
+    fr = (np.arange(3 * 4 * 5, dtype=np.int64) * 13 % 256) \
+        .astype(np.uint8).reshape(3, 4, 5)
+    assert (decode_y4m(encode_y4m_mono(fr)) == fr).all()
+    # frame parameter tags after the FRAME marker are legal and skipped
+    tagged = encode_y4m_mono(fr).replace(b"FRAME\n", b"FRAME Xtag\n", 1)
+    assert (decode_y4m(tagged) == fr).all()
+    # C444: 3 full planes -> (n, h, w, 3)
+    hdr = b"YUV4MPEG2 W2 H2 F25:1 C444\n"
+    body = b"FRAME\n" + bytes(range(12))
+    got = decode_y4m(hdr + body)
+    assert got.shape == (1, 2, 2, 3)
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + bytes(6))
+
+
+def test_real_sample_frames_y4m(spark):
+    """sample_frames decode='real' walks actual container frame
+    boundaries: kept frames are the exact luma planes of the
+    synthesized stream."""
+    from dask_relabeling_spark.operators.multimodal import (
+        documents_as_y4m_media, sample_frames)
+    docs = t(spark, SF_DIR, "documents").limit(2)
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    media = documents_as_y4m_media(docs, w=16, h=16, n_frames=8)
+    out = {}
+    for r in sample_frames(media, every_k=4, decode="real").collect():
+        out.setdefault(r["media_id"], {})[r["frame_idx"]] = \
+            bytes(r["frame"])
+    for mid, text in src.items():
+        cycled = (text.encode() * (2048 // len(text) + 1))[:2048]
+        assert set(out[mid]) == {0, 4}
+        for fi in (0, 4):
+            assert out[mid][fi] == cycled[fi * 256:(fi + 1) * 256]
