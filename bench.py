@@ -55,6 +55,8 @@ HEADLINE = [
                                 # measured time = index BUILD + query — the
                                 # query alone reads only probed (id, code))
     "dedup_segment_then_prefix",  # boilerplate-aware PPJoin (round 5)
+    "multimodal_y4m_frames",    # real-codec multimodal representative
+                                # (round 5: pure-NumPy Y4M frame walk)
 ]
 
 
