@@ -46,7 +46,8 @@ def _prune_oversize(mask: np.ndarray) -> np.ndarray:
     return out
 
 
-def _kernel_counts(mask: np.ndarray, grid) -> dict:
+def _kernel_counts(mask: np.ndarray, grid, chunk=CHUNK,
+                   ov=OV) -> dict:
     """Per-tile surviving-label counts from the REAL pipeline kernels:
     expanded view -> view CCL -> remove (checkerboard dedup); labels
     with >= 2 pixels survive annotation (the '< 2 contour points'
@@ -56,18 +57,19 @@ def _kernel_counts(mask: np.ndarray, grid) -> dict:
     for cy in range(gy):
         for cx in range(gx):
             (lo_y, hi_y), (lo_x, hi_x) = halo_widths(
-                (cy, cx), grid, (OV, OV))
-            view = mask[cy * CHUNK - lo_y: (cy + 1) * CHUNK + hi_y,
-                        cx * CHUNK - lo_x: (cx + 1) * CHUNK + hi_x]
+                (cy, cx), grid, (ov, ov))
+            view = mask[cy * chunk - lo_y: (cy + 1) * chunk + hi_y,
+                        cx * chunk - lo_x: (cx + 1) * chunk + hi_x]
             removed = remove_overlapped_objects(
-                ccl_label(view), (OV, OV), THRESH, (cy, cx), grid)
+                ccl_label(view), (ov, ov), THRESH, (cy, cx), grid)
             kept, n = np.unique(removed[removed != 0],
                                 return_counts=True)
             counts[(cy, cx)] = int((n >= 2).sum())
     return counts
 
 
-def _oracle_counts(mask: np.ndarray, grid) -> dict:
+def _oracle_counts(mask: np.ndarray, grid, chunk=CHUNK,
+                   ov=OV) -> dict:
     """The SQL rule, re-expressed in numpy from GLOBAL CCL."""
     gy, gx = grid
     lab = ccl_label(mask)
@@ -80,13 +82,13 @@ def _oracle_counts(mask: np.ndarray, grid) -> dict:
         for cy in range(gy):
             for cx in range(gx):
                 (lo_y, hi_y), (lo_x, hi_x) = halo_widths(
-                    (cy, cx), grid, (OV, OV))
-                in_view = ((ys >= cy * CHUNK - lo_y)
-                           & (ys < (cy + 1) * CHUNK + hi_y)
-                           & (xs >= cx * CHUNK - lo_x)
-                           & (xs < (cx + 1) * CHUNK + hi_x))
-                y_in = ys // CHUNK == cy
-                x_in = xs // CHUNK == cx
+                    (cy, cx), grid, (ov, ov))
+                in_view = ((ys >= cy * chunk - lo_y)
+                           & (ys < (cy + 1) * chunk + hi_y)
+                           & (xs >= cx * chunk - lo_x)
+                           & (xs < (cx + 1) * chunk + hi_x))
+                y_in = ys // chunk == cy
+                x_in = xs // chunk == cx
                 n_core = int((y_in & x_in).sum())
                 if not in_view.any() or n_core == 0:
                     continue
@@ -200,3 +202,42 @@ def test_ownership_rule_band_cases(band_objects):
         for y, x in obj:
             mask[y, x] = 1
     assert _kernel_counts(mask, grid) == _oracle_counts(mask, grid)
+
+
+def test_ownership_drop3_branch_large_halo():
+    """The sub-threshold drop branch (20*n_core < n_total: a tile that
+    holds a core sliver of a big component drops it outright, no
+    parity claim can resurrect it) needs components > 20 px — only
+    reachable with a larger halo.  CHUNK=24, OV=12: a 24-px bar lying
+    along the border with exactly 1 px in the odd tile exercises
+    drop3 there; the even tile keeps via keep3 (23/24 > 0.95).  A
+    44-px block split 22/22 exercises the pure-parity split at the
+    same geometry.  Kernel and rule must agree tile for tile."""
+    chunk, ov, grid = 24, 12, (2, 2)
+    mask = np.zeros((48, 48), dtype=np.int64)
+    # L-shape, 25 px, bbox 7x6 <= ov (the sufficient contract): a 4x6
+    # block at y 8..11, x 18..23 (24 px, all in x-tile 0) plus one
+    # protruding pixel at (8, 24) in x-tile 1 -> tile 1 holds a 1-px
+    # core sliver of a 25-px component: 20*1 < 25 -> drop3 there,
+    # while tile 0 keeps via keep3 (20*24 > 19*25).
+    mask[8:12, 18:24] = 1
+    mask[8, 24] = 1
+    # 24-px block split 12/12 across the x border (bbox_x = 12 <= ov):
+    # the pure-parity split at the same geometry
+    mask[30:32, 18:30] = 1
+    k = _kernel_counts(mask, grid, chunk=chunk, ov=ov)
+    r = _oracle_counts(mask, grid, chunk=chunk, ov=ov)
+    assert k == r
+    # and the branch really fired: verify via the rule's own scoring
+    lab = ccl_label(mask)
+    fired = False
+    for lb in range(1, lab.max() + 1):
+        ys, xs = np.nonzero(lab == lb)
+        n_total = len(ys)
+        for cy in range(2):
+            for cx in range(2):
+                n_core = int(((ys // chunk == cy)
+                              & (xs // chunk == cx)).sum())
+                if n_core >= 1 and 20 * n_core < n_total:
+                    fired = True
+    assert fired, "geometry failed to exercise drop3"
