@@ -1,0 +1,60 @@
+"""The registry's evidence-rotation fold is generated, not hand-kept.
+
+The driver checks the first ~50 registry entries each round, so the
+ordering IS the evidence-refresh policy.  These tests pin the fold's
+contract against the committed CORRECTNESS_r0*.json artifacts so a
+future round cannot silently regress into replaying fresh evidence
+while stale entries starve (the round-6 failure mode).
+"""
+import pytest
+
+from dask_relabeling_spark.plans import (  # noqa: F401
+    REGISTRY, _CHANGED_THIS_ROUND, _latest_green,
+)
+
+BUDGET = 50  # the driver's per-round correctness budget
+
+
+def test_latest_green_folds_driver_artifacts():
+    latest = _latest_green()
+    # Every committed round contributes; the fold must know at least
+    # the round-1..6 artifacts that are in the repo today.
+    assert latest, "no CORRECTNESS artifacts folded"
+    assert max(latest.values()) >= 6
+    # Only registry-known names matter for ordering, but the fold must
+    # cover the overwhelming majority of the registry (the driver has
+    # checked every entry at least once by round 6).
+    known = set(latest) & set(REGISTRY)
+    assert len(known) >= 0.9 * len(REGISTRY)
+
+
+def test_rotation_is_stalest_first():
+    latest = _latest_green()
+    names = list(REGISTRY)
+    head = [n for n in _CHANGED_THIS_ROUND if n in REGISTRY]
+    head += [n for n in names if n not in head and n not in latest]
+    head += [n for n in ["relabel_components_summary"] if n not in head]
+    tail = [n for n in names if n not in head]
+    # The tail must be ordered by non-decreasing latest-green round.
+    rounds = [latest[n] for n in tail]
+    assert rounds == sorted(rounds), (
+        "registry tail is not stalest-first: %r" % list(zip(tail, rounds))[:10]
+    )
+    # And the head (changed + new + flagship) must come first verbatim.
+    assert names[: len(head)] == head
+
+
+def test_stalest_entries_fit_driver_budget():
+    """Every entry tied for the stalest evidence lands inside the
+    driver's budget (unless there are more such entries than budget)."""
+    latest = _latest_green()
+    tail = {n: r for n, r in latest.items() if n in REGISTRY}
+    if not tail:
+        pytest.skip("no folded evidence")
+    stalest_round = min(tail.values())
+    stalest = [n for n, r in tail.items() if r == stalest_round]
+    top = set(list(REGISTRY)[:BUDGET])
+    missing = [n for n in stalest if n not in top]
+    assert len(stalest) > BUDGET or not missing, (
+        "stalest entries starved by the rotation: %r" % missing
+    )
