@@ -153,8 +153,9 @@ def decode_and_featurize(df: DataFrame, decode: str = "fake",
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
+            for media_id, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                payload = bytes(payload)
                 if decode == "real":
                     if payload[:2] in (b"P5", b"P6"):
                         px = decode_pnm(payload).ravel()
@@ -174,8 +175,8 @@ def decode_and_featurize(df: DataFrame, decode: str = "fake",
                 chunks = np.array_split(px.astype(np.float64), feature_dim)
                 feat = [float(np.round(c.mean(), 6)) if len(c) else 0.0
                         for c in chunks]
-                recs.append({"media_id": int(row["media_id"]),
-                             "kind": row["kind"],
+                recs.append({"media_id": int(media_id),
+                             "kind": kind,
                              "n_bytes": len(payload),
                              "feature": feat})
             yield pd.DataFrame.from_records(
@@ -231,10 +232,11 @@ def resize_media(df: DataFrame, out_w: int = 16, out_h: int = 16,
     def gen(batches):
         for pdf in batches:
             recs = []
-            for _, row in pdf.iterrows():
-                meta = row["meta"]
+            for media_id, kind, raw, meta in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"],
+                    pdf["meta"]):
                 if decode == "real":
-                    payload = bytes(row["payload"])
+                    payload = bytes(raw)
                     if payload[:2] not in (b"P5", b"P6"):
                         raise NotImplementedError(
                             "only PGM/PPM resize without external "
@@ -250,14 +252,13 @@ def resize_media(df: DataFrame, out_w: int = 16, out_h: int = 16,
                 else:
                     w = int(meta["width"] or 8)
                     h = int(meta["height"] or 8)
-                    px = np.frombuffer(bytes(row["payload"]),
-                                       dtype=np.uint8)
+                    px = np.frombuffer(bytes(raw), dtype=np.uint8)
                     img = np.resize(px, (h, w))  # pad/cycle to dims
                     ys = (np.arange(out_h) * h) // out_h
                     xs = (np.arange(out_w) * w) // out_w
                     out_payload = img[np.ix_(ys, xs)].tobytes()
                 recs.append({
-                    "media_id": int(row["media_id"]), "kind": row["kind"],
+                    "media_id": int(media_id), "kind": kind,
                     "payload": out_payload,
                     "meta": {"width": out_w, "height": out_h,
                              "sample_rate": meta["sample_rate"],
@@ -289,8 +290,9 @@ def sample_frames(df: DataFrame, every_k: int = 4,
     def gen(batches):
         for pdf in batches:
             recs = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row["payload"])
+            for media_id, raw, meta in zip(
+                    pdf["media_id"], pdf["payload"], pdf["meta"]):
+                payload = bytes(raw)
                 if decode == "real":
                     if not payload.startswith(b"YUV4MPEG2"):
                         raise NotImplementedError(
@@ -299,17 +301,17 @@ def sample_frames(df: DataFrame, every_k: int = 4,
                             f"for {payload[:4]!r}")
                     frames = decode_y4m(payload)
                     for fi in range(0, len(frames), every_k):
-                        recs.append({"media_id": int(row["media_id"]),
+                        recs.append({"media_id": int(media_id),
                                      "frame_idx": fi,
                                      "frame": frames[fi].tobytes()})
                     continue
-                n = int(row["meta"]["n_frames"] or 1)
+                n = int(meta["n_frames"] or 1)
                 n = max(n, 1)
                 step = max(len(payload) // n, 1)
                 for fi in range(0, n, every_k):
                     lo = fi * step
                     hi = len(payload) if fi == n - 1 else (fi + 1) * step
-                    recs.append({"media_id": int(row["media_id"]),
+                    recs.append({"media_id": int(media_id),
                                  "frame_idx": fi,
                                  "frame": payload[lo:hi]})
             yield pd.DataFrame.from_records(

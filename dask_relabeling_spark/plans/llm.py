@@ -564,6 +564,54 @@ def multimodal_pgm_decode(spark, sf_dir):
                         .alias("f0"))
 
 
+_RSZ_W = _RSZ_H = 8  # resize target: 16x16 PGM -> 8x8 PGM
+_RSZ_HEADER_LEN = len(f"P5\n{_RSZ_W} {_RSZ_H}\n255\n".encode())
+
+
+@register("multimodal_resize", f"""
+WITH d AS (SELECT doc_id AS media_id, text, length(text) AS L
+           FROM documents WHERE length(text) > 0),
+px AS (SELECT media_id,
+              list_transform(generate_series(0, {_RSZ_W * _RSZ_H - 1}),
+                i -> ascii(substr(text,
+                  CAST(((((i // {_RSZ_W}) * ({_PGM_H} // {_RSZ_H}))
+                         * {_PGM_W}
+                         + (i % {_RSZ_W}) * ({_PGM_W} // {_RSZ_W}))
+                        % L) + 1 AS INT), 1)))
+              AS p
+       FROM d)
+SELECT media_id,
+       CAST({_RSZ_HEADER_LEN + _RSZ_W * _RSZ_H} AS INT) AS n_bytes,
+       round(round_even(list_sum(p) / {_RSZ_W * _RSZ_H}.0, 6), 6) AS f0
+FROM px
+""")
+def multimodal_resize(spark, sf_dir):
+    """``resize_media(decode='real')``'s hash row: the full
+    decode -> nearest-neighbor resample -> re-encode -> RE-DECODE
+    round-trip on actual binary PGM payloads.  16x16 rasters
+    synthesized JVM-side from document bytes are parsed by the
+    pure-NumPy netpbm codec, resampled to 8x8 via
+    ``src_row = (r * h) // out_h`` index arithmetic
+    (operators/multimodal.py::resize_media), re-encoded as PGM, and
+    the resized payload is then decoded AGAIN by the shared
+    featurization — so the re-encoded header and raster are verified
+    by a second real parse, not trusted.  The oracle replays the
+    composed index map (output pixel i reads source byte
+    ``(i//8)*2*16 + (i%8)*2`` of the cycled text) and the bucket mean
+    with ``round_even``; a resample off-by-one, a transposed axis, or
+    a malformed re-encoded header breaks n_bytes or f0."""
+    from ..operators.multimodal import (decode_and_featurize,
+                                        documents_as_pgm_media,
+                                        resize_media)
+    media = documents_as_pgm_media(t(spark, sf_dir, "documents"),
+                                   w=_PGM_W, h=_PGM_H)
+    resized = resize_media(media, out_w=_RSZ_W, out_h=_RSZ_H,
+                           decode="real")
+    feats = decode_and_featurize(resized, decode="real", feature_dim=1)
+    return feats.select("media_id", "n_bytes",
+                        F.round(F.element_at("feature", 1), 6)
+                        .alias("f0"))
+
 
 @register("multimodal_features", """
 WITH d AS (SELECT doc_id AS media_id, text,
@@ -1371,27 +1419,31 @@ WITH names AS (
 SELECT a.p_name AS name_a, b.p_name AS name_b,
        CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
 FROM names a JOIN names b
-  ON a.blk = b.blk AND abs(a.ln - b.ln) <= 2 AND a.p_name < b.p_name
-WHERE levenshtein(a.p_name, b.p_name) <= 2
+  ON a.blk = b.blk AND abs(a.ln - b.ln) <= 3 AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 3
 """)
 def parts_fuzzy_name_pairs(spark, sf_dir):
     """Fuzzy matching, the scalable way: dedupe to distinct names, then a
-    BLOCKED self-join (same first letter, length within 2 — cheap
-    necessary conditions for edit distance <= 2) and the expensive
+    BLOCKED self-join (same first letter, length within 3 — cheap
+    necessary conditions for edit distance <= 3) and the expensive
     levenshtein verify only inside blocks.  The all-pairs formulation is
     O(n^2) in distinct names; blocking bounds each key's fan-out, and a
     skewed block would be salted (functions/skew.py).  Blocking misses
     cross-block pairs by design — the standard recall trade, replayed
-    identically by the oracle."""
+    identically by the oracle.  Threshold 3 chosen so the generated part
+    names actually produce matches (16 pairs at every shipped SF) —
+    tests/test_round7_ops.py additionally drives the value path on
+    synthetic near-duplicates, covering hit / cross-block miss /
+    length-window miss."""
     names = (t(spark, sf_dir, "part").select("p_name").distinct()
              .select("p_name", F.length("p_name").alias("ln"),
                      F.substring("p_name", 1, 1).alias("blk")))
     a, b = names.alias("a"), names.alias("b")
     lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (a.join(b, (F.col("a.blk") == F.col("b.blk")) &
-                   (F.abs(F.col("a.ln") - F.col("b.ln")) <= 2) &
+                   (F.abs(F.col("a.ln") - F.col("b.ln")) <= 3) &
                    (F.col("a.p_name") < F.col("b.p_name")))
-            .filter(lev <= 2)
+            .filter(lev <= 3)
             .select(F.col("a.p_name").alias("name_a"),
                     F.col("b.p_name").alias("name_b"),
                     lev.cast("int").alias("dist")))
