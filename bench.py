@@ -6,11 +6,20 @@ Prints ONE JSON line:
 
 ``value`` is the total wall time of the headline query set (each query
 fully materialized via a count/collect action).
+
+The multi-second flagship terminals are measured in a FRESH JVM each
+(the harness re-invokes itself with $BENCH_ONLY): a round-5/6 A/B with
+zero code change showed 15-50% swings on them from accumulated
+JVM/GC/suite state that warmup + best-of-N inside one long-lived
+session cannot remove.  Per-query spread (worst/best across measured
+runs) is reported so cross-round comparisons can tell plan changes
+from noise.  Set BENCH_ISOLATE=0 to force everything in-process.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -59,12 +68,17 @@ HEADLINE = [
                                 # (round 5: pure-NumPy Y4M frame walk)
 ]
 
+# The terminals whose in-suite numbers were proven noise-dominated by
+# the r5<->r6 zero-change A/B: each gets a fresh JVM and more runs.
+ISOLATED = [
+    "relabel_annotations",
+    "relabel_components_3d",
+    "dedup_prefix_clusters",
+    "dedup_segment_then_prefix",
+]
 
-def main() -> None:
-    spark = get_spark(app_name="bench")
-    spark.sparkContext.setLogLevel("ERROR")
-    sf = SF_DIR.rstrip("/").split("sf")[-1]
 
+def _warm(spark) -> None:
     # JVM/session warmup so the first measured query doesn't pay startup:
     # exercise codegen, the parquet reader, and the Arrow/pandas-UDF worker
     # pool (Python workers are reused afterwards)
@@ -76,38 +90,109 @@ def main() -> None:
         lambda pdf: _pd.DataFrame({"id": [0]}), "id long").count()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+
+def _measure(spark, name: str, warmup_runs: int, measured_runs: int):
+    """best/worst wall seconds over ``measured_runs`` + final row count."""
+    fn, _ = REGISTRY[name]
+    for _ in range(warmup_runs):  # steady-state: skip codegen/footer IO
+        fn(spark, SF_DIR).count()
+    # best-of-N: single-JVM runs see +/-2x GC/OS noise on this box;
+    # the minimum is the reproducible steady-state cost of the plan
+    best, worst, n = None, None, 0
+    for _ in range(measured_runs):
+        # drop blocks persisted by the warmup/previous run: a measured
+        # run must not read operator-internal caches built outside
+        # its own wall
+        spark.catalog.clearCache()
+        start = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = time.perf_counter() - start
+        best = dt if best is None else min(best, dt)
+        worst = dt if worst is None else max(worst, dt)
+    spark.catalog.clearCache()
+    release_persists()
+    return best, worst, n
+
+
+def _run_isolated(name: str) -> dict | None:
+    """Measure ``name`` in a fresh JVM; None if the child failed."""
+    env = dict(os.environ, BENCH_ONLY=name)
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True)
+    if proc.stderr:
+        sys.stderr.write(proc.stderr)
+    if proc.returncode != 0:
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("query") == name:
+            return rec
+    return None
+
+
+def main() -> None:
     warmup_runs = int(os.environ.get("BENCH_WARMUP_RUNS", "1"))
     measured_runs = int(os.environ.get("BENCH_MEASURED_RUNS", "3"))
-    timings = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn, _ = REGISTRY[name]
-        for _ in range(warmup_runs):  # steady-state: skip codegen/footer IO
-            fn(spark, SF_DIR).count()
-        # best-of-N: single-JVM runs see +/-2x GC/OS noise on this box;
-        # the minimum is the reproducible steady-state cost of the plan
-        best, n = None, 0
-        for _ in range(measured_runs):
-            # drop blocks persisted by the warmup/previous run: a measured
-            # run must not read operator-internal caches built outside
-            # its own wall
-            spark.catalog.clearCache()
-            start = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            dt = time.perf_counter() - start
-            best = dt if best is None else min(best, dt)
-        spark.catalog.clearCache()
-        release_persists()
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.3f}s ({n} rows)", file=sys.stderr)
+    isolated_runs = int(os.environ.get("BENCH_ISOLATED_RUNS", "7"))
 
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        # Child mode: one query, fresh JVM, nothing else ran here.
+        # Two warmups: the first run in a cold JVM still JITs the
+        # query's own codegen; best-of-7 then bounds GC outliers.
+        spark = get_spark(app_name=f"bench-{only}")
+        spark.sparkContext.setLogLevel("ERROR")
+        _warm(spark)
+        best, worst, n = _measure(spark, only, max(warmup_runs, 2),
+                                  isolated_runs)
+        print(json.dumps({"query": only, "best": round(best, 3),
+                          "worst": round(worst, 3), "rows": n}))
+        return
+
+    isolate = os.environ.get("BENCH_ISOLATE", "1") != "0"
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+
+    # Fresh-JVM block FIRST, before this process opens its own session,
+    # so only one JVM holds executor memory at a time.
+    pending = list(HEADLINE)
+    isolated_done: list[str] = []
+    if isolate:
+        for name in ISOLATED:
+            rec = _run_isolated(name)
+            if rec is None:  # child crashed — fall through to in-process
+                continue
+            isolated_done.append(name)
+            timings[name] = rec["best"]
+            spread[name] = round(rec["worst"] / max(rec["best"], 1e-9), 3)
+            print(f"# {name}: {rec['best']:.3f}s ({rec['rows']} rows) "
+                  f"[isolated, spread {spread[name]:.2f}x]",
+                  file=sys.stderr)
+            pending.remove(name)
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark)
+    for name in pending:
+        best, worst, n = _measure(spark, name, warmup_runs, measured_runs)
+        timings[name] = round(best, 3)
+        spread[name] = round(worst / max(best, 1e-9), 3)
+        print(f"# {name}: {best:.3f}s ({n} rows) "
+              f"[spread {spread[name]:.2f}x]", file=sys.stderr)
+
+    ordered = {name: timings[name] for name in HEADLINE}
     print(json.dumps({
         "metric": "headline_suite_wall",
-        "value": round(total, 3),
+        "value": round(sum(ordered.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": ordered,
+        "spread": {name: spread[name] for name in HEADLINE},
+        "isolated": isolated_done,
         "sf": float(sf),
     }))
 
