@@ -30,12 +30,16 @@ from . import llm  # noqa: F401  (registers dedup/similarity/text/events)
 from . import tile_query  # noqa: F401  (registers the tile pipeline)
 from . import curation  # noqa: F401  (round-3 pipeline extensions)
 
-# Entries whose implementation or plan changed since their last driver
-# row — fresh evidence required, keep at the very front.  Hand-flagged
-# per round as operators are touched.
-_CHANGED_THIS_ROUND = [
-    "parts_fuzzy_name_pairs",  # widened block so sf0.01 emits rows
-    "multimodal_resize",       # new: real-path resize driver hash row
+# Entries whose implementation or plan changed — fresh evidence
+# required, keep at the very front.  Hand-flagged as (name,
+# changed_in_round) when an operator is touched; an entry EXPIRES
+# AUTOMATICALLY once a committed driver artifact from that round or
+# later shows it green, so the list never needs hand-cleaning (the
+# round-5/6 failure mode: a stale hand list replayed fresh evidence
+# while genuinely stale entries starved).
+_CHANGED = [
+    ("parts_fuzzy_name_pairs", 7),  # widened block so sf0.01 emits rows
+    ("multimodal_resize", 7),       # new: real-path resize hash row
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -66,13 +70,22 @@ def _latest_green() -> dict:
     return latest
 
 
-def _reorder() -> None:
-    latest = _latest_green()
-    front = [n for n in _CHANGED_THIS_ROUND if n in REGISTRY]
+def _front(latest: dict) -> list:
+    """Names needing fresh evidence, in priority order: changed entries
+    whose latest green row predates the change, then never-checked
+    entries, then the flagship."""
+    front = [n for n, changed_round in _CHANGED
+             if n in REGISTRY and latest.get(n, -1) < changed_round]
     # Anything with no green evidence at all is new this round -> front.
     front += [n for n in REGISTRY if n not in front and n not in latest]
     # Flagship hash row next: keep per-round evidence for the core.
     front += [n for n in ["relabel_components_summary"] if n not in front]
+    return front
+
+
+def _reorder() -> None:
+    latest = _latest_green()
+    front = _front(latest)
     # Stalest evidence first (ascending latest-green round); registry
     # insertion order breaks ties deterministically.
     order = list(REGISTRY)

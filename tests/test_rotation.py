@@ -9,7 +9,7 @@ while stale entries starve (the round-6 failure mode).
 import pytest
 
 from dask_relabeling_spark.plans import (  # noqa: F401
-    REGISTRY, _CHANGED_THIS_ROUND, _latest_green,
+    REGISTRY, _CHANGED, _front, _latest_green,
 )
 
 BUDGET = 50  # the driver's per-round correctness budget
@@ -31,9 +31,7 @@ def test_latest_green_folds_driver_artifacts():
 def test_rotation_is_stalest_first():
     latest = _latest_green()
     names = list(REGISTRY)
-    head = [n for n in _CHANGED_THIS_ROUND if n in REGISTRY]
-    head += [n for n in names if n not in head and n not in latest]
-    head += [n for n in ["relabel_components_summary"] if n not in head]
+    head = _front(latest)
     tail = [n for n in names if n not in head]
     # The tail must be ordered by non-decreasing latest-green round.
     rounds = [latest[n] for n in tail]
@@ -42,6 +40,21 @@ def test_rotation_is_stalest_first():
     )
     # And the head (changed + new + flagship) must come first verbatim.
     assert names[: len(head)] == head
+
+
+def test_changed_entries_self_expire():
+    """A changed entry leaves the priority head as soon as a committed
+    driver artifact from its change round (or later) shows it green —
+    no hand-cleaning between rounds (the round-5/6 failure mode)."""
+    if not _CHANGED:
+        pytest.skip("no changed entries flagged")
+    name, rnd = _CHANGED[0]
+    # Evidence older than the change: stays at the head.
+    assert name in _front({name: rnd - 1})
+    # Evidence from the change round or newer: expires from the head
+    # (everything else in the registry becomes "never checked" in this
+    # synthetic latest map, so only membership for `name` is asserted).
+    assert name not in _front({n: rnd for n in REGISTRY})
 
 
 def test_stalest_entries_fit_driver_budget():
