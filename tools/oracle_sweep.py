@@ -79,9 +79,11 @@ def main() -> int:
                     f"read_parquet('{sf}/{t}.parquet')")
     qs, oracles = E.queries(), E.oracle_sql()
     bad = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf).toPandas()
         except Exception as exc:  # noqa: BLE001
@@ -111,7 +113,8 @@ def main() -> int:
             print(f"FAIL   {name}: values differ")
         else:
             print(f"ok     {name}: {len(s)} rows")
-    print(f"\n{len(bad)} failures / {len(qs)} queries")
+    print(f"\n{len(bad)} failures / {n_run} queries run"
+          f" (registry: {len(qs)})")
     for name, why in bad:
         print(f"  {name}: {why}")
     return 1 if bad else 0
