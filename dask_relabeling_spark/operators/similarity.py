@@ -109,8 +109,9 @@ def ivf_cell_assignments(df: DataFrame, n_centroids: int = 8,
 
 
 def ivf_neardup_pairs(df: DataFrame, threshold_num: int = 45,
-                      threshold_den: int = 100, n_centroids: int = 8,
-                      n_assign: int = 2, id_col: str = "vec_id",
+                      threshold_den: int = 100, n_centroids: int = None,
+                      n_assign: int = 2, target_cell: int = 256,
+                      id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup pairs, bucketed (SemDeDup-style): candidates are
     pairs sharing at least one of their ``n_assign`` nearest IVF cells,
@@ -118,17 +119,23 @@ def ivf_neardup_pairs(df: DataFrame, threshold_num: int = 45,
 
     This is the scale path that replaces the brute-force all-pairs join
     (`cosine_neardup_pairs`, kept as the correctness baseline/test
-    oracle): candidate generation is an equality join on the cell key, so
-    work is bounded by cell sizes — at 100 TB pick n_centroids ~
-    corpus/target_cell_size (k-means-trained) and the candidate share
-    scales as ~n_assign^2/n_centroids, while here the quantizer stays
-    the tiny deterministic one the DuckDB oracle replays bit-for-bit.
-    Recall is the documented ANN trade: pairs split across cell
-    boundaries are missed (multi-assignment recovers most; measured
-    12/14 at the sf0.01 gate where the planted pairs sit barely above
-    the 0.45 threshold — genuinely-near duplicates assign together with
+    oracle): candidate generation is an equality join on the cell key,
+    so work is bounded by cell sizes.  The centroid count is
+    SCALE-TRUE by default: ``n_centroids = max(8, ceil(n /
+    target_cell))`` derived from the corpus size (same contract as
+    ``semantic_dedup``'s k∝n — a FIXED count makes cells, and hence
+    within-cell candidate pairs, grow quadratically with the corpus:
+    the round-7 probe measured the fixed-8 variant unable to finish
+    10× data in 7 min while the scale-true one stays linear).  Recall
+    is the documented ANN trade: pairs split across cell boundaries
+    are missed (multi-assignment recovers most; measured 12/14 at the
+    sf0.01 gate where the planted pairs sit barely above the 0.45
+    threshold — genuinely-near duplicates assign together with
     probability ~1).  Output: (id_a, id_b).
     """
+    if n_centroids is None:
+        import math
+        n_centroids = max(8, math.ceil(df.count() / target_cell))
     cells = ivf_cell_assignments(df, n_centroids, n_assign,
                                  id_col, vec_col)
     cand = (cells.alias("a")

@@ -40,6 +40,7 @@ from . import curation  # noqa: F401  (round-3 pipeline extensions)
 _CHANGED = [
     ("parts_fuzzy_name_pairs", 7),  # widened block so sf0.01 emits rows
     ("multimodal_resize", 7),       # new: real-path resize hash row
+    ("embedding_neardup_pairs", 7),  # scale-true centroid count (k∝n)
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -189,14 +189,18 @@ def ann_lsh_topk(spark, sf_dir):
                              S.default_lsh_planes(), k=10)
 
 
-def _ivf_neardup_sql(n_centroids: int = 8, n_assign: int = 2) -> str:
+def _ivf_neardup_sql(target_cell: int = 256, n_assign: int = 2) -> str:
     cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
            " * sqrt(list_dot_product({b}, {b})))")
+    # Scale-true centroid count, replayed from the corpus size exactly
+    # like the Spark side: max(8, ceil(n / target_cell)).
     return f"""
 WITH v AS (SELECT vec_id AS id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
-c AS (SELECT cid, cv FROM (SELECT id AS cid, ve AS cv, row_number() OVER (ORDER BY id) AS rn FROM v) WHERE rn <= {n_centroids}),
+ncc AS (SELECT greatest(CAST(ceil(count(*) / {target_cell}.0) AS INT), 8)
+               AS nc FROM v),
+c AS (SELECT cid, cv FROM (SELECT id AS cid, ve AS cv, row_number() OVER (ORDER BY id) AS rn FROM v) WHERE rn <= (SELECT nc FROM ncc)),
 pc AS (SELECT v.id, c.cid, {cos.format(a="v.ve", b="c.cv")} AS cos
        FROM v, c),
 cell AS (SELECT id, cid AS cell FROM (
@@ -217,7 +221,12 @@ WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) * 100 >= 45
 def embedding_neardup_pairs(spark, sf_dir):
     """Bucketed (IVF multi-assignment) near-dup pairs — the scale path;
     the brute-force all-pairs join survives only as the local test
-    baseline (tests/test_oracle_parity.py recall check)."""
+    baseline (tests/test_oracle_parity.py recall check).  The centroid
+    count is scale-true (``max(8, ceil(n/256))``, one cheap count on
+    the Spark side, an ``ncc`` CTE in the oracle) so cell occupancy —
+    and with it candidate-pair volume — stays bounded as the corpus
+    grows; at the gate/bench SFs (≤2,000 vectors) the formula yields
+    the same 8 centroids as before, so results are unchanged there."""
     return S.ivf_neardup_pairs(t(spark, sf_dir, "embeddings"),
                                threshold_num=45, threshold_den=100)
 
