@@ -118,10 +118,23 @@ def _measure(spark, name: str, warmup_runs: int, measured_runs: int):
 
 
 def _run_isolated(name: str) -> dict | None:
-    """Measure ``name`` in a fresh JVM; None if the child failed."""
+    """Measure ``name`` in a fresh JVM; None if the child failed.
+
+    The child is bounded by ``BENCH_ISOLATED_TIMEOUT`` seconds (default
+    600 — many multiples of the ~1 min a cold-JVM flagship terminal
+    actually takes): a hung child (executor deadlock, port contention
+    with the parent) must degrade to the in-process measurement, not
+    wedge the whole bench (round-7 ADVICE)."""
     env = dict(os.environ, BENCH_ONLY=name)
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                          env=env, capture_output=True, text=True)
+    timeout = float(os.environ.get("BENCH_ISOLATED_TIMEOUT", "600"))
+    try:
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                              env=env, capture_output=True, text=True,
+                              timeout=timeout)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"# isolated {name}: timed out after {timeout}s; "
+                         "falling back to in-process\n")
+        return None
     if proc.stderr:
         sys.stderr.write(proc.stderr)
     if proc.returncode != 0:

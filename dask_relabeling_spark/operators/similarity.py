@@ -12,7 +12,7 @@ query id over the scored stream.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -109,7 +109,8 @@ def ivf_cell_assignments(df: DataFrame, n_centroids: int = 8,
 
 
 def ivf_neardup_pairs(df: DataFrame, threshold_num: int = 45,
-                      threshold_den: int = 100, n_centroids: int = None,
+                      threshold_den: int = 100,
+                      n_centroids: Optional[int] = None,
                       n_assign: int = 2, target_cell: int = 256,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding") -> DataFrame:
@@ -132,9 +133,18 @@ def ivf_neardup_pairs(df: DataFrame, threshold_num: int = 45,
     sf0.01 gate where the planted pairs sit barely above the 0.45
     threshold — genuinely-near duplicates assign together with
     probability ~1).  Output: (id_a, id_b).
+
+    NOTE: when ``n_centroids`` is None the builder is NOT fully lazy —
+    deriving the scale-true count requires ``df.count()``, an eager
+    action at construction time.  The input is ``scoped_persist``-ed
+    first so the count materializes the blocks the downstream plan then
+    reuses (one upstream execution, not two); callers with a known
+    corpus size can stay lazy by passing ``n_centroids`` explicitly.
     """
     if n_centroids is None:
         import math
+        from ..session import scoped_persist
+        df = scoped_persist(df)
         n_centroids = max(8, math.ceil(df.count() / target_cell))
     cells = ivf_cell_assignments(df, n_centroids, n_assign,
                                  id_col, vec_col)

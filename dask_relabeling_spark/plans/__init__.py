@@ -40,15 +40,30 @@ from . import curation  # noqa: F401  (round-3 pipeline extensions)
 _CHANGED = [
     ("parts_fuzzy_name_pairs", 7),  # widened block so sf0.01 emits rows
     ("multimodal_resize", 7),       # new: real-path resize hash row
-    ("embedding_neardup_pairs", 7),  # scale-true centroid count (k∝n)
+    ("embedding_neardup_pairs", 8),  # scoped_persist before corpus count
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
+def _is_green(row: dict) -> bool:
+    """A driver row counts as green evidence if it hash-matched the
+    oracle, OR — for entries without an ``oracle_sql`` (the driver's
+    weaker rows-only check, ``hash_match`` null) — if it errored on
+    neither side and the row counts matched.  Without the rows-only
+    arm, any future oracle-less entry would read as never-checked and
+    pin itself to the front of the 50-row budget forever, starving the
+    rotation (round-7 ADVICE)."""
+    if row.get("hash_match") is True:
+        return True
+    return (row.get("hash_match") is None
+            and row.get("rows_match") is True
+            and row.get("err") is None)
+
+
 def _latest_green() -> dict:
-    """name -> latest round number with a hash-green driver row.
+    """name -> latest round number with a green driver row.
 
     Folded from the committed CORRECTNESS_r0*.json artifacts; files are
     walked in round order so the latest green round wins.
@@ -66,7 +81,7 @@ def _latest_green() -> dict:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
+            if isinstance(row, dict) and _is_green(row):
                 latest[name] = max(rnd, latest.get(name, 0))
     return latest
 

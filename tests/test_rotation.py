@@ -9,7 +9,7 @@ while stale entries starve (the round-6 failure mode).
 import pytest
 
 from dask_relabeling_spark.plans import (  # noqa: F401
-    REGISTRY, _CHANGED, _front, _latest_green,
+    REGISTRY, _CHANGED, _front, _is_green, _latest_green,
 )
 
 BUDGET = 50  # the driver's per-round correctness budget
@@ -55,6 +55,26 @@ def test_changed_entries_self_expire():
     # (everything else in the registry becomes "never checked" in this
     # synthetic latest map, so only membership for `name` is asserted).
     assert name not in _front({n: rnd for n in REGISTRY})
+
+
+def test_rows_only_green_counts_as_evidence():
+    """The driver records ``hash_match: null`` for entries without an
+    ``oracle_sql`` (the weaker rows-only check).  Such a row must still
+    count as green evidence — otherwise an oracle-less entry reads as
+    never-checked and pins itself to the front of the budget forever,
+    starving the rotation (round-7 ADVICE)."""
+    rows_only = {"rows_match": True, "schema_match": True,
+                 "hash_match": None, "spark_rows": 5, "oracle_rows": None,
+                 "err": None}
+    assert _is_green(rows_only)
+    assert _is_green({"rows_match": True, "hash_match": True, "err": None})
+    # ... but a failed, errored, or hash-mismatched row never does.
+    assert not _is_green({"rows_match": False, "hash_match": None,
+                          "err": None})
+    assert not _is_green({"rows_match": True, "hash_match": None,
+                          "err": "boom"})
+    assert not _is_green({"rows_match": True, "hash_match": False,
+                          "err": None})
 
 
 def test_stalest_entries_fit_driver_budget():

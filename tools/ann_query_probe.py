@@ -38,8 +38,12 @@ def main() -> None:
     spark = get_spark(app_name="ann-query-probe")
     spark.sparkContext.setLogLevel("ERROR")
     base = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    qv = [float(x) for x in
-          base.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    # Lowest vec_id as the query vector (same convention as the centroid
+    # seed) — don't assume id 0 exists in the data.
+    qrow = base.orderBy("vec_id").select("embedding").first()
+    if qrow is None:
+        sys.exit("no rows in embeddings.parquet — nothing to probe")
+    qv = [float(x) for x in qrow[0]]
     shutil.rmtree(ROOT, ignore_errors=True)
     print(f"{'K':>4} {'rows':>10} {'build_s':>8} {'query_s':>8}")
     for k in scales:
