@@ -61,10 +61,11 @@ HEADLINE = [
     "dedup_prefix_clusters",    # PPJoin -> CC scale path (round 4)
     "events_user_pagerank",     # iterative integer PageRank (round 4)
     "ann_ivfpq_indexed",        # persisted-index ANN round trip (round 5;
-                                # measured time = index BUILD + query — the
-                                # query side alone is measured separately by
-                                # tools/ann_query_probe.py: ~1.3 s flat from
-                                # 2 k to 200 k vectors, SCALE.md round 7)
+                                # measured time = index BUILD + query)
+    "ann_ivfpq_query",          # query-only arm (round 8): warmup builds
+                                # the index once per session, measured runs
+                                # read only the stored codes — the serving
+                                # cost a vector store pays per query
     "dedup_segment_then_prefix",  # boilerplate-aware PPJoin (round 5)
     "multimodal_y4m_frames",    # real-codec multimodal representative
                                 # (round 5: pure-NumPy Y4M frame walk)

@@ -46,19 +46,65 @@ def _mg_fold(counters: dict, batch_counts: pd.Series, k: int) -> dict:
 
 
 def mg_heavy_hitters(df: DataFrame, term_col: str = "term",
-                     k: int = 64) -> DataFrame:
+                     k: int = 64, with_total: bool = False) -> DataFrame:
     """Candidate heavy hitters of ``term_col`` with their merged
     Misra-Gries estimates.  Output: (term, est) — every term whose true
     count exceeds n/k is guaranteed present; true counts lie in
-    [est, est + n/k]."""
+    [est, est + n/k].
+
+    With ``with_total`` each partition also emits a sentinel
+    ``(NULL, partition_row_count)`` row, so the merged frame carries the
+    exact stream length n under ``term IS NULL`` — the exact-verify
+    second pass (``heavy_hitters_exact``) needs n for its threshold and
+    this folds it into the SAME single scan instead of a separate
+    count job."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n = 0
         for pdf in batches:
+            n += len(pdf)
             counters = _mg_fold(counters, pdf[term_col].value_counts(), k)
-        yield pd.DataFrame(
-            {"term": list(counters), "est": list(counters.values())})
+        terms = list(counters)
+        ests = list(counters.values())
+        if with_total:
+            terms.append(None)
+            ests.append(n)
+        yield pd.DataFrame({"term": terms, "est": ests})
 
     partials = df.select(F.col(term_col).alias("term")) \
         .mapInPandas(gen, SUMMARY_SCHEMA)
     return (partials.groupBy("term")
             .agg(F.sum("est").alias("est")))
+
+
+def heavy_hitters_exact(df: DataFrame, term_col: str = "term",
+                        k: int = 64) -> DataFrame:
+    """EXACT heavy hitters — every term with true count * k > n, with
+    its exact count — via the classic two-pass sketch-then-verify plan:
+
+    1. one scan builds the merged Misra-Gries summary (fixed k-counter
+       state per partition, <= k rows shuffled per partition) whose
+       candidate set is a GUARANTEED superset of the answer, with the
+       exact stream length n folded into the same pass (sentinel row);
+    2. a second scan counts ONLY the candidates — a broadcast semi-join
+       keeps the re-scan narrow and shuffle-free on the heavy side (at
+       most ~k distinct terms survive into the final agg).
+
+    Unlike the raw MG summary the OUTPUT is partitioning-independent
+    (exact counts, exact threshold), so it carries a full SQL oracle:
+    ``GROUP BY term HAVING count(*) * k > n``.  The naive one-pass
+    equivalent shuffles every distinct term; at 100 TB the vocabulary
+    is billions of rows while this plan's exchanges stay O(k *
+    partitions).  Output: (term, cnt), the terms above the n/k bar."""
+    from ..session import scoped_persist
+    summary = scoped_persist(
+        mg_heavy_hitters(df, term_col, k, with_total=True))
+    cand = summary.filter(F.col("term").isNotNull()).select("term")
+    total = summary.filter(F.col("term").isNull()) \
+        .select(F.col("est").alias("n"))
+    exact = (df.select(F.col(term_col).alias("term"))
+             .join(F.broadcast(cand), "term")
+             .groupBy("term").agg(F.count("*").alias("cnt")))
+    return (exact.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") * k > F.col("n"))
+            .select("term", "cnt"))

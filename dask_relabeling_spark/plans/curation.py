@@ -422,6 +422,58 @@ def docs_gdpr_purge(spark, sf_dir):
                     (F.col("n_total") - F.col("n_kept")).cast("long")
                     .alias("n_purged"),
                     "n_kept", "survivor_fp"))
+
+
+@register("customers_pii_redaction", """
+SELECT c_custkey,
+       CAST(1 AS BIGINT) AS n_email,
+       CAST(1 AS BIGINT) AS n_phone,
+       CAST(1 AS BIGINT) AS n_ipv4,
+       CAST(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_ssn,
+       concat_ws(' ', c_name, 'call', '<PHONE>', 'mail', '<EMAIL>',
+                 'from', '<IP>',
+                 CASE WHEN c_custkey % 3 = 0 THEN 'ssn <SSN>'
+                      ELSE 'no ssn on file' END) AS clean_text
+FROM customer
+""")
+def customers_pii_redaction(spark, sf_dir):
+    """PII scrubbing of contact freetext (operators/text.py:redact_pii):
+    email / phone / IPv4 / SSN shapes become typed placeholder tokens
+    with per-category hit counts, all in ONE chained JVM
+    ``regexp_replace`` projection fused into the scan — zero shuffles,
+    zero Python, scan-speed at 100 TB.
+
+    The corpus text is synthesized deterministically from c_custkey
+    (the test tables carry no organic PII), which makes the oracle an
+    INDEPENDENT derivation rather than a regex replay: it constructs
+    the expected post-redaction string directly, so a pattern that
+    over- or under-matches (e.g. the phone regex eating an IP octet
+    run, a lookaround off by one) breaks the hash even though both
+    engines would happily run the same buggy regex."""
+    from ..operators.text import redact_pii
+    key = F.col("c_custkey")
+    s = lambda c: c.cast("string")  # noqa: E731
+    phone = F.concat(F.lit("("), s(key % 900 + 100), F.lit(") "),
+                     s((key * 7) % 900 + 100), F.lit("-"),
+                     s((key * 13) % 9000 + 1000))
+    email = F.concat(F.lit("cust"), s(key), F.lit("@example.com"))
+    ip = F.concat(F.lit("10."), s(key % 256), F.lit("."),
+                  s((key * 3) % 256), F.lit("."), s(key % 254 + 1))
+    ssn = F.concat(s(key % 900 + 100), F.lit("-"),
+                   s(key % 90 + 10), F.lit("-"),
+                   s(key % 9000 + 1000))
+    text = F.concat_ws(
+        " ", F.col("c_name"), F.lit("call"), phone,
+        F.lit("mail"), email, F.lit("from"), ip,
+        F.when(key % 3 == 0, F.concat(F.lit("ssn "), ssn))
+         .otherwise(F.lit("no ssn on file")))
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey", text.alias("text"))
+    return redact_pii(c).select("c_custkey", "n_email", "n_phone",
+                                "n_ipv4", "n_ssn", "clean_text")
+
+
 @register("docs_adaptive_quality_filter", f"""
 WITH wt AS (SELECT i AS bucket, (i * 2654435761) % 2001 - 1000 AS w
             FROM generate_series(0, 255) t(i)),

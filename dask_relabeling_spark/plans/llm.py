@@ -424,6 +424,32 @@ def text_fingerprint(spark, sf_dir):
     return TX.with_fingerprint(t(spark, sf_dir, "documents"))
 
 
+@register("docs_heavy_hitters", """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+             FROM documents),
+     tk AS (SELECT term FROM tok WHERE term <> '')
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM tk GROUP BY term
+HAVING count(*) * 64 > (SELECT count(*) FROM tk)
+""")
+def docs_heavy_hitters(spark, sf_dir):
+    """Exact corpus heavy hitters (tokens with count > n/64) via the
+    Misra-Gries sketch-then-verify two-pass plan
+    (functions/heavy_hitters.py:heavy_hitters_exact): pass 1 merges
+    fixed-memory per-partition MG summaries (a guaranteed candidate
+    superset, Agarwal et al. PODS'12) with the exact stream length
+    folded into the same scan; pass 2 exact-counts only the <=
+    k*partitions candidates behind a broadcast semi-join.  The oracle
+    is the plain GROUP BY/HAVING the sketch avoids shuffling — at
+    100 TB the vocabulary is billions of distinct terms, the MG plan's
+    exchanges stay O(k * partitions)."""
+    from ..functions.heavy_hitters import heavy_hitters_exact
+    from ..operators.text import tokens_col
+    toks = (t(spark, sf_dir, "documents")
+            .select(F.explode(tokens_col(F.col("text"))).alias("term")))
+    return heavy_hitters_exact(toks, k=64)
+
+
 # ----------------------------------------------------------- multimodal
 @register("multimodal_metadata", """
 SELECT doc_id AS media_id, 'image' AS kind,
@@ -1056,6 +1082,47 @@ def ann_ivfpq_indexed(spark, sf_dir):
                         n_sub=8, sub_dim=8, n_codes=4)
     return S.ivfpq_topk_indexed(spark, path, [float(x) for x in qv],
                                 k=10, n_probe=2,
+                                n_sub=8, sub_dim=8, n_codes=4)
+
+
+# Per-application cache for the query-only ANN arm: (applicationId,
+# sf_dir) -> (index path, query vector).  First invocation builds the
+# disk index and reads the query vector from the raw table; every
+# later invocation touches ONLY the stored index — so a bench warmup
+# pays the build and the measured wall is pure query-side.
+_IVFPQ_QUERY_CACHE: dict = {}
+
+
+@register("ann_ivfpq_query", _ivfpq_topk_sql())
+def ann_ivfpq_query(spark, sf_dir):
+    """QUERY-ONLY arm of the persisted IVF-PQ index — the companion to
+    ``ann_ivfpq_indexed``, which measures build+query in one wall (the
+    build dominates).  Here the index build (and the query-vector
+    lookup, the only raw-table read) is amortized across invocations
+    behind a per-application cache, so repeated calls measure what a
+    vector store actually serves at 100 TB: a hive-partition-pruned
+    scan of the 2-of-8 probed cells' 16-bit codes plus one broadcast
+    ADC table — the float corpus is never opened.  Result and oracle
+    are identical to ``ann_ivfpq_indexed`` (bit-identical ADC folds).
+
+    SIDE EFFECT ON FIRST CALL per (application, sf_dir): the index
+    write (same contract as ann_ivfpq_indexed, own temp dir)."""
+    import os
+    import tempfile
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _IVFPQ_QUERY_CACHE.get(key)
+    if cached is None or not os.path.isdir(f"{cached[0]}/index"):
+        emb = t(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="spark_ivfpq_qonly_")
+        S.build_ivfpq_index(emb, path, n_centroids=8,
+                            n_sub=8, sub_dim=8, n_codes=4)
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0)
+              .select("embedding").first()[0]]
+        cached = (path, qv)
+        _IVFPQ_QUERY_CACHE[key] = cached
+    path, qv = cached
+    return S.ivfpq_topk_indexed(spark, path, qv, k=10, n_probe=2,
                                 n_sub=8, sub_dim=8, n_codes=4)
 
 

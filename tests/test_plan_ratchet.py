@@ -68,6 +68,9 @@ ALLOWED_SINGLE_PARTITION = {
     "docs_adaptive_quality_filter":
         "prefix-sum partition totals + 1-row global count + 1-row "
         "p25 threshold aggregate (exact-quantile machinery)",
+    "ann_ivfpq_query":
+        "same 1-row ADC-table aggregate as ann_ivfpq_indexed (query-"
+        "only arm over the same stored index)",
 }
 
 ALLOWED_NESTED_LOOP = {
@@ -108,6 +111,12 @@ ALLOWED_NESTED_LOOP = {
     "docs_adaptive_quality_filter":
         "1-row quantile-rank broadcast + 1-row p25 threshold broadcast "
         "against the score table",
+    "ann_ivfpq_query":
+        "same stored-codebook/ADC-table broadcasts as ann_ivfpq_indexed "
+        "over the pruned (id, code) scan",
+    "docs_heavy_hitters":
+        "1-row stream-length broadcast (the MG sentinel total) against "
+        "the <=k-candidate exact-count frame",
 }
 
 ALLOWED_SINGLE_PARTITION.update({
