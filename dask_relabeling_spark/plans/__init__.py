@@ -41,6 +41,9 @@ _CHANGED = [
     ("parts_fuzzy_name_pairs", 7),  # widened block so sf0.01 emits rows
     ("multimodal_resize", 7),       # new: real-path resize hash row
     ("embedding_neardup_pairs", 8),  # scoped_persist before corpus count
+    ("dedup_prefix_jaccard", 8),     # array-intersect PPJoin verify
+    ("dedup_prefix_clusters", 8),    # (same operator underneath)
+    ("dedup_segment_then_prefix", 8),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -87,13 +87,22 @@ def replicate(spark, k: int) -> str:
 
 
 def timed(fn, spark, sf_dir, runs=2):
+    from dask_relabeling_spark.session import release_persists
     fn(spark, sf_dir).count()  # warm codegen/footers
     best = None
     for _ in range(runs):
+        # same methodology as bench.py: a measured run must not read
+        # operator-internal caches built outside its own wall, and
+        # persists must not accumulate across queries (they inflate
+        # later probes' memory pressure)
+        release_persists()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
+    release_persists()
+    spark.catalog.clearCache()
     return best
 
 
