@@ -64,6 +64,27 @@ def test_mg_sentinel_total_is_exact_stream_length(spark):
         .filter(F.col("term").isNull()).count() == 0
 
 
+def test_heavy_hitters_exact_random_streams(spark):
+    """Random Zipf-ish streams × partitionings × k against a plain
+    Python count oracle — the property the two-pass plan must hold is
+    exactness, independent of how MG decremented its candidates."""
+    import numpy as np
+    for seed, k, parts in [(1, 4, 3), (2, 8, 7), (3, 16, 1), (4, 5, 13)]:
+        rng = np.random.RandomState(seed)
+        # Zipf-flavored draw over a small vocab so some terms cross n/k
+        vals = rng.zipf(1.6, 400) % 37
+        terms = [f"t{v}" for v in vals]
+        df = spark.createDataFrame([(x,) for x in terms], "term string")
+        from collections import Counter
+        true = Counter(terms)
+        n = len(terms)
+        want = {(t, c) for t, c in true.items() if c * k > n}
+        got = {(r.term, r.cnt) for r in
+               heavy_hitters_exact(df.repartition(parts), k=k).collect()}
+        assert got == want, (seed, k, parts)
+    release_persists()
+
+
 # ----------------------------------------------------- PII redaction
 
 def test_redact_pii_all_categories_and_boundaries(spark):
