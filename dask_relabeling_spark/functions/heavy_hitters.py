@@ -95,8 +95,15 @@ def heavy_hitters_exact(df: DataFrame, term_col: str = "term",
     ``GROUP BY term HAVING count(*) * k > n``.  The naive one-pass
     equivalent shuffles every distinct term; at 100 TB the vocabulary
     is billions of rows while this plan's exchanges stay O(k *
-    partitions).  Output: (term, cnt), the terms above the n/k bar."""
+    partitions).  Output: (term, cnt), the terms above the n/k bar.
+
+    NULL terms are dropped up front: the sentinel total row uses the
+    NULL key, and a genuine NULL term would otherwise merge with it
+    (and pandas ``value_counts`` excludes NaN from the MG fold while
+    ``len(pdf)`` would count it — the stream length and the counted
+    universe must agree)."""
     from ..session import scoped_persist
+    df = df.filter(F.col(term_col).isNotNull())
     summary = scoped_persist(
         mg_heavy_hitters(df, term_col, k, with_total=True))
     cand = summary.filter(F.col("term").isNotNull()).select("term")

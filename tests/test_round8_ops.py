@@ -53,6 +53,18 @@ def test_heavy_hitters_exact_threshold_is_strict(spark):
     release_persists()
 
 
+def test_heavy_hitters_exact_drops_null_terms(spark):
+    """A genuine NULL term must neither merge with the sentinel total
+    nor inflate the stream length."""
+    terms = [("a",)] * 6 + [("b",)] * 1 + [(None,)] * 5
+    df = spark.createDataFrame(terms, "term string")
+    # n = 7 non-null; a: 6*2 > 7 -> in; b: 1*2 < 7 -> out
+    got = {(r.term, r.cnt) for r in
+           heavy_hitters_exact(df.repartition(3), k=2).collect()}
+    assert got == {("a", 6)}
+    release_persists()
+
+
 def test_mg_sentinel_total_is_exact_stream_length(spark):
     toks = _toks(spark)
     n = toks.count()
