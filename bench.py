@@ -69,6 +69,8 @@ HEADLINE = [
     "dedup_segment_then_prefix",  # boilerplate-aware PPJoin (round 5)
     "multimodal_y4m_frames",    # real-codec multimodal representative
                                 # (round 5: pure-NumPy Y4M frame walk)
+    "docs_heavy_hitters",       # mergeable-sketch representative (round 8:
+                                # Misra-Gries sketch-then-verify, exact)
 ]
 
 # The terminals whose in-suite numbers were proven noise-dominated by
