@@ -63,7 +63,9 @@ def mg_heavy_hitters(df: DataFrame, term_col: str = "term",
         n = 0
         for pdf in batches:
             n += len(pdf)
-            counters = _mg_fold(counters, pdf[term_col].value_counts(), k)
+            # the select below aliases term_col to "term" before the
+            # mapInPandas, so executors always see column "term"
+            counters = _mg_fold(counters, pdf["term"].value_counts(), k)
         terms = list(counters)
         ests = list(counters.values())
         if with_total:

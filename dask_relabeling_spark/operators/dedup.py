@@ -486,6 +486,16 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     set size also rides the same window exchange as the prefix rank
     (count over the id partition), dropping the separate
     sizes-groupBy-and-join.
+
+    Row-size tradeoff of the array verify (round-9 note): each
+    surviving candidate-pair row carries BOTH documents' full shingle
+    arrays through the two verify joins, so per-row shuffle size is
+    O(|d_a| + |d_b|) where the old exploded verify's rows stayed flat
+    (it paid in row COUNT instead, ~sum(|d|) rows per pair).  With
+    bounded document length (this corpus; any chunked training corpus)
+    the array verify wins outright; for unbounded documents cap the
+    array (e.g. shingle-sample above ~100k shingles) or fall back to
+    the exploded verify for the oversized tail.
     """
     toks = scoped_persist(
         _distinct_shingle_table(df, id_col, text_col, n)
@@ -521,9 +531,12 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())
+    # no sort_array: array_intersect is order-insensitive and the
+    # output columns are scalars, so sorting the collected arrays was
+    # dead work (round-8 ADVICE)
     byid = toks.groupBy("id").agg(
         F.count("*").alias("sz"),
-        F.sort_array(F.collect_list("tok")).alias("arr"))
+        F.collect_list("tok").alias("arr"))
     return (cand
             .join(byid.select(F.col("id").alias("id_a"),
                               F.col("sz").alias("n_a"),

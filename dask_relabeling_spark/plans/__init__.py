@@ -41,9 +41,23 @@ _CHANGED = [
     ("parts_fuzzy_name_pairs", 7),  # widened block so sf0.01 emits rows
     ("multimodal_resize", 7),       # new: real-path resize hash row
     ("embedding_neardup_pairs", 8),  # scoped_persist before corpus count
-    ("dedup_prefix_jaccard", 8),     # array-intersect PPJoin verify
-    ("dedup_prefix_clusters", 8),    # (same operator underneath)
-    ("dedup_segment_then_prefix", 8),
+    # round 9: ANN query-vector convention unified to lowest vec_id on
+    # BOTH sides (was vec_id = 0; identical on this data, but the
+    # builder+oracle pair changed so the evidence must be replayed)
+    ("ann_cosine_topk", 9),
+    ("ann_lsh_topk", 9),
+    ("ann_ivf_topk", 9),
+    ("ann_ivfpq_topk", 9),
+    ("ann_ivfpq_indexed", 9),
+    ("ann_ivfpq_query", 9),
+    ("ann_recall_panel", 9),
+    ("docs_hybrid_rrf", 9),
+    # round 9: PPJoin verify drops the dead sort_array
+    ("dedup_prefix_jaccard", 9),
+    ("dedup_prefix_clusters", 9),
+    ("dedup_segment_then_prefix", 9),
+    # round 9: MG fold reads the post-alias column
+    ("docs_heavy_hitters", 9),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
@@ -54,14 +68,17 @@ def _is_green(row: dict) -> bool:
     """A driver row counts as green evidence if it hash-matched the
     oracle, OR — for entries without an ``oracle_sql`` (the driver's
     weaker rows-only check, ``hash_match`` null) — if it errored on
-    neither side and the row counts matched.  Without the rows-only
-    arm, any future oracle-less entry would read as never-checked and
-    pin itself to the front of the 50-row budget forever, starving the
-    rotation (round-7 ADVICE)."""
+    neither side, the row counts matched, AND the schema did not
+    diverge.  Without the rows-only arm, any future oracle-less entry
+    would read as never-checked and pin itself to the front of the
+    50-row budget forever, starving the rotation (round-7 ADVICE); the
+    schema guard keeps a rows-match-but-schema-drifted row from
+    counting as green (round-8 ADVICE)."""
     if row.get("hash_match") is True:
         return True
     return (row.get("hash_match") is None
             and row.get("rows_match") is True
+            and row.get("schema_match") is not False
             and row.get("err") is None)
 
 

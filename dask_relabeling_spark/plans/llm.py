@@ -20,6 +20,32 @@ from .relational import REGISTRY, register, t
 # Portable token hash, DuckDB side (Spark side: operators.dedup.token_hash)
 _DUCK_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
 
+# Query-vector convention for every ANN arm: the embedding of the
+# LOWEST vec_id (the same convention as tools/ann_query_probe.py and
+# the oracles' _DUCK_QVEC).  On the testdata the lowest id is 0, so
+# results are unchanged; on a corpus without vec_id 0 the old
+# ``vec_id = 0`` filter crashed with a bare TypeError (round-8 ADVICE).
+_DUCK_QVEC = "(SELECT min(vec_id) FROM embeddings)"
+
+
+def _query_vec(emb) -> list:
+    """Query vector as a python float list, or a clear error if the
+    embeddings table is empty (``.first()`` returns None there)."""
+    row = emb.orderBy("vec_id").select("embedding").first()
+    if row is None:
+        raise ValueError(
+            "embeddings table is empty — no ANN query vector available")
+    return [float(x) for x in row[0]]
+
+
+def _cleanup_at_exit(path: str) -> None:
+    """Best-effort removal of an operator temp dir at interpreter exit
+    (bench/gate processes create one per invocation; without this the
+    spark_ivfpq_* dirs accumulate for the life of the box)."""
+    import atexit
+    import shutil
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+
 _DUCK_SHINGLES = """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -127,8 +153,9 @@ def dedup_simhash(spark, sf_dir):
 
 
 # -------------------------------------------------- similarity search
-@register("ann_cosine_topk", """
-WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+@register("ann_cosine_topk", f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings
+           WHERE vec_id = {_DUCK_QVEC}),
 s AS (
   SELECT vec_id,
          list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
@@ -145,10 +172,10 @@ SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
 FROM s ORDER BY rank LIMIT 10
 """)
 def ann_cosine_topk(spark, sf_dir):
-    """Brute-force cosine top-10 around vec_id 0 (rank+id contract)."""
+    """Brute-force cosine top-10 around the lowest-id vector
+    (rank+id contract)."""
     emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return S.cosine_topk(emb, [float(x) for x in qv], k=10)
+    return S.cosine_topk(emb, _query_vec(emb), k=10)
 
 
 def _lsh_topk_sql() -> str:
@@ -162,8 +189,8 @@ WITH v AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
 b AS (SELECT vec_id, {bits} AS bucket FROM v),
-qb AS (SELECT bucket AS q_bucket FROM b WHERE vec_id = 0),
-q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+qb AS (SELECT bucket AS q_bucket FROM b WHERE vec_id = {_DUCK_QVEC}),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = {_DUCK_QVEC}),
 cand AS (SELECT v.vec_id, v.ve
          FROM v JOIN b ON v.vec_id = b.vec_id, qb
          WHERE b.bucket = qb.q_bucket),
@@ -184,8 +211,7 @@ def ann_lsh_topk(spark, sf_dir):
     The oracle replays the identical bucketing (same plane constants),
     so the approximation is deterministic and hash-checkable."""
     emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return S.lsh_cosine_topk(emb, [float(x) for x in qv],
+    return S.lsh_cosine_topk(emb, _query_vec(emb),
                              S.default_lsh_planes(), k=10)
 
 
@@ -952,7 +978,7 @@ WITH v AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
 c AS (SELECT cid, cv FROM (SELECT vec_id AS cid, ve AS cv, row_number() OVER (ORDER BY vec_id) AS rn FROM v) WHERE rn <= {n_centroids}),
-q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = {_DUCK_QVEC}),
 pc AS (SELECT v.vec_id, c.cid,
               {cos.format(a="v.ve", b="c.cv")} AS cos
        FROM v, c),
@@ -982,8 +1008,7 @@ def ann_ivf_topk(spark, sf_dir):
     vectors.  The oracle replays the identical quantize->probe->score
     pipeline."""
     emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return S.ivf_cosine_topk(emb, [float(x) for x in qv], k=10,
+    return S.ivf_cosine_topk(emb, _query_vec(emb), k=10,
                              n_centroids=8, n_probe=2)
 
 
@@ -1001,7 +1026,7 @@ WITH v AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
            FROM embeddings),
 c AS (SELECT cid, cv FROM (SELECT vec_id AS cid, ve AS cv, row_number() OVER (ORDER BY vec_id) AS rn FROM v) WHERE rn <= {n_centroids}),
-q AS (SELECT ve AS qv FROM v WHERE vec_id = 0),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = {_DUCK_QVEC}),
 pc AS (SELECT v.vec_id, c.cid,
               {cos.format(a="v.ve", b="c.cv")} AS cos
        FROM v, c),
@@ -1050,8 +1075,7 @@ def ann_ivfpq_topk(spark, sf_dir):
     replays quantize -> probe -> code -> ADC with identical fold
     orders, so even the double distances agree bit-for-bit."""
     emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return S.ivfpq_topk(emb, [float(x) for x in qv], k=10,
+    return S.ivfpq_topk(emb, _query_vec(emb), k=10,
                         n_centroids=8, n_probe=2,
                         n_sub=8, sub_dim=8, n_codes=4)
 
@@ -1076,11 +1100,12 @@ def ann_ivfpq_indexed(spark, sf_dir):
     gate/bench/ratchet runs cannot race."""
     import tempfile
     emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qv = _query_vec(emb)
     path = tempfile.mkdtemp(prefix="spark_ivfpq_index_")
+    _cleanup_at_exit(path)
     S.build_ivfpq_index(emb, path, n_centroids=8,
                         n_sub=8, sub_dim=8, n_codes=4)
-    return S.ivfpq_topk_indexed(spark, path, [float(x) for x in qv],
+    return S.ivfpq_topk_indexed(spark, path, qv,
                                 k=10, n_probe=2,
                                 n_sub=8, sub_dim=8, n_codes=4)
 
@@ -1106,7 +1131,12 @@ def ann_ivfpq_query(spark, sf_dir):
     are identical to ``ann_ivfpq_indexed`` (bit-identical ADC folds).
 
     SIDE EFFECT ON FIRST CALL per (application, sf_dir): the index
-    write (same contract as ann_ivfpq_indexed, own temp dir)."""
+    write (same contract as ann_ivfpq_indexed, own temp dir, removed
+    at interpreter exit).  The cache assumes sf_dir's parquet is
+    immutable for the life of the application — the driver/bench
+    contract here; a mutable corpus needs ``_IVFPQ_QUERY_CACHE.clear()``
+    after a data change, exactly as a production vector store needs an
+    index rebuild."""
     import os
     import tempfile
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -1114,11 +1144,10 @@ def ann_ivfpq_query(spark, sf_dir):
     if cached is None or not os.path.isdir(f"{cached[0]}/index"):
         emb = t(spark, sf_dir, "embeddings")
         path = tempfile.mkdtemp(prefix="spark_ivfpq_qonly_")
+        _cleanup_at_exit(path)
         S.build_ivfpq_index(emb, path, n_centroids=8,
                             n_sub=8, sub_dim=8, n_codes=4)
-        qv = [float(x) for x in
-              emb.filter(F.col("vec_id") == 0)
-              .select("embedding").first()[0]]
+        qv = _query_vec(emb)
         cached = (path, qv)
         _IVFPQ_QUERY_CACHE[key] = cached
     path, qv = cached
@@ -1164,8 +1193,7 @@ def ann_recall_panel(spark, sf_dir):
     on a fixed evaluation sample, the approximate arms on the index —
     the panel's cost is the sample size, not the corpus."""
     emb = t(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in
-          emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    qv = _query_vec(emb)
     exact = S.cosine_topk(emb, qv, k=10).select("vec_id")
     arms = [
         ("ivf", S.ivf_cosine_topk(emb, qv, k=10,
@@ -1771,7 +1799,7 @@ sparse AS (
   SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
   FROM bm25 ORDER BY r LIMIT {_RRF_TOPN}),
 q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-      FROM embeddings WHERE vec_id = 0),
+      FROM embeddings WHERE vec_id = {_DUCK_QVEC}),
 cosd AS (
   SELECT vec_id AS doc_id,
          list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
@@ -1799,7 +1827,8 @@ FROM fused ORDER BY rank LIMIT 10
 def docs_hybrid_rrf(spark, sf_dir):
     """Hybrid retrieval with Reciprocal Rank Fusion (the standard
     lexical+semantic fusion): BM25 top-20 and dense-cosine top-20
-    (query = vec 0's embedding, vec_id keyed to doc_id) are fused with
+    (query = the lowest-id embedding, vec_id keyed to doc_id) are fused
+    with
     rrf = sum(1 / (60 + rank)) over the arms a document appears in,
     re-ranked, top-10 emitted.
 
@@ -1816,8 +1845,7 @@ def docs_hybrid_rrf(spark, sf_dir):
                   Window.orderBy(F.desc("score"), "doc_id")))
               .select("doc_id", "r"))
     emb = t(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    dense = (S.cosine_topk(emb, [float(x) for x in qv], k=_RRF_TOPN)
+    dense = (S.cosine_topk(emb, _query_vec(emb), k=_RRF_TOPN)
              .select(F.col("vec_id").alias("doc_id"),
                      F.col("rank").alias("r")))
     s, d = sparse.alias("s"), dense.alias("d")

@@ -109,8 +109,12 @@ def sessionize_stateful(stream: DataFrame, gap_min: int = SESSION_GAP_MIN,
         else:
             last_ts, sess, n, fe, le = None, 0, 0, None, None
         closed = []
-        for _, r in rows.iterrows():
-            ts = int(pd.Timestamp(r["ts"]).timestamp())
+        # zip over pre-extracted int arrays: iterrows materializes a
+        # Series per row and dominated this loop's profile
+        ts_arr = (rows["ts"].astype("datetime64[ns]").astype("int64")
+                  // 1_000_000_000)
+        for ts, ev in zip(ts_arr.tolist(),
+                          rows["event_id"].astype("int64").tolist()):
             if last_ts is None or ts - last_ts > gap_min * 60:
                 if n > 0:
                     closed.append({"user_id": user_id, "session_idx": sess,
@@ -118,8 +122,8 @@ def sessionize_stateful(stream: DataFrame, gap_min: int = SESSION_GAP_MIN,
                                    "last_event": le})
                 sess, n, fe, le = sess + 1, 0, None, None
             n += 1
-            fe = int(r["event_id"]) if fe is None else fe
-            le = int(r["event_id"])
+            fe = ev if fe is None else fe
+            le = ev
             last_ts = ts
         state.update((last_ts, sess, n, fe, le))
         if idle_timeout:
