@@ -512,7 +512,7 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
               .withColumn("sz", F.count("*").over(w))
               .withColumn("rk", rk)
               .filter(F.col("rk") <= plen)
-              .select("id", "tok", "sz"))
+              .select("id", "tok", "sz", "rk"))
     # LENGTH FILTER (lossless, the AllPairs/PPJoin size bound):
     # J(a,b) >= t  =>  inter >= t*union >= t*max(|a|,|b|), and
     # inter <= min(|a|,|b|), so min*den >= max*num.  Applied INSIDE the
@@ -520,6 +520,24 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # pairs before the distinct and before the verify joins ever see
     # them — at boilerplate shingle frequencies this is the difference
     # between verify work ~ true-candidate count and ~ collision count.
+    #
+    # POSITIONAL FILTER (lossless, the "PP" of PPJoin, Xiao et al.
+    # 2008 §3.2): a colliding token at doc-internal global-order
+    # positions (rk_a, rk_b) bounds the overlap reachable through this
+    # collision by 1 + min(|a| - rk_a, |b| - rk_b) — every OTHER common
+    # token of a truly-similar pair's FIRST collision sits strictly
+    # later in both orderings.  J >= t requires
+    # inter * (num + den) >= num * (|a| + |b|) (from inter >= t*union
+    # and union = |a|+|b|-inter), so collision rows whose positional
+    # bound cannot reach that minimum overlap are dropped inside the
+    # join.  Per-row the test is exact for the pair's first collision
+    # (conservative for later ones), so every qualifying pair still
+    # survives through its first collision row — candidates shrink,
+    # output is unchanged.
+    min_ov = (F.floor((F.lit(threshold_num)
+                       * (F.col("a.sz") + F.col("b.sz"))
+                       + (threshold_num + threshold_den - 1))
+                      / (threshold_num + threshold_den)))
     cand = (prefix.alias("a")
             .join(prefix.alias("b"),
                   (F.col("a.tok") == F.col("b.tok")) &
@@ -527,7 +545,10 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                   (F.least(F.col("a.sz"), F.col("b.sz"))
                    * threshold_den
                    >= F.greatest(F.col("a.sz"), F.col("b.sz"))
-                   * threshold_num))
+                   * threshold_num) &
+                  (F.least(F.col("a.sz") - F.col("a.rk"),
+                           F.col("b.sz") - F.col("b.rk")) + 1
+                   >= min_ov))
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())

@@ -86,9 +86,17 @@ def replicate(spark, k: int) -> str:
     return out
 
 
-def timed(fn, spark, sf_dir, runs=2):
+def timed(fn, spark, sf_dir, runs=None):
     from dask_relabeling_spark.session import release_persists
-    fn(spark, sf_dir).count()  # warm codegen/footers
+    if runs is None:
+        runs = int(os.environ.get("SCALE_PROBE_RUNS", "2"))
+    # SCALE_PROBE_WARM=0 skips the warmup execution: for bounded
+    # one-shot probes of very heavy terminals (e.g. the raw PPJoin
+    # pair set at 100x) a warmup run doubles a >10 min wall for no
+    # extra information — the single measured number is then a COLD
+    # figure and must be labelled as such.
+    if os.environ.get("SCALE_PROBE_WARM", "1") != "0":
+        fn(spark, sf_dir).count()  # warm codegen/footers
     best = None
     for _ in range(runs):
         # same methodology as bench.py: a measured run must not read
