@@ -68,7 +68,13 @@ def replicate(spark, k: int) -> str:
     if os.path.isdir(out):
         return out
     os.makedirs(out, exist_ok=True)
-    for name, idcols in TABLES.items():
+    # SCALE_PROBE_TABLES=documents,embeddings bounds a heavy-K probe
+    # to the tables its queries actually read (a full 100x replica of
+    # lineitem is minutes of write for a documents-only probe).
+    only = os.environ.get("SCALE_PROBE_TABLES")
+    tables = {n: c for n, c in TABLES.items()
+              if only is None or n in only.split(",")}
+    for name, idcols in tables.items():
         src = load_table(spark, BASE, name)
         if not idcols:
             rep = src
