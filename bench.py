@@ -227,14 +227,27 @@ def main() -> None:
     pending = list(HEADLINE)
     isolated_done: list[str] = []
     isolated_load1: dict[str, float] = {}
+    reran: list[str] = []
     if isolate:
         for name in ISOLATED:
             rec = _run_isolated(name)
             if rec is None:  # child crashed — fall through to in-process
                 continue
+            sp = round(rec["worst"] / max(rec["best"], 1e-9), 3)
+            if sp > RERUN_SPREAD:
+                # noisy child window: one fresh JVM retry, keep the
+                # cleaner window (same recovery as in-process arms)
+                rec2 = _run_isolated(name)
+                if rec2 is not None:
+                    reran.append(name)
+                    sp2 = round(rec2["worst"] / max(rec2["best"], 1e-9), 3)
+                    if rec2["best"] < rec["best"]:
+                        rec, sp = rec2, sp2
+                    else:
+                        sp = min(sp, sp2)
             isolated_done.append(name)
             timings[name] = rec["best"]
-            spread[name] = round(rec["worst"] / max(rec["best"], 1e-9), 3)
+            spread[name] = sp
             if "load1" in rec:
                 isolated_load1[name] = rec["load1"]
             print(f"# {name}: {rec['best']:.3f}s ({rec['rows']} rows) "
@@ -257,7 +270,6 @@ def main() -> None:
     # cleaner window's numbers (lower best => closer to the plan's
     # steady-state cost; the transient that inflated the first window
     # is exactly what best-of-N is defined to exclude).
-    reran: list[str] = []
     for name in [n for n in pending if spread[n] > RERUN_SPREAD]:
         best, worst, n_rows = _measure(spark, name, warmup_runs,
                                        measured_runs)
