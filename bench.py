@@ -241,10 +241,12 @@ def main() -> None:
                 if rec2 is not None:
                     reran.append(name)
                     sp2 = round(rec2["worst"] / max(rec2["best"], 1e-9), 3)
+                    # (best, spread) stay an atomic pair from ONE
+                    # window — mixing a clean window's spread onto a
+                    # noisy window's best would misrepresent the
+                    # conditions the kept number was measured under
                     if rec2["best"] < rec["best"]:
                         rec, sp = rec2, sp2
-                    else:
-                        sp = min(sp, sp2)
             isolated_done.append(name)
             timings[name] = rec["best"]
             spread[name] = sp
@@ -275,11 +277,10 @@ def main() -> None:
                                        measured_runs)
         sp = round(worst / max(best, 1e-9), 3)
         reran.append(name)
+        # keep (best, spread) as a pair from whichever window won
         if best < timings[name]:
             timings[name] = round(best, 3)
             spread[name] = sp
-        else:
-            spread[name] = min(spread[name], sp)
         print(f"# {name}: rerun {best:.3f}s [spread {sp:.2f}x] -> "
               f"kept {timings[name]:.3f}s [spread {spread[name]:.2f}x]",
               file=sys.stderr)

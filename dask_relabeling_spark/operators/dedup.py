@@ -500,61 +500,83 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     toks = scoped_persist(
         _distinct_shingle_table(df, id_col, text_col, n)
         .withColumnRenamed("sh", "tok"))
-    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    prefix = _ppjoin_prefix_table(toks, threshold_num, threshold_den)
+    cand = _ppjoin_candidates(prefix, threshold_num, threshold_den)
+    return _ppjoin_verify(cand, toks, threshold_num, threshold_den)
+
+
+def _ppjoin_prefix_table(toks, threshold_num: int, threshold_den: int):
+    """(id, tok, sz, rk) for each doc's prefix tokens under the global
+    (df, tok) order; sz = |doc|, rk = the token's doc-internal position
+    in the global order.  Shared by the operator and the A/B rig
+    (``tools/ppjoin_filter_ab.py``) so measurements can't drift from
+    the shipped stage."""
     from pyspark.sql import Window
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     w = Window.partitionBy("id")
     rk = F.row_number().over(w.orderBy("df", "tok"))
     # ceil(t*|d|) = (num*|d| + den - 1) // den, all integer
     plen = (F.col("sz") -
             F.floor((F.lit(threshold_num) * F.col("sz")
                      + (threshold_den - 1)) / threshold_den) + 1)
-    prefix = (toks.join(dfreq, "tok")
-              .withColumn("sz", F.count("*").over(w))
-              .withColumn("rk", rk)
-              .filter(F.col("rk") <= plen)
-              .select("id", "tok", "sz", "rk"))
-    # LENGTH FILTER (lossless, the AllPairs/PPJoin size bound):
-    # J(a,b) >= t  =>  inter >= t*union >= t*max(|a|,|b|), and
-    # inter <= min(|a|,|b|), so min*den >= max*num.  Applied INSIDE the
-    # candidate join it prunes shingle-colliding but size-incompatible
-    # pairs before the distinct and before the verify joins ever see
-    # them — at boilerplate shingle frequencies this is the difference
-    # between verify work ~ true-candidate count and ~ collision count.
-    #
-    # POSITIONAL FILTER (lossless, the "PP" of PPJoin, Xiao et al.
-    # 2008 §3.2): a colliding token at doc-internal global-order
-    # positions (rk_a, rk_b) bounds the overlap reachable through this
-    # collision by 1 + min(|a| - rk_a, |b| - rk_b) — every OTHER common
-    # token of a truly-similar pair's FIRST collision sits strictly
-    # later in both orderings.  J >= t requires
-    # inter * (num + den) >= num * (|a| + |b|) (from inter >= t*union
-    # and union = |a|+|b|-inter), so collision rows whose positional
-    # bound cannot reach that minimum overlap are dropped inside the
-    # join.  Per-row the test is exact for the pair's first collision
-    # (conservative for later ones), so every qualifying pair still
-    # survives through its first collision row — candidates shrink,
-    # output is unchanged.
-    min_ov = (F.floor((F.lit(threshold_num)
-                       * (F.col("a.sz") + F.col("b.sz"))
-                       + (threshold_num + threshold_den - 1))
-                      / (threshold_num + threshold_den)))
-    cand = (prefix.alias("a")
-            .join(prefix.alias("b"),
-                  (F.col("a.tok") == F.col("b.tok")) &
-                  (F.col("a.id") < F.col("b.id")) &
-                  (F.least(F.col("a.sz"), F.col("b.sz"))
-                   * threshold_den
-                   >= F.greatest(F.col("a.sz"), F.col("b.sz"))
-                   * threshold_num) &
-                  (F.least(F.col("a.sz") - F.col("a.rk"),
-                           F.col("b.sz") - F.col("b.rk")) + 1
-                   >= min_ov))
+    return (toks.join(dfreq, "tok")
+            .withColumn("sz", F.count("*").over(w))
+            .withColumn("rk", rk)
+            .filter(F.col("rk") <= plen)
+            .select("id", "tok", "sz", "rk"))
+
+
+def _ppjoin_candidates(prefix, threshold_num: int, threshold_den: int,
+                       positional: bool = True):
+    """Distinct (id_a, id_b) candidate pairs from the prefix table.
+
+    LENGTH FILTER (lossless, the AllPairs/PPJoin size bound):
+    J(a,b) >= t  =>  inter >= t*union >= t*max(|a|,|b|), and
+    inter <= min(|a|,|b|), so min*den >= max*num.  Applied INSIDE the
+    candidate join it prunes shingle-colliding but size-incompatible
+    pairs before the distinct and before the verify joins ever see
+    them — at boilerplate shingle frequencies this is the difference
+    between verify work ~ true-candidate count and ~ collision count.
+
+    POSITIONAL FILTER (lossless, the "PP" of PPJoin, Xiao et al.
+    2008 §3.2): a colliding token at doc-internal global-order
+    positions (rk_a, rk_b) bounds the overlap reachable through this
+    collision by 1 + min(|a| - rk_a, |b| - rk_b) — every OTHER common
+    token of a truly-similar pair's FIRST collision sits strictly
+    later in both orderings.  J >= t requires
+    inter * (num + den) >= num * (|a| + |b|) (from inter >= t*union
+    and union = |a|+|b|-inter), so collision rows whose positional
+    bound cannot reach that minimum overlap are dropped inside the
+    join.  Per-row the test is exact for the pair's first collision
+    (conservative for later ones), so every qualifying pair still
+    survives through its first collision row — candidates shrink,
+    output is unchanged.  ``positional=False`` exists ONLY for the A/B
+    rig; the operator always filters.
+    """
+    cond = ((F.col("a.tok") == F.col("b.tok")) &
+            (F.col("a.id") < F.col("b.id")) &
+            (F.least(F.col("a.sz"), F.col("b.sz")) * threshold_den
+             >= F.greatest(F.col("a.sz"), F.col("b.sz")) * threshold_num))
+    if positional:
+        min_ov = (F.floor((F.lit(threshold_num)
+                           * (F.col("a.sz") + F.col("b.sz"))
+                           + (threshold_num + threshold_den - 1))
+                          / (threshold_num + threshold_den)))
+        cond = cond & (F.least(F.col("a.sz") - F.col("a.rk"),
+                               F.col("b.sz") - F.col("b.rk")) + 1
+                       >= min_ov)
+    return (prefix.alias("a").join(prefix.alias("b"), cond)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())
-    # no sort_array: array_intersect is order-insensitive and the
-    # output columns are scalars, so sorting the collected arrays was
-    # dead work (round-8 ADVICE)
+
+
+def _ppjoin_verify(cand, toks, threshold_num: int, threshold_den: int):
+    """Exact (id_a, id_b, inter, union_sz) for candidates above the
+    threshold, via per-id shingle arrays + size(array_intersect) — no
+    sort_array: array_intersect is order-insensitive and the output
+    columns are scalars, so sorting the collected arrays was dead work
+    (round-8 ADVICE)."""
     byid = toks.groupBy("id").agg(
         F.count("*").alias("sz"),
         F.collect_list("tok").alias("arr"))

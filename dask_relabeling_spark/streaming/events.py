@@ -110,7 +110,12 @@ def sessionize_stateful(stream: DataFrame, gap_min: int = SESSION_GAP_MIN,
             last_ts, sess, n, fe, le = None, 0, 0, None, None
         closed = []
         # zip over pre-extracted int arrays: iterrows materializes a
-        # Series per row and dominated this loop's profile
+        # Series per row and dominated this loop's profile.  The ns->s
+        # conversion FLOORS; for pre-1970 timestamps with sub-second
+        # parts that differs from truncation toward zero — matching
+        # Spark's own timestamp->long cast (floor), which the batch
+        # twin sessionize_batch uses, so the two paths agree on the
+        # full domain
         ts_arr = (rows["ts"].astype("datetime64[ns]").astype("int64")
                   // 1_000_000_000)
         for ts, ev in zip(ts_arr.tolist(),

@@ -64,16 +64,23 @@ PROBES = [
 
 
 def replicate(spark, k: int) -> str:
-    out = os.path.join(ROOT, f"sfx{k}")
+    # SCALE_PROBE_TABLES=documents,embeddings bounds a heavy-K probe
+    # to the tables its queries actually read (a full 100x replica of
+    # lineitem is minutes of write for a documents-only probe).  A
+    # partial replica gets its OWN directory (sfx{k}-{tables}) so a
+    # later full-probe run can never mistake it for a complete one —
+    # the existing-dir early-return below is a cache hit, and a cache
+    # keyed only by k would serve missing/partial tables.
+    only = os.environ.get("SCALE_PROBE_TABLES")
+    wanted = (None if only is None else
+              sorted(t.strip() for t in only.split(",") if t.strip()))
+    suffix = "" if wanted is None else "-" + "-".join(wanted)
+    out = os.path.join(ROOT, f"sfx{k}{suffix}")
     if os.path.isdir(out):
         return out
     os.makedirs(out, exist_ok=True)
-    # SCALE_PROBE_TABLES=documents,embeddings bounds a heavy-K probe
-    # to the tables its queries actually read (a full 100x replica of
-    # lineitem is minutes of write for a documents-only probe).
-    only = os.environ.get("SCALE_PROBE_TABLES")
     tables = {n: c for n, c in TABLES.items()
-              if only is None or n in only.split(",")}
+              if wanted is None or n in wanted}
     for name, idcols in tables.items():
         src = load_table(spark, BASE, name)
         if not idcols:
