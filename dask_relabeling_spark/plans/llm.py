@@ -30,8 +30,14 @@ _DUCK_QVEC = "(SELECT min(vec_id) FROM embeddings)"
 
 def _query_vec(emb) -> list:
     """Query vector as a python float list, or a clear error if the
-    embeddings table is empty (``.first()`` returns None there)."""
-    row = emb.orderBy("vec_id").select("embedding").first()
+    embeddings table is empty (``.first()`` returns None there).
+
+    NULL ids are excluded first: Spark's ascending sort places NULLs
+    FIRST while the oracle's ``min(vec_id)`` ignores them — without the
+    filter a null-id corpus would silently diverge instead of agreeing
+    on the lowest non-null id (round-9 ADVICE)."""
+    row = (emb.filter(F.col("vec_id").isNotNull())
+           .orderBy("vec_id").select("embedding").first())
     if row is None:
         raise ValueError(
             "embeddings table is empty — no ANN query vector available")

@@ -116,6 +116,12 @@ def sessionize_stateful(stream: DataFrame, gap_min: int = SESSION_GAP_MIN,
         # Spark's own timestamp->long cast (floor), which the batch
         # twin sessionize_batch uses, so the two paths agree on the
         # full domain
+        if rows["ts"].isna().any():
+            # NaT would silently become the int64 sentinel (a huge
+            # negative epoch) and corrupt session boundaries; the old
+            # pd.Timestamp path raised here, so keep failing loudly
+            raise ValueError(
+                f"sessionize: null ts for user_id={user_id}")
         ts_arr = (rows["ts"].astype("datetime64[ns]").astype("int64")
                   // 1_000_000_000)
         for ts, ev in zip(ts_arr.tolist(),

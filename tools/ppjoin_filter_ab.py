@@ -48,6 +48,20 @@ def main() -> None:
     spark = get_spark(app_name="ppjoin-filter-ab")
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_table(spark, sf_dir, "documents")
+    # Warmup: run the whole candidates+verify stage once untimed (the
+    # cheap positional arm) so JVM/codegen/parquet-footer startup is
+    # paid before either timed arm — previously prefix_only always ran
+    # first in a cold JVM and the startup cost biased the reported
+    # wall-time improvement toward the positional arm (round-9 ADVICE;
+    # the collision/pair COUNTS were never affected).
+    warm_toks = scoped_persist(
+        _distinct_shingle_table(docs, "doc_id", "text", 3)
+        .withColumnRenamed("sh", "tok"))
+    warm_prefix = _ppjoin_prefix_table(warm_toks, NUM, DEN)
+    _ppjoin_verify(_ppjoin_candidates(warm_prefix, NUM, DEN),
+                   warm_toks, NUM, DEN).count()
+    release_persists()
+    spark.catalog.clearCache()
     out: dict = {"sf_dir": sf_dir}
     finals = {}
     for positional in (False, True):

@@ -76,8 +76,14 @@ def replicate(spark, k: int) -> str:
               sorted(t.strip() for t in only.split(",") if t.strip()))
     suffix = "" if wanted is None else "-" + "-".join(wanted)
     out = os.path.join(ROOT, f"sfx{k}{suffix}")
+    # The cache hit requires the sentinel dropped AFTER the last table:
+    # a run interrupted mid-write leaves a directory without it, which
+    # is rebuilt instead of silently served as complete (round-9 ADVICE)
+    sentinel = os.path.join(out, "_COMPLETE")
     if os.path.isdir(out):
-        return out
+        if os.path.exists(sentinel):
+            return out
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     tables = {n: c for n, c in TABLES.items()
               if wanted is None or n in wanted}
@@ -96,6 +102,7 @@ def replicate(spark, k: int) -> str:
             for p in parts[1:]:
                 rep = rep.unionByName(p)
         rep.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    open(sentinel, "w").close()
     return out
 
 
