@@ -90,10 +90,24 @@ def exclusive_prefix_sum(df: DataFrame, key_col: str, val_col: str,
                           F.coalesce(F.sum("_t").over(wp), F.lit(0)))
               .drop("_t"))
 
-    return (local.join(F.broadcast(prefix), ["_pid"] + grp)
+    # the group-key join must be NULL-SAFE: SQL GROUP BY / window
+    # PARTITION BY treat NULL as a regular group, but a name-list
+    # equi-join never matches NULL keys, so every NULL-group ROW was
+    # silently dropped from the output (a NULL-source document simply
+    # vanished from docs_weighted_interleave's training mix — found by
+    # tools/null_parity_sweep.py).  _pid is never null; only the group
+    # columns need eqNullSafe.
+    pref = prefix.select(
+        F.col("_pid").alias("_ppid"), "_poff",
+        *[F.col(g).alias(f"_pg{i}") for i, g in enumerate(grp)])
+    cond = F.col("_pid") == F.col("_ppid")
+    for i, g in enumerate(grp):
+        cond = cond & F.col(g).eqNullSafe(F.col(f"_pg{i}"))
+    return (local.join(F.broadcast(pref), cond)
             .withColumn(out_col, (F.col("_local_off")
                                   + F.col("_poff")).cast("long"))
-            .drop("_pid", "_local_off", "_poff"))
+            .drop("_pid", "_ppid", "_local_off", "_poff",
+                  *[f"_pg{i}" for i in range(len(grp))]))
 
 
 def zorder_key(x, y, bits: int = 4):

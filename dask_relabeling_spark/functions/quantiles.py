@@ -35,11 +35,20 @@ def exact_quantiles(df: DataFrame, col: str,
     """Exact type-1 quantiles of ``col``.  ``quantiles`` is a list of
     (name, num, den); each selects the value of rank
     ``(num * (n-1)) // den`` (0-indexed) in the sorted column.
-    Output: (q, value), one row per requested quantile."""
-    counts = (df.select(F.col(col).alias("v"))
-              .groupBy("v").agg(F.count("*").alias("cnt")))
+    Output: (q, value), one row per requested quantile.
+
+    NULLs are NOT values: order statistics are over the non-null
+    column (the SQL percentile convention), with ``n`` the non-null
+    count.  Without the explicit filter the two engines silently pick
+    DIFFERENT order statistics the moment the column has one NULL —
+    Spark's range partitioner sorts NULL FIRST (rank 0) while DuckDB's
+    default ORDER BY puts it LAST, so every downstream threshold
+    shifts by the null count on one engine only (found by
+    tools/null_parity_sweep.py via events_value_winsorize_counts)."""
+    base = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
+    counts = base.groupBy("v").agg(F.count("*").alias("cnt"))
     ranked = exclusive_prefix_sum(counts, "v", "cnt", out_col="below")
-    n_row = df.agg(F.count("*").alias("n"))
+    n_row = base.agg(F.count("*").alias("n"))
     qdf = df.sparkSession.createDataFrame(
         [(name, num, den) for name, num, den in quantiles],
         "q string, num long, den long")
@@ -64,13 +73,15 @@ def grouped_exact_quantiles(df: DataFrame, col: str, group_col: str,
     group's rank ranges come from the same broadcast partition-totals
     table.  Group sizes join back as an aggregate (one extra shuffle of
     group cardinality, not data).  Output: (group, q, value)."""
-    counts = (df.select(F.col(group_col).alias("g"),
-                        F.col(col).alias("v"))
-              .groupBy("g", "v").agg(F.count("*").alias("cnt")))
+    base = (df.select(F.col(group_col).alias("g"), F.col(col).alias("v"))
+            .filter(F.col("v").isNotNull()))  # same non-null
+    # convention as exact_quantiles: a group whose values are all NULL
+    # gets NO quantile row (it has no order statistics), never an
+    # engine-dependent one
+    counts = base.groupBy("g", "v").agg(F.count("*").alias("cnt"))
     ranked = exclusive_prefix_sum(counts, "v", "cnt", out_col="below",
                                   group_col="g")
-    sizes = (df.groupBy(F.col(group_col).alias("g"))
-             .agg(F.count("*").alias("n")))
+    sizes = base.groupBy("g").agg(F.count("*").alias("n"))
     qdf = df.sparkSession.createDataFrame(
         [(name, num, den) for name, num, den in quantiles],
         "q string, num long, den long")
@@ -78,7 +89,12 @@ def grouped_exact_quantiles(df: DataFrame, col: str, group_col: str,
           .select("g", "q",
                   F.floor((F.col("num") * (F.col("n") - 1))
                           / F.col("den")).alias("k")))
-    return (ranked.join(ks, "g")
+    # null-safe: NULL is a legitimate GROUP (its VALUES are filtered,
+    # its key is not) — a name-list equi-join would silently drop the
+    # NULL group's quantile rows (same class as the
+    # exclusive_prefix_sum join, tools/null_parity_sweep.py)
+    ks = ks.select(F.col("g").alias("_kg"), "q", "k")
+    return (ranked.join(ks, F.col("g").eqNullSafe(F.col("_kg")))
             .filter((F.col("below") <= F.col("k")) &
                     (F.col("k") < F.col("below") + F.col("cnt")))
             .select(F.col("g").alias(group_col), "q",

@@ -48,8 +48,15 @@ FEATURE_SCHEMA = T.StructType([
 
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as an opaque media payload —
-    gives the media pipeline a deterministic substrate in this container."""
-    return df.select(
+    gives the media pipeline a deterministic substrate in this container.
+
+    NULL text is excluded (a failed scrape has no payload): the media
+    contract is payload NOT NULL — the real-codec adapters below
+    already enforce it via their ``length(text) > 0`` cycling guard,
+    and without it here a single NULL document crashes the whole
+    ``decode_and_featurize`` stage (``bytes(None)``) instead of being
+    skipped — found by tools/null_parity_sweep.py."""
+    return df.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode("text", "utf-8").alias("payload"),
@@ -155,6 +162,13 @@ def decode_and_featurize(df: DataFrame, decode: str = "fake",
             recs = []
             for media_id, kind, payload in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None:
+                    # adapter contract violated — fail with the id
+                    # instead of an anonymous bytes(None) TypeError
+                    raise ValueError(
+                        f"NULL payload for media_id={media_id}: media "
+                        "adapters exclude payload-less rows; filter "
+                        "payload IS NOT NULL upstream")
                 payload = bytes(payload)
                 if decode == "real":
                     if payload[:2] in (b"P5", b"P6"):

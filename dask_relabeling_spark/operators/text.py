@@ -213,8 +213,16 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
     join keys are the doc id (no skew beyond document length itself).
     """
     toks = tokens_col(F.col(text_col))
+    # NB: Spark's sequence(1, 0) is a DESCENDING [1, 0], not [] (see
+    # shingles_col) — the old greatest(size-2, 0) guard still reached
+    # sequence(1, 0) for docs under 3 tokens or NULL text, minting two
+    # phantom "" grams per doc (found by tools/null_parity_sweep.py);
+    # guard with when/otherwise like every other gram site.
+    idx3 = F.when(F.size(toks) >= 3,
+                  F.sequence(F.lit(1), F.size(toks) - 2)) \
+        .otherwise(F.array().cast("array<int>"))
     tri = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        idx3,
         lambda i: F.concat_ws(" ", F.element_at(toks, i),
                               F.element_at(toks, i + 1),
                               F.element_at(toks, i + 2)))
@@ -225,11 +233,13 @@ def repetition_signals(df: DataFrame, id_col: str = "doc_id",
         F.size("tri").cast("long").alias("n_trigrams"),
         F.size(F.array_distinct("tri")).cast("long")
         .alias("n_distinct_trigrams"))
+    idx2 = F.when(F.size(F.col("tk")) >= 2,
+                  F.sequence(F.lit(1), F.size(F.col("tk")) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
     bi = base.select(
         "id",
         F.explode(F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(F.col("tk")) - 1,
-                                            F.lit(0))),
+            idx2,
             lambda i: F.concat_ws(" ", F.element_at(F.col("tk"), i),
                                   F.element_at(F.col("tk"), i + 1))))
         .alias("bg"))

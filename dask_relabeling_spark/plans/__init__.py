@@ -59,6 +59,28 @@ _CHANGED = [
     ("ann_ivfpq_query", 10),
     ("ann_recall_panel", 10),
     ("docs_hybrid_rrf", 10),
+    # round 10: null-robustness fixes from tools/null_parity_sweep.py —
+    # documents_as_media now excludes NULL text (and both multimodal
+    # oracles match), text_langid's oracle keeps NULL-text docs via
+    # LEFT JOIN (no result change on clean data, but plans/oracles
+    # changed so the evidence must be replayed)
+    ("multimodal_metadata", 10),
+    ("multimodal_features", 10),
+    ("text_langid", 10),
+    # round 10, same sweep: sequence(1,0)-descending guard in
+    # repetition_signals; explicit-null to_json; NULL-iff-all-null
+    # partial-SUM merge; quantile machinery now ranks non-null values
+    # only (plan change for every exact-quantile consumer); total
+    # weight function for digitless sources
+    ("text_repetition", 10),
+    ("nested_json_docs", 10),
+    ("events_incremental_rollup", 10),
+    ("events_value_winsorize_counts", 10),
+    ("events_anomaly_mad", 10),
+    ("docs_weighted_interleave", 10),
+    ("lineitem_exact_quantiles", 10),
+    ("orders_price_quartiles_by_priority", 10),
+    ("docs_adaptive_quality_filter", 10),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -676,9 +676,9 @@ def embedding_dim_stats(spark, sf_dir):
 
 # ------------------------------------- winsorized feature clipping
 @register("events_value_winsorize_counts", """
-WITH nn AS (SELECT count(*) AS n FROM events),
+WITH nn AS (SELECT count(*) AS n FROM events WHERE value IS NOT NULL),
 o AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rk
-      FROM events),
+      FROM events WHERE value IS NOT NULL),
 p01 AS (SELECT o.value AS v FROM o, nn WHERE o.rk = (1 * (nn.n - 1)) // 100),
 p99 AS (SELECT o.value AS v FROM o, nn WHERE o.rk = (99 * (nn.n - 1)) // 100)
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
@@ -705,12 +705,18 @@ def events_value_winsorize_counts(spark, sf_dir):
     b = F.broadcast(q.agg(
         F.min(F.when(F.col("q") == "p01", F.col("value"))).alias("p01"),
         F.min(F.when(F.col("q") == "p99", F.col("value"))).alias("p99")))
+    # count(when(...)) not sum(cast(...)): a NULL value makes the
+    # comparison NULL, and summing the cast turns a group of NULL
+    # values into a NULL clip count where the oracle's CASE yields 0 —
+    # a NULL value is simply "not clipped" (null_parity_sweep).  The
+    # thresholds themselves are now over non-null values only
+    # (functions/quantiles.py), matching the oracle's filtered ranks.
     return (ev.crossJoin(b)
             .groupBy("event_type")
             .agg(F.count("*").cast("long").alias("n_events"),
-                 F.sum((F.col("value") < F.col("p01")).cast("long"))
+                 F.count(F.when(F.col("value") < F.col("p01"), 1))
                  .alias("n_clip_lo"),
-                 F.sum((F.col("value") > F.col("p99")).cast("long"))
+                 F.count(F.when(F.col("value") > F.col("p99"), 1))
                  .alias("n_clip_hi")))
 
 
@@ -1150,16 +1156,26 @@ def events_incremental_rollup(spark, sf_dir):
 
     stored = hourly(ev.filter(F.col("ts") < cut))     # the standing MV
     late = hourly(ev.filter(F.col("ts") >= cut))      # today's batch
+    # SUM's partial-merge identity is NULL-iff-all-null: a group whose
+    # only values are NULL has sv = NULL in both the partial and the
+    # from-scratch rollup, so a bare coalesce(...)+coalesce(...) would
+    # mint a 0.0 the recomputation never produces (silent divergence
+    # on the first NULL-valued event, found by
+    # tools/null_parity_sweep.py).  n_events needs no such guard:
+    # COUNT(*) partials are never NULL.
+    sv_merged = F.when(
+        F.col("m.sv").isNull() & F.col("l.sv").isNull(),
+        F.lit(None).cast("decimal(27,9)")
+    ).otherwise(
+        F.coalesce(F.col("m.sv"), F.lit(0).cast("decimal(27,9)"))
+        + F.coalesce(F.col("l.sv"), F.lit(0).cast("decimal(27,9)")))
     merged = (stored.alias("m")
               .join(late.alias("l"), ["event_type", "h"], "full_outer")
               .select("event_type", "h",
                       (F.coalesce(F.col("m.n_events"), F.lit(0))
                        + F.coalesce(F.col("l.n_events"), F.lit(0)))
                       .alias("n_events"),
-                      (F.coalesce(F.col("m.sv"), F.lit(0).cast(
-                          "decimal(27,9)"))
-                       + F.coalesce(F.col("l.sv"), F.lit(0).cast(
-                           "decimal(27,9)"))).alias("sv")))
+                      sv_merged.alias("sv")))
     return merged.select("event_type", "h", "n_events",
                          F.round(F.col("sv").cast("double"), 2)
                          .alias("sum_value"))
@@ -1175,7 +1191,10 @@ n AS (SELECT o_orderpriority AS g, count(*) AS n FROM orders GROUP BY 1),
 q(qname, num, den) AS (
   VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4))
 SELECT o.g AS o_orderpriority, q.qname AS q, o.v AS value
-FROM o JOIN n USING (g), q
+-- NULL-safe join for coherence with grouped_exact_quantiles: NULL is
+-- a regular group (o_orderpriority is NOT NULL in TPC-H, so results
+-- are unchanged here; the convention is what matters)
+FROM o JOIN n ON o.g IS NOT DISTINCT FROM n.g, q
 WHERE o.rk = (q.num * (n.n - 1)) // q.den
 """)
 def orders_price_quartiles_by_priority(spark, sf_dir):
@@ -1269,12 +1288,14 @@ def docs_leakage_safe_split(spark, sf_dir):
 # ------------------------------------- robust (MAD) anomaly counts
 @register("events_anomaly_mad", """
 WITH med AS (
+  -- medians rank NON-NULL values only (the quantile machinery's
+  -- convention, functions/quantiles.py): NULLs are not values
   SELECT g AS event_type, v AS med FROM (
     SELECT event_type AS g, value AS v,
            row_number() OVER (PARTITION BY event_type
                               ORDER BY value) - 1 AS rk
-    FROM events) o
-  JOIN (SELECT event_type AS g, count(*) AS n
+    FROM events WHERE value IS NOT NULL) o
+  JOIN (SELECT event_type AS g, count(value) AS n
         FROM events GROUP BY 1) n USING (g)
   WHERE o.rk = (n.n - 1) // 2),
 dev AS (SELECT e.event_type, abs(e.value - m.med) AS d, m.med
@@ -1284,8 +1305,8 @@ mad AS (
     SELECT event_type AS g, d AS v,
            row_number() OVER (PARTITION BY event_type
                               ORDER BY d) - 1 AS rk
-    FROM dev) o
-  JOIN (SELECT event_type AS g, count(*) AS n
+    FROM dev WHERE d IS NOT NULL) o
+  JOIN (SELECT event_type AS g, count(d) AS n
         FROM dev GROUP BY 1) n USING (g)
   WHERE o.rk = (n.n - 1) // 2)
 SELECT d.event_type,

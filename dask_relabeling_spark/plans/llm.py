@@ -295,8 +295,13 @@ WITH tok AS (
 sc AS (SELECT doc_id, {sums} FROM tok GROUP BY doc_id)
 SELECT d.doc_id, d.lang, {pred} AS pred_lang,
        CAST({best} AS INT) AS best_score
-FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
+# LEFT JOIN (not inner): unnest(string_split(NULL)) yields ZERO rows,
+# so an inner join would silently DROP a NULL-text document while the
+# Spark side keeps it with NULL pred/score (size(filter(NULL)) is
+# NULL) — a curation pipeline should see the unidentifiable doc, not
+# lose it.  Found by tools/null_parity_sweep.py.
 
 
 @register("text_langid", _langid_sql())
@@ -489,6 +494,7 @@ SELECT doc_id AS media_id, 'image' AS kind,
        CAST(octet_length(encode(text)) AS INT) AS n_bytes,
        64 AS width, 64 AS height
 FROM documents
+WHERE text IS NOT NULL
 """)
 def multimodal_metadata(spark, sf_dir):
     media = documents_as_media(t(spark, sf_dir, "documents"))
@@ -683,7 +689,8 @@ def multimodal_resize(spark, sf_dir):
 
 @register("multimodal_features", """
 WITH d AS (SELECT doc_id AS media_id, text,
-                  octet_length(encode(text)) AS n FROM documents),
+                  octet_length(encode(text)) AS n FROM documents
+           WHERE text IS NOT NULL),
 c AS (SELECT media_id, n,
              (n // 8) + CASE WHEN n % 8 > 0 THEN 1 ELSE 0 END AS c0
       FROM d),
@@ -947,7 +954,8 @@ def docs_pack_sequences(spark, sf_dir):
 @register("docs_weighted_interleave", """
 WITH b AS (
   SELECT doc_id, source,
-         1 + CAST(regexp_extract(source, '[0-9]+') AS INT) % 4 AS w,
+         1 + coalesce(TRY_CAST(regexp_extract(source, '[0-9]+') AS INT),
+                      0) % 4 AS w,
          row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
   FROM documents)
 SELECT doc_id, source,
@@ -969,7 +977,14 @@ def docs_weighted_interleave(spark, sf_dir):
          .select("doc_id", "source", F.lit(1).alias("one")))
     rn = exclusive_prefix_sum(d, "doc_id", "one", out_col="rn0",
                               group_col="source")
-    w = 1 + F.regexp_extract("source", "[0-9]+", 0).cast("int") % 4
+    # try_cast + coalesce: a source name with no digit makes
+    # regexp_extract return '' and the ANSI cast KILL the query — on
+    # both engines, consistently, but a mix schedule must be total
+    # over source names (weight 1 for digitless/NULL sources), not
+    # crash on the first 'books' corpus (null_parity_sweep).
+    w = 1 + F.coalesce(
+        F.regexp_extract("source", "[0-9]+", 0).try_cast("int"),
+        F.lit(0)) % 4
     return (rn.withColumn("w", w)
             .select("doc_id", "source",
                     F.expr("rn0 div w").cast("long").alias("mix_round"),

@@ -324,9 +324,16 @@ def nested_json_docs(spark, sf_dir):
     """Nested-struct construction + to_json — the GeoJSON export idiom
     (§2.3.14); Spark and DuckDB emit the identical compact JSON."""
     d = t(spark, sf_dir, "documents")
+    # ignoreNullFields=false: Spark's default silently DROPS null
+    # struct fields ({"doc_id":1}) where DuckDB emits them explicitly
+    # ({"doc_id":1,"lang":null}) — identical on null-free data, a
+    # silent export divergence on the first dirty corpus (found by
+    # tools/null_parity_sweep.py); explicit nulls are also the GeoJSON
+    # properties convention this query stands in for.
     return d.select(
         "doc_id",
-        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("payload"))
+        F.to_json(F.struct("doc_id", "lang", "n_chars"),
+                  {"ignoreNullFields": "false"}).alias("payload"))
 
 
 @register("events_props_extract", """

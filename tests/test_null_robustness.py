@@ -1,0 +1,120 @@
+"""Round-10 null/dirty-input robustness regressions, from the
+tools/null_parity_sweep.py findings: the sequence(1, 0)-descending
+phantom-gram bug in ``repetition_signals`` (latent on CLEAN data for
+any document under 3 tokens), the non-null order-statistic convention
+in the exact-quantile machinery, the NULL-text exclusion in the media
+adapter plus the clear NULL-payload error in the featurizer, and the
+total weight function for digitless source names.
+"""
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dask_relabeling_spark.functions.quantiles import (
+    exact_quantiles, grouped_exact_quantiles)
+from dask_relabeling_spark.operators.multimodal import (
+    decode_and_featurize, documents_as_media)
+from dask_relabeling_spark.operators.text import repetition_signals
+
+
+def test_repetition_signals_short_and_null_docs(spark):
+    # Spark's sequence(1, 0) is DESCENDING [1, 0]: before the guard,
+    # every doc under 3 tokens got two phantom "" trigrams (and under
+    # 2 tokens two phantom "" bigrams) — on clean data too.
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one"), (4, "one two"),
+         (5, "a b a b")],
+        "doc_id long, text string")
+    rows = {r.id: r for r in repetition_signals(df).collect()}
+    for doc in (1, 2, 3):                      # 0- and 1-token docs
+        assert rows[doc].n_trigrams == 0, rows[doc]
+        assert rows[doc].n_distinct_trigrams == 0
+    for doc in (1, 2):                         # under 2 tokens
+        assert rows[doc].n_bigrams == 0
+        assert rows[doc].max_bigram_count == 0
+    assert rows[4].n_bigrams == 1 and rows[4].n_trigrams == 0
+    # 4 tokens: 2 trigrams ("a b a", "b a b"), 3 bigrams, "a b" twice
+    assert rows[5].n_trigrams == 2 and rows[5].n_distinct_trigrams == 2
+    assert rows[5].n_bigrams == 3 and rows[5].max_bigram_count == 2
+
+
+def test_exact_quantiles_ignore_nulls(spark):
+    # order statistics are over NON-NULL values: with NULLs in the
+    # column the thresholds must equal those of the null-free column
+    # (Spark ranks NULL first, DuckDB last — both conventions are
+    # wrong answers for a percentile)
+    vals = [(float(v),) for v in range(1, 101)]
+    clean = spark.createDataFrame(vals, "v double")
+    dirty = spark.createDataFrame(vals + [(None,)] * 7, "v double")
+    qs = [("p01", 1, 100), ("p50", 1, 2), ("p99", 99, 100)]
+    got_clean = {r.q: r.value for r in
+                 exact_quantiles(clean, "v", qs).collect()}
+    got_dirty = {r.q: r.value for r in
+                 exact_quantiles(dirty, "v", qs).collect()}
+    # type-1 lower statistics: k = num*(n-1)//den over the 100
+    # non-null values -> ranks 0, 49, 98
+    assert got_clean == got_dirty == {"p01": 1.0, "p50": 50.0,
+                                      "p99": 99.0}
+
+
+def test_grouped_quantiles_allnull_group_has_no_row(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None),
+         ("b", None), ("b", None)],
+        "g string, v double")
+    out = grouped_exact_quantiles(df, "v", "g", [("p50", 1, 2)]).collect()
+    # group a: median over the 3 non-null values; group b: no order
+    # statistics exist, so no row (never an engine-dependent NULL rank)
+    assert [(r.g, r.value) for r in out] == [("a", 2.0)]
+
+
+def test_documents_as_media_excludes_null_text(spark):
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, None), (3, "")],
+        "doc_id long, text string")
+    media = documents_as_media(docs)
+    assert sorted(r.media_id for r in media.collect()) == [1, 3]
+    # the whole pipeline survives the dirty corpus (empty payload ok)
+    feats = decode_and_featurize(media).collect()
+    assert sorted(r.media_id for r in feats) == [1, 3]
+
+
+def test_decode_featurize_null_payload_clear_error(spark):
+    import pyspark.sql.types as T
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StructType([
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("n_frames", T.IntegerType())])),
+    ])
+    media = spark.createDataFrame(
+        [(7, "image", None, (1, 1, None, None))], schema)
+    with pytest.raises(Exception, match="NULL payload for media_id=7"):
+        decode_and_featurize(media).collect()
+
+
+def test_weighted_interleave_digitless_source(spark, tmp_path):
+    # a source name with no digit used to KILL the query on both
+    # engines (regexp_extract '' -> ANSI cast error); weight must be
+    # total over source names
+    import __spark_entry__ as E
+    import shutil
+    sf = str(tmp_path / "sf")
+    src = "/root/testdata/sf0.001"
+    shutil.copytree(src, sf)
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    extra = spark.createDataFrame(
+        [(9000001, "t t", None, "books", 3),
+         (9000002, "u u", "en", None, 3)],
+        docs.schema)
+    (docs.unionByName(extra).coalesce(1).write.mode("overwrite")
+     .parquet(f"{sf}/documents.parquet"))
+    out = E.queries()["docs_weighted_interleave"](spark, sf).toPandas()
+    got = out.set_index("doc_id")
+    # digitless and NULL sources fall back to weight 1: every round
+    # has exactly slot 0
+    assert (got.loc[[9000001, 9000002], "mix_slot"] == 0).all()

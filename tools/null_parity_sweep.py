@@ -1,0 +1,175 @@
+"""Null-injection parity sweep: the dirty-corpus cross-engine gate.
+
+Three of the last four judge ADVICE items were NULL-handling
+divergences found by hand (a NULL ``vec_id`` picked by Spark's
+NULLS-FIRST ascending sort while the oracle's ``min()`` ignored it; a
+NaT ``ts`` silently folding to the int64 sentinel; NULL terms entering
+the Misra-Gries sketch).  This tool makes that bug class mechanically
+findable instead: copy the sf0.001 tables, append rows carrying NULLs
+in the VALUE columns a dirty corpus actually produces —
+
+  documents:   text / lang / source / n_chars
+  embeddings:  embedding / label          (vec_id stays non-null: key)
+  events:      event_type / value / props (event_id/ts/user_id stay
+               non-null: key + the round-10 loud-fail ts contract)
+
+— then run EVERY registered query on Spark AND its DuckDB oracle over
+the injected data and compare with the driver's own normalization
+(reusing oracle_sweep's compare).  Key columns stay non-null because
+the TPC-H-ish schema contract declares them so; injecting NULL keys
+would test a corpus the loaders are documented not to accept.
+
+A FAIL here is not a clean-data gate failure — it is a SILENT
+cross-engine divergence waiting for the first dirty corpus (the known
+engine trap: Spark ascending sorts place NULLs FIRST, DuckDB's default
+places them LAST, so any ranking/limit over a nullable column can pick
+different rows while both engines report success).  An ERROR is the
+acceptable loud alternative only if BOTH engines fail.
+
+Usage: python tools/null_parity_sweep.py [name ...]
+Env:   NULL_SWEEP_SF (default /root/testdata/sf0.001)
+"""
+import os
+import shutil
+import sys
+import tempfile
+
+import duckdb
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+import oracle_sweep as OS  # noqa: E402  (normalize / values_match)
+import __spark_entry__ as E  # noqa: E402
+from dask_relabeling_spark.session import (  # noqa: E402
+    get_spark, release_persists)
+
+BASE = os.environ.get("NULL_SWEEP_SF", "/root/testdata/sf0.001")
+
+# Appended rows, per table: doc/vec/event ids sit far above the base
+# key range (max 999 at sf0.001) so the injected rows never collide.
+_FULL_VEC = "[" + ", ".join(["0.5"] * 64) + "]::FLOAT[]"
+_INJECT = {
+    "documents": [
+        # failed scrape: no text, no length
+        "(9000001, NULL, 'en', 'web', NULL)",
+        # un-identified doc: text present, lang/source unknown
+        "(9000002, 'the quick brown fox the quick brown fox', NULL,"
+        " NULL, 40)",
+    ],
+    "embeddings": [
+        # failed embedding job: payload NULL (id non-null per contract)
+        "(9000001, NULL, NULL)",
+        # unlabeled but embedded row
+        f"(9000002, {_FULL_VEC}, NULL)",
+    ],
+    "events": [
+        # untyped / valueless / propless event
+        "(9000001, TIMESTAMP '2024-01-02 03:04:05', 3, NULL, NULL,"
+        " NULL)",
+    ],
+}
+
+
+def build_injected_dir() -> str:
+    out = tempfile.mkdtemp(prefix="null_sweep_")
+    con = duckdb.connect()
+    for t in OS.TABLES:
+        src = f"{BASE}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        rows = _INJECT.get(t)
+        if rows is None:
+            shutil.copyfile(src, dst)
+            continue
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}') "
+            f"UNION ALL BY NAME FROM (VALUES {', '.join(rows)}) "
+            f"v({', '.join(_cols(con, src))})) "
+            f"TO '{dst}' (FORMAT PARQUET)")
+    return out
+
+
+def _cols(con, src: str) -> list:
+    return [r[0] for r in
+            con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src}')"
+                        ).fetchall()]
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    sf = build_injected_dir()
+    print(f"# injected tables -> {sf}")
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in OS.TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf}/{t}.parquet')")
+    qs, oracles = E.queries(), E.oracle_sql()
+    bad, loud, n_run = [], [], 0
+    try:
+        for name, fn in qs.items():
+            if only and name not in only:
+                continue
+            n_run += 1
+            s_err = o_err = None
+            sdf = odf = None
+            try:
+                sdf = fn(spark, sf).toPandas()
+            except Exception as exc:  # noqa: BLE001
+                # strip() first: PySpark messages can START with a
+                # newline, and an empty first line would make s_err
+                # falsy — the error would silently count as success
+                s_err = (str(exc).strip() or repr(exc)
+                         ).splitlines()[0][:160]
+            finally:
+                release_persists()
+            if name not in oracles:
+                if s_err:
+                    bad.append((name, f"SPARK ERROR (rows-only): {s_err}"))
+                    print(f"ERROR  {name}: {s_err}")
+                else:
+                    print(f"rows   {name}: {len(sdf)} (rows-only)")
+                continue
+            try:
+                odf = con.execute(oracles[name]).df()
+            except Exception as exc:  # noqa: BLE001
+                o_err = (str(exc).strip() or repr(exc)
+                         ).splitlines()[0][:160]
+            if s_err or o_err:
+                if s_err and o_err:
+                    # both engines refused the dirty input: loud and
+                    # consistent — acceptable, but reported
+                    loud.append((name, s_err, o_err))
+                    print(f"loud   {name}: both engines error")
+                else:
+                    side = "spark" if s_err else "oracle"
+                    bad.append((name, f"{side} ONLY errored: "
+                                f"{s_err or o_err}"))
+                    print(f"FAIL   {name}: {side} errored, the other "
+                          "succeeded")
+                continue
+            s, o = OS.normalize(sdf), OS.normalize(odf)
+            if sorted(s.columns) != sorted(o.columns):
+                bad.append((name, "columns differ"))
+                print(f"FAIL   {name}: columns differ")
+            elif len(s) != len(o):
+                bad.append((name, f"rows {len(s)} != {len(o)}"))
+                print(f"FAIL   {name}: rowcount {len(s)} != {len(o)}")
+            elif not OS.values_match(s, o):
+                bad.append((name, "values differ"))
+                print(f"FAIL   {name}: values differ")
+            else:
+                print(f"ok     {name}: {len(s)} rows")
+    finally:
+        shutil.rmtree(sf, ignore_errors=True)
+    print(f"\n{len(bad)} divergences, {len(loud)} loud-both-sides "
+          f"/ {n_run} queries run (registry: {len(qs)})")
+    for name, why in bad:
+        print(f"  DIVERGE {name}: {why}")
+    for name, se, oe in loud:
+        print(f"  LOUD    {name}: spark: {se} | oracle: {oe}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
