@@ -154,8 +154,12 @@ def semantic_dedup(df: DataFrame, k: int = 8, n_iter: int = 2,
     a, b = vecs.alias("a"), vecs.alias("b")
     pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster")) &
                     (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .withColumn("cos", _dot(F.col("a.v"), F.col("b.v"))
-                         / (F.col("a.nrm") * F.col("b.nrm")))
+             # try_divide: a zero-norm vector (failed embedding job)
+             # has no cosine — NULL fails the threshold instead of
+             # ANSI-killing the job (see operators/similarity.cosine)
+             .withColumn("cos", F.try_divide(
+                 _dot(F.col("a.v"), F.col("b.v")),
+                 F.col("a.nrm") * F.col("b.nrm")))
              .filter(F.col("cos") * threshold_den >= threshold_num)
              .select(F.col(f"a.{id_col}").alias("id_a"),
                      F.col(f"b.{id_col}").alias("id_b")))

@@ -28,7 +28,15 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity, TOTAL over dirty corpora: a zero-norm vector
+    (a failed embedding job writes all-zeros) has no defined angle, so
+    the score is NULL — try_divide, not ``/``, because under ANSI mode
+    one zero vector otherwise kills the whole job with DIVIDE_BY_ZERO
+    (tools/null_parity_sweep.py, edge profile).  NULL scores sort LAST
+    under the rank windows' DESC (both engines' default), so zero-norm
+    vectors lose every top-k tie-break instead of crashing it; the
+    oracles guard their divisions with the matching CASE WHEN nrm > 0."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
@@ -73,8 +81,11 @@ def cosine_neardup_pairs(df: DataFrame, threshold_num: int = 45,
                      .alias("nrm"))
     a, b = vecs.alias("a"), vecs.alias("b")
     return (a.join(b, F.col("a.id") < F.col("b.id"))
-            .withColumn("cos", _dot(F.col("a.v"), F.col("b.v"))
-                        / (F.col("a.nrm") * F.col("b.nrm")))
+            # try_divide: zero-norm vectors score NULL and fail the
+            # threshold filter instead of killing the job (see cosine)
+            .withColumn("cos", F.try_divide(
+                _dot(F.col("a.v"), F.col("b.v")),
+                F.col("a.nrm") * F.col("b.nrm")))
             .filter(F.col("cos") * threshold_den >= threshold_num)
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b")))
@@ -166,8 +177,9 @@ def ivf_neardup_pairs(df: DataFrame, threshold_num: int = 45,
               .join(vecs.select(F.col("id").alias("id_b"),
                                 F.col("v").alias("vb"),
                                 F.col("nrm").alias("nb")), "id_b")
-              .withColumn("cos", _dot(F.col("va"), F.col("vb"))
-                          / (F.col("na") * F.col("nb"))))
+              .withColumn("cos", F.try_divide(
+                  _dot(F.col("va"), F.col("vb")),
+                  F.col("na") * F.col("nb"))))
     return (scored.filter(F.col("cos") * threshold_den >= threshold_num)
             .select("id_a", "id_b"))
 

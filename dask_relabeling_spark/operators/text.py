@@ -36,13 +36,17 @@ def tokens_col(text: Column) -> Column:
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n_tokens, n_distinct_tokens, avg_token_len (rounded) per row."""
     toks = tokens_col(F.col(text_col))
+    n_tok = F.size(toks)
+    # when(n > 0): a zero-token doc has no average token length —
+    # NULL, matching the oracle's CASE; a bare division ANSI-kills
+    # the job on the first empty document (null_parity_sweep)
     return df.select(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
+        n_tok.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
-        F.round(
+        F.when(n_tok > 0, F.round(
             F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-            .cast("double") / F.size(toks), 6).alias("avg_token_len"),
+            .cast("double") / n_tok, 6)).alias("avg_token_len"),
     )
 
 
@@ -55,13 +59,17 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_marker = F.size(F.filter(toks,
                                lambda t: F.array_contains(marker_arr, t)))
     n_tok = F.size(toks)
+    # when(n > 0): ratios of a zero-token doc are undefined -> NULL
+    # (oracle CASE matches); bare division ANSI-kills on empty text
     return df.select(
         "doc_id",
         F.length(text_col).alias("n_chars"),
         n_tok.alias("n_tokens"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok,
-                6).alias("type_token_ratio"),
-        F.round(n_marker.cast("double") / n_tok, 6).alias("marker_ratio"),
+        F.when(n_tok > 0,
+               F.round(F.size(F.array_distinct(toks)).cast("double")
+                       / n_tok, 6)).alias("type_token_ratio"),
+        F.when(n_tok > 0, F.round(n_marker.cast("double") / n_tok, 6))
+        .alias("marker_ratio"),
     )
 
 
@@ -267,8 +275,14 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
     ceil(n_tokens/stride) rows per document, no shuffle at all.
     """
     toks = tokens_col(F.col(text_col))
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
-                        F.lit(stride))
+    # zero-token docs produce NO chunks (nothing to index) — the old
+    # greatest(size, 1) emitted one EMPTY chunk whose hash the engines
+    # disagree on (Spark md5(array_join([])) = md5('') but DuckDB's
+    # array_to_string([]) is NULL); when/otherwise also avoids the
+    # descending sequence(1, 0) trap (null_parity_sweep, edge profile)
+    starts = F.when(F.size(toks) > 0,
+                    F.sequence(F.lit(1), F.size(toks), F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
     base = df.select(F.col(id_col).alias("id"), toks.alias("tk"),
                      F.explode(starts).alias("start"))
     chunk = F.slice(F.col("tk"), F.col("start"), chunk_tokens)

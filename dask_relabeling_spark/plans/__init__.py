@@ -81,6 +81,17 @@ _CHANGED = [
     ("lineitem_exact_quantiles", 10),
     ("orders_price_quartiles_by_priority", 10),
     ("docs_adaptive_quality_filter", 10),
+    # round 10, edge-profile sweep (NaN/Inf values, empty text, zero
+    # vectors): NULL-total cosine on both sides, zero-token ratio
+    # guards, finite-value convention for bucket/decimal/moment paths,
+    # zero-token docs produce no chunks
+    ("embedding_semantic_dedup", 10),
+    ("embedding_neardup_pairs", 10),
+    ("text_token_stats", 10),
+    ("text_quality", 10),
+    ("events_adjacent_pairs", 10),
+    ("events_value_anomalies", 10),
+    ("doc_chunks", 10),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

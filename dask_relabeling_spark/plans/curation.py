@@ -20,7 +20,7 @@ from ..operators.clustering import kmeans_assignments
 from ..operators.dedup import incremental_new_docs, tfidf_cosine_pairs
 from ..operators.intervals import overlap_join_binned
 from ..operators.text import bpe_pair_counts, hashed_linear_score
-from .relational import register, t
+from .relational import finite_or_null, register, t
 
 _DUCK_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
 
@@ -1021,6 +1021,7 @@ vv AS (SELECT v.vec_id, v.ve, a{n_iter}.cluster,
 pr AS (SELECT a.vec_id AS ia, b.vec_id AS ib
        FROM vv a JOIN vv b
          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        AND a.nrm > 0 AND b.nrm > 0
         AND ({dot} / (a.nrm * b.nrm)) * {den} >= {num}),
 sym(s, d) AS (SELECT ia, ib FROM pr UNION ALL SELECT ib, ia FROM pr),
 walk(pid, lbl) AS (
@@ -1124,7 +1125,8 @@ def docs_bigram_logprob(spark, sf_dir):
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
          CAST(count(*) AS BIGINT) AS n_events,
-         CAST(sum(CAST(value AS DECIMAL(27,9))) AS DECIMAL(27,9)) AS sv
+         CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                       AS DECIMAL(27,9))) AS DECIMAL(27,9)) AS sv
   FROM events GROUP BY 1, 2)
 SELECT event_type, h, n_events,
        round(CAST(sv AS DOUBLE), 2) AS sum_value
@@ -1148,10 +1150,13 @@ def events_incremental_rollup(spark, sf_dir):
     cut = F.lit("2024-01-26 00:00:00").cast("timestamp")
 
     def hourly(df):
+        # finite_or_null: NaN/Inf have no exact-decimal representation
+        # — DuckDB refuses the cast (job dead), Spark silently NULLs
+        # it; make the exclusion explicit and identical on both sides
         return (df.groupBy("event_type",
                            F.date_trunc("hour", "ts").alias("h"))
                 .agg(F.count("*").alias("n_events"),
-                     F.sum(F.col("value").cast("decimal(27,9)"))
+                     F.sum(finite_or_null("value").cast("decimal(27,9)"))
                      .alias("sv")))
 
     stored = hourly(ev.filter(F.col("ts") < cut))     # the standing MV

@@ -25,7 +25,19 @@ _DUCK_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
 # the oracles' _DUCK_QVEC).  On the testdata the lowest id is 0, so
 # results are unchanged; on a corpus without vec_id 0 the old
 # ``vec_id = 0`` filter crashed with a bare TypeError (round-8 ADVICE).
-_DUCK_QVEC = "(SELECT min(vec_id) FROM embeddings)"
+_DUCK_QVEC = ("(SELECT min(vec_id) FROM embeddings"
+              " WHERE embedding IS NOT NULL)")
+
+# NULL-total cosine template: a zero-norm (or NULL) side yields NULL —
+# matching operators.similarity.cosine's try_divide — NEVER NaN.
+# DuckDB sorts AND compares NaN as GREATER than everything, so an
+# unguarded 0/0 would rank a dead vector FIRST (and pass >= threshold
+# filters) while Spark's NULL ranks last and fails them.
+_DUCK_COS = ("CASE WHEN list_dot_product({a}, {a}) > 0"
+             " AND list_dot_product({b}, {b}) > 0"
+             " THEN list_dot_product({a}, {b})"
+             " / (sqrt(list_dot_product({a}, {a}))"
+             " * sqrt(list_dot_product({b}, {b}))) END")
 
 
 def _query_vec(emb) -> list:
@@ -35,13 +47,17 @@ def _query_vec(emb) -> list:
     NULL ids are excluded first: Spark's ascending sort places NULLs
     FIRST while the oracle's ``min(vec_id)`` ignores them — without the
     filter a null-id corpus would silently diverge instead of agreeing
-    on the lowest non-null id (round-9 ADVICE)."""
-    row = (emb.filter(F.col("vec_id").isNotNull())
+    on the lowest non-null id (round-9 ADVICE).  NULL embeddings are
+    excluded too (matching ``_DUCK_QVEC``): if the lowest-id row is a
+    failed embedding job, the convention is the lowest id WITH a
+    vector, not a crash here and a NULL query vector in the oracle."""
+    row = (emb.filter(F.col("vec_id").isNotNull()
+                      & F.col("embedding").isNotNull())
            .orderBy("vec_id").select("embedding").first())
     if row is None:
         raise ValueError(
-            "no non-null vec_id in the embeddings table (empty table or "
-            "all-NULL ids) — no ANN query vector available")
+            "no row with non-null vec_id AND embedding in the embeddings"
+            " table — no ANN query vector available")
     return [float(x) for x in row[0]]
 
 
@@ -161,19 +177,12 @@ def dedup_simhash(spark, sf_dir):
 
 # -------------------------------------------------- similarity search
 @register("ann_cosine_topk", f"""
-WITH q AS (SELECT embedding AS qv FROM embeddings
-           WHERE vec_id = {_DUCK_QVEC}),
-s AS (
-  SELECT vec_id,
-         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                          list_transform(qv, x -> CAST(x AS DOUBLE)))
-         / (sqrt(list_dot_product(
-               list_transform(embedding, x -> CAST(x AS DOUBLE)),
-               list_transform(embedding, x -> CAST(x AS DOUBLE))))
-          * sqrt(list_dot_product(
-               list_transform(qv, x -> CAST(x AS DOUBLE)),
-               list_transform(qv, x -> CAST(x AS DOUBLE))))) AS cos
-  FROM embeddings, q)
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+           FROM embeddings),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = {_DUCK_QVEC}),
+s AS (SELECT vec_id, {_DUCK_COS.format(a="ve", b="qv")} AS cos
+      FROM v, q)
 SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
        vec_id
 FROM s ORDER BY rank LIMIT 10
@@ -201,10 +210,7 @@ q AS (SELECT ve AS qv FROM v WHERE vec_id = {_DUCK_QVEC}),
 cand AS (SELECT v.vec_id, v.ve
          FROM v JOIN b ON v.vec_id = b.vec_id, qb
          WHERE b.bucket = qb.q_bucket),
-s AS (SELECT vec_id,
-             list_dot_product(ve, qv)
-             / (sqrt(list_dot_product(ve, ve))
-                * sqrt(list_dot_product(qv, qv))) AS cos
+s AS (SELECT vec_id, {_DUCK_COS.format(a="ve", b="qv")} AS cos
       FROM cand, q)
 SELECT CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank,
        vec_id
@@ -223,8 +229,7 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 def _ivf_neardup_sql(target_cell: int = 256, n_assign: int = 2) -> str:
-    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-           " * sqrt(list_dot_product({b}, {b})))")
+    cos = _DUCK_COS  # NULL-total (zero-norm -> NULL, see top)
     # Scale-true centroid count, replayed from the corpus size exactly
     # like the Spark side: max(8, ceil(n / target_cell)).
     return f"""
@@ -246,7 +251,8 @@ cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
 n AS (SELECT id, ve, sqrt(list_dot_product(ve, ve)) AS nrm FROM v)
 SELECT cand.id_a, cand.id_b
 FROM cand JOIN n a ON a.id = cand.id_a JOIN n b ON b.id = cand.id_b
-WHERE list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) * 100 >= 45
+WHERE a.nrm > 0 AND b.nrm > 0
+  AND list_dot_product(a.ve, b.ve) / (a.nrm * b.nrm) * 100 >= 45
 """
 
 
@@ -269,8 +275,9 @@ def embedding_neardup_pairs(spark, sf_dir):
 SELECT doc_id,
        CAST(len(tk) AS INT) AS n_tokens,
        CAST(len(list_distinct(tk)) AS INT) AS n_distinct_tokens,
-       round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
-             / len(tk), 6) AS avg_token_len
+       CASE WHEN len(tk) > 0 THEN
+         round(CAST(list_sum(list_transform(tk, x -> length(x)))
+                    AS DOUBLE) / len(tk), 6) END AS avg_token_len
 FROM (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS tk
       FROM documents)
@@ -313,10 +320,12 @@ def text_langid(spark, sf_dir):
 SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars,
        CAST(len(tk) AS INT) AS n_tokens,
-       round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
-         AS type_token_ratio,
-       round(CAST(len(list_filter(tk, x -> list_contains({markers}, x)))
-                  AS DOUBLE) / len(tk), 6) AS marker_ratio
+       CASE WHEN len(tk) > 0 THEN
+         round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+       END AS type_token_ratio,
+       CASE WHEN len(tk) > 0 THEN
+         round(CAST(len(list_filter(tk, x -> list_contains({markers}, x)))
+                    AS DOUBLE) / len(tk), 6) END AS marker_ratio
 FROM (SELECT doc_id, text,
              list_filter(string_split(text, ' '), x -> x <> '') AS tk
       FROM documents)
@@ -993,8 +1002,7 @@ def docs_weighted_interleave(spark, sf_dir):
 
 
 def _ivf_topk_sql(n_centroids: int = 8, n_probe: int = 2) -> str:
-    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-           " * sqrt(list_dot_product({b}, {b})))")
+    cos = _DUCK_COS  # NULL-total (zero-norm -> NULL, see top)
     return f"""
 WITH v AS (SELECT vec_id,
                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
@@ -1037,8 +1045,7 @@ def ann_ivf_topk(spark, sf_dir):
 def _ivfpq_topk_sql(n_centroids: int = 8, n_probe: int = 2,
                     n_sub: int = 8, sub_dim: int = 8,
                     n_codes: int = 4) -> str:
-    cos = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-           " * sqrt(list_dot_product({b}, {b})))")
+    cos = _DUCK_COS  # NULL-total (zero-norm -> NULL, see top)
     subl2 = ("list_reduce(list_transform(generate_series(1, {sd}), "
              "i -> ({x}[s.s * {sd} + i] - {y}[s.s * {sd} + i])"
              " * ({x}[s.s * {sd} + i] - {y}[s.s * {sd} + i])), "
@@ -1296,8 +1303,7 @@ WITH tk AS (
          list_filter(string_split(text, ' '), x -> x <> '') AS tk
   FROM documents),
 s AS (
-  SELECT id, tk, unnest(generate_series(1, greatest(len(tk), 1), 48))
-         AS start
+  SELECT id, tk, unnest(generate_series(1, len(tk), 48)) AS start
   FROM tk)
 SELECT id, CAST((start - 1) // 48 AS BIGINT) AS chunk_idx,
        CAST(len(tk[start:start+63]) AS BIGINT) AS n_chunk_tokens,
@@ -1824,12 +1830,9 @@ q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
       FROM embeddings WHERE vec_id = {_DUCK_QVEC}),
 cosd AS (
   SELECT vec_id AS doc_id,
-         list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
-                          qv)
-         / (sqrt(list_dot_product(
-               list_transform(embedding, x -> CAST(x AS DOUBLE)),
-               list_transform(embedding, x -> CAST(x AS DOUBLE))))
-          * sqrt(list_dot_product(qv, qv))) AS cos
+         {_DUCK_COS.format(
+             a="list_transform(embedding, x -> CAST(x AS DOUBLE))",
+             b="qv")} AS cos
   FROM embeddings, q),
 dense AS (
   SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r

@@ -33,6 +33,21 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def finite_or_null(c) -> F.Column:
+    """NULL unless ``c`` is a finite double — the cross-engine guard
+    for metric columns a dirty corpus salts with NaN/±Inf (a sensor
+    glitch, a bad parse).  The engines disagree on almost everything
+    about non-finite values (Spark casts NaN->long to 0 where DuckDB
+    errors; DuckDB sorts/compares NaN as greater-than-everything;
+    STDDEV overflows on Inf), so bucketing/decimal/moment paths
+    normalize to NULL FIRST — the DuckDB side mirrors this with
+    ``CASE WHEN isfinite(value) THEN value END``
+    (tools/null_parity_sweep.py, edge profile)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.when(~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))),
+                  col)
+
+
 # ---------------------------------------------------------------- 1. scan
 @register("scan_filter_project", """
 SELECT l_orderkey, l_linenumber, l_extendedprice
@@ -139,9 +154,11 @@ def q3_shipping_priority(spark, sf_dir):
 SELECT a.user_id,
        CAST(count(*) AS BIGINT) AS n_pairs
 FROM (SELECT user_id, event_id, event_type,
-             CAST(floor(value / 50) AS BIGINT) AS bucket FROM events) a
+             CAST(CASE WHEN isfinite(value) THEN floor(value / 50) END
+                  AS BIGINT) AS bucket FROM events) a
 JOIN (SELECT user_id, event_id, event_type,
-             CAST(floor(value / 50) AS BIGINT) AS bucket FROM events) b
+             CAST(CASE WHEN isfinite(value) THEN floor(value / 50) END
+                  AS BIGINT) AS bucket FROM events) b
   ON a.user_id = b.user_id AND a.event_type = b.event_type
  AND abs(a.bucket - b.bucket) <= 1 AND a.event_id < b.event_id
 GROUP BY a.user_id
@@ -149,9 +166,13 @@ GROUP BY a.user_id
 def events_adjacent_pairs(spark, sf_dir):
     """Bounded range self-join on grid adjacency — the relational rendition
     of the halo exchange's neighbor predicate (SURVEY §2.3.4)."""
+    # finite_or_null: a NaN/Inf value has NO bucket (NULL fails the
+    # adjacency predicate) — Spark would otherwise cast NaN's floor to
+    # 0 and pair a garbage row with real bucket-0 events, while DuckDB
+    # refuses the cast outright
     ev = t(spark, sf_dir, "events").select(
         "user_id", "event_id", "event_type",
-        F.floor(F.col("value") / 50).cast("long").alias("bucket"))
+        F.floor(finite_or_null("value") / 50).cast("long").alias("bucket"))
     a, b = ev.alias("a"), ev.alias("b")
     return (a.join(b, (F.col("a.user_id") == F.col("b.user_id")) &
                    (F.col("a.event_type") == F.col("b.event_type")) &
@@ -776,22 +797,31 @@ def orders_price_histogram(spark, sf_dir):
 # --------------------------------------------- 31. z-score anomaly flags
 @register("events_value_anomalies", """
 WITH stats AS (
-  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  SELECT event_type,
+         avg(CASE WHEN isfinite(value) THEN value END) AS mu,
+         stddev_samp(CASE WHEN isfinite(value) THEN value END) AS sigma
   FROM events GROUP BY event_type)
 SELECT e.event_id, e.event_type,
        round((e.value - s.mu) / s.sigma, 4) AS zscore
 FROM events e JOIN stats s ON s.event_type = e.event_type
-WHERE abs((e.value - s.mu) / s.sigma) > 2.5
+WHERE isfinite(e.value) AND s.sigma > 0
+  AND abs((e.value - s.mu) / s.sigma) > 2.5
 """)
 def events_value_anomalies(spark, sf_dir):
     """Per-type z-score outliers: aggregate stats once (tiny — one row
     per type), broadcast them back over the stream, flag |z| > 2.5.
     No window, no second shuffle of the big table."""
+    # moments over FINITE values only (one Inf overflows DuckDB's
+    # STDDEV and poisons Spark's mean to NaN — silently zeroing the
+    # output); non-finite rows can't be scored and are excluded;
+    # try_divide keeps a constant group (sigma 0 -> NULL z) from
+    # ANSI-killing the job, mirroring the oracle's sigma > 0
     ev = t(spark, sf_dir, "events")
+    val = finite_or_null("value")
     stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
-        F.avg("value").alias("mu"),
-        F.stddev_samp("value").alias("sigma"))
-    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+        F.avg(val).alias("mu"),
+        F.stddev_samp(val).alias("sigma"))
+    z = F.try_divide(val - F.col("mu"), F.col("sigma"))
     return (ev.join(F.broadcast(stats),
                     ev.event_type == F.col("s_type"))
             .filter(F.abs(z) > 2.5)

@@ -175,8 +175,10 @@ def test_pack_and_chunk_invariants(spark):
         by_doc.setdefault(r.id, []).append(r)
     for i, text in docs:
         toks = text.split()
-        rows = sorted(by_doc[i], key=lambda r: r.chunk_idx)
-        starts = list(range(0, max(len(toks), 1), 48))
+        # round 10: a zero-token doc has NO chunks (the engines
+        # disagree on an empty chunk's hash: md5('') vs NULL)
+        rows = sorted(by_doc.get(i, []), key=lambda r: r.chunk_idx)
+        starts = list(range(0, len(toks), 48))
         assert [r.chunk_idx for r in rows] == list(range(len(starts)))
         covered = set()
         for r, s in zip(rows, starts):

@@ -97,6 +97,54 @@ def test_decode_featurize_null_payload_clear_error(spark):
         decode_and_featurize(media).collect()
 
 
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    # a zero-norm embedding (failed job) must score NULL — under ANSI
+    # mode the old bare division killed the whole query; and NULL
+    # sorts last, so the dead vector never wins a top-k slot
+    from dask_relabeling_spark.operators.similarity import (
+        cosine_neardup_pairs, cosine_topk)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    top = cosine_topk(emb, [1.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in top] == [0, 1, 2]   # zero vector LAST
+    pairs = cosine_neardup_pairs(emb, 9, 10).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(0, 1)]  # no 0-norm
+
+
+def test_token_stats_empty_text_null_ratios(spark):
+    from dask_relabeling_spark.operators.text import (
+        with_quality_score, with_token_stats)
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a bb")], "doc_id long, text string")
+    ts = {r.doc_id: r for r in with_token_stats(df).collect()}
+    assert ts[1].avg_token_len is None and ts[2].avg_token_len is None
+    assert ts[3].avg_token_len == 1.5
+    qs = {r.doc_id: r for r in with_quality_score(df).collect()}
+    assert qs[1].type_token_ratio is None and qs[1].marker_ratio is None
+    assert qs[3].type_token_ratio == 1.0
+
+
+def test_chunk_documents_empty_doc_no_chunks(spark):
+    from dask_relabeling_spark.operators.text import chunk_documents
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "a b c")], "doc_id long, text string")
+    out = chunk_documents(df).collect()
+    # zero-token docs produce NO chunks (the engines disagree on the
+    # hash of an empty chunk: md5('') vs NULL)
+    assert [(r.id, r.n_chunk_tokens) for r in out] == [(3, 3)]
+
+
+def test_finite_or_null(spark):
+    from dask_relabeling_spark.plans.relational import finite_or_null
+    df = spark.createDataFrame(
+        [(1, 1.5), (2, float("nan")), (3, float("inf")),
+         (4, float("-inf")), (5, None)], "id long, v double")
+    got = {r.id: r.f for r in
+           df.select("id", finite_or_null("v").alias("f")).collect()}
+    assert got == {1: 1.5, 2: None, 3: None, 4: None, 5: None}
+
+
 def test_weighted_interleave_digitless_source(spark, tmp_path):
     # a source name with no digit used to KILL the query on both
     # engines (regexp_extract '' -> ANSI cast error); weight must be

@@ -45,7 +45,7 @@ def test_query_vec_ignores_null_vec_id(spark):
     # agree on the lowest NON-NULL id (5), not the null row
     assert _query_vec(emb) == [0.0, 2.0]
     # all-null ids = no query vector, same clear error as an empty table
-    with pytest.raises(ValueError, match="empty"):
+    with pytest.raises(ValueError, match="no ANN query vector"):
         _query_vec(emb.filter(F.col("vec_id").isNull()))
 
 

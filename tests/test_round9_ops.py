@@ -36,7 +36,7 @@ def test_query_vec_lowest_id_and_empty_error(spark):
         pd.DataFrame({"vec_id": [7, 3, 9],
                       "embedding": [[1.0, 0.0], [0.0, 2.0], [3.0, 3.0]]}))
     assert _query_vec(emb) == [0.0, 2.0]  # vec_id 3, not "vec_id == 0"
-    with pytest.raises(ValueError, match="empty"):
+    with pytest.raises(ValueError, match="no ANN query vector"):
         _query_vec(emb.filter(F.col("vec_id") > 100))
 
 

@@ -27,7 +27,8 @@ different rows while both engines report success).  An ERROR is the
 acceptable loud alternative only if BOTH engines fail.
 
 Usage: python tools/null_parity_sweep.py [name ...]
-Env:   NULL_SWEEP_SF (default /root/testdata/sf0.001)
+Env:   NULL_SWEEP_SF      (default /root/testdata/sf0.001)
+       NULL_SWEEP_PROFILE ("null" | "edge" | "all"; default "all")
 """
 import os
 import shutil
@@ -47,36 +48,74 @@ BASE = os.environ.get("NULL_SWEEP_SF", "/root/testdata/sf0.001")
 
 # Appended rows, per table: doc/vec/event ids sit far above the base
 # key range (max 999 at sf0.001) so the injected rows never collide.
+# Two profiles: "null" (missing data — the default) and "edge"
+# (well-typed but degenerate values: empty/whitespace text, digitless
+# source names, NaN/±Inf event values, the all-zero embedding a failed
+# job writes).  Both are routine in a real 100 TB corpus.
 _FULL_VEC = "[" + ", ".join(["0.5"] * 64) + "]::FLOAT[]"
-_INJECT = {
-    "documents": [
-        # failed scrape: no text, no length
-        "(9000001, NULL, 'en', 'web', NULL)",
-        # un-identified doc: text present, lang/source unknown
-        "(9000002, 'the quick brown fox the quick brown fox', NULL,"
-        " NULL, 40)",
-    ],
-    "embeddings": [
-        # failed embedding job: payload NULL (id non-null per contract)
-        "(9000001, NULL, NULL)",
-        # unlabeled but embedded row
-        f"(9000002, {_FULL_VEC}, NULL)",
-    ],
-    "events": [
-        # untyped / valueless / propless event
-        "(9000001, TIMESTAMP '2024-01-02 03:04:05', 3, NULL, NULL,"
-        " NULL)",
-    ],
+_ZERO_VEC = "[" + ", ".join(["0.0"] * 64) + "]::FLOAT[]"
+_PROFILES = {
+    "null": {
+        "documents": [
+            # failed scrape: no text, no length
+            "(9000001, NULL, 'en', 'web', NULL)",
+            # un-identified doc: text present, lang/source unknown
+            "(9000002, 'the quick brown fox the quick brown fox', NULL,"
+            " NULL, 40)",
+        ],
+        "embeddings": [
+            # failed embedding job: payload NULL (id non-null per
+            # contract)
+            "(9000001, NULL, NULL)",
+            # unlabeled but embedded row
+            f"(9000002, {_FULL_VEC}, NULL)",
+        ],
+        "events": [
+            # untyped / valueless / propless event
+            "(9000001, TIMESTAMP '2024-01-02 03:04:05', 3, NULL, NULL,"
+            " NULL)",
+        ],
+    },
+    "edge": {
+        "documents": [
+            # empty and whitespace-only scrapes; a digitless source
+            "(9000003, '', 'en', 'books', 0)",
+            "(9000004, '   ', 'en', 'wiki', 3)",
+        ],
+        "embeddings": [
+            # the all-zero vector a crashed embedder writes: cosine
+            # against it is 0/0 = NaN — both engines must rank it the
+            # same way or top-k silently differs
+            f"(9000003, {_ZERO_VEC}, 1)",
+        ],
+        "events": [
+            "(9000002, TIMESTAMP '2024-01-02 03:04:06', 3, 'view',"
+            " 'NaN'::DOUBLE, '{}')",
+            "(9000003, TIMESTAMP '2024-01-02 03:04:07', 3, 'view',"
+            " 'Infinity'::DOUBLE, '{}')",
+        ],
+    },
 }
+
+
+def _inject_rows() -> dict:
+    prof = os.environ.get("NULL_SWEEP_PROFILE", "all")
+    names = list(_PROFILES) if prof == "all" else [prof]
+    merged: dict = {}
+    for p in names:
+        for t, rows in _PROFILES[p].items():
+            merged.setdefault(t, []).extend(rows)
+    return merged
 
 
 def build_injected_dir() -> str:
     out = tempfile.mkdtemp(prefix="null_sweep_")
     con = duckdb.connect()
+    inject = _inject_rows()
     for t in OS.TABLES:
         src = f"{BASE}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
-        rows = _INJECT.get(t)
+        rows = inject.get(t)
         if rows is None:
             shutil.copyfile(src, dst)
             continue
