@@ -46,6 +46,29 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+# The synthesized-payload substrate: every adapter below slices text
+# by CHARACTER (substring/repeat/ascii are code-point functions on
+# both engines) but emits BYTES (encode utf-8), so the "raster is
+# exactly w*h bytes, every byte SQL-replayable via ascii(substr(...))"
+# contract only holds when 1 char == 1 byte.  Projecting each
+# non-printable-ASCII code point to '?' (length-preserving on both
+# engines: one code point -> one char, incl. astral emoji and
+# combining marks) makes the adapters total over ANY unicode corpus —
+# a multibyte document used to emit an oversized raster whose bytes
+# matched neither the oracle's ascii() replay nor, for Y4M, the
+# codec's frame-size check (found by the unicode profile of
+# tools/null_parity_sweep.py).  Real corpora carry real media bytes;
+# this projection only defines the SANDBOX substrate, and does so
+# identically in Spark (java.util.regex) and DuckDB (RE2): both treat
+# [^\\x20-\\x7E] as a per-code-point class.
+_NON_ASCII = "[^\\x20-\\x7E]"
+
+
+def _ascii_substrate(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "text", F.regexp_replace(F.col("text"), _NON_ASCII, "?"))
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter: treat document text bytes as an opaque media payload —
     gives the media pipeline a deterministic substrate in this container.
@@ -56,6 +79,7 @@ def documents_as_media(df: DataFrame) -> DataFrame:
     and without it here a single NULL document crashes the whole
     ``decode_and_featurize`` stage (``bytes(None)``) instead of being
     skipped — found by tools/null_parity_sweep.py."""
+    df = _ascii_substrate(df)
     return df.filter(F.col("text").isNotNull()).select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -74,6 +98,7 @@ def documents_as_pgm_media(df: DataFrame, w: int = 16, h: int = 16
     parse, while every raster byte stays SQL-replayable
     (``ascii(substr(text, ((i-1) % len)+1, 1))``).  Header and raster
     are concatenated JVM-side (one narrow projection, no Python)."""
+    df = _ascii_substrate(df)
     n = w * h
     cycled = F.expr(
         f"substring(repeat(text, CAST(ceil({n} / length(text)) AS INT)),"
@@ -97,6 +122,7 @@ def documents_as_wav_media(df: DataFrame, n_samples: int = 128,
     an actual RIFF chunk walk while every sample stays SQL-replayable.
     Header and data are concatenated JVM-side (narrow projection)."""
     from ..kernels.codecs import encode_wav_pcm16
+    df = _ascii_substrate(df)
     n = 2 * n_samples
     # fixed data length -> the whole header is one constant byte string
     header = encode_wav_pcm16(np.zeros(n_samples, dtype=np.int16),
@@ -122,6 +148,7 @@ def documents_as_y4m_media(df: DataFrame, w: int = 16, h: int = 16,
     actual multi-frame container parse while every frame byte stays
     SQL-replayable.  Built JVM-side as one concat (header + FRAME
     markers + raster slices), no Python."""
+    df = _ascii_substrate(df)
     fsz = w * h
     total = n_frames * fsz
     header = F.lit(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 Cmono\n".encode())

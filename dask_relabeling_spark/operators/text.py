@@ -99,6 +99,21 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                      best.alias("best_score"))
 
 
+def fold_lower(col):
+    """Cross-engine total lowercase.  Java's ``toLowerCase`` (what
+    Spark's ``lower()`` delegates to for non-ASCII) applies the only
+    two Unicode SpecialCasing lowercase rules, which DuckDB's simple
+    1:1 ``lower()`` does not: U+0130 'İ' -> 'i' + U+0307 (a 1:2
+    mapping; DuckDB yields a dotless 'i') and the context-dependent
+    Final_Sigma 'Σ' -> 'ς' (DuckDB always yields 'σ').  Substituting
+    those two code points BEFORE ``lower()`` removes both rules'
+    inputs, so the engines' lowercase agrees on every string — found
+    by the unicode profile of tools/null_parity_sweep.py.  Oracles
+    mirror this as ``lower(replace(replace(text,'İ','i̇'),'Σ','σ'))``."""
+    folded = F.regexp_replace(col, "İ", "i̇")
+    return F.lower(F.regexp_replace(folded, "Σ", "σ"))
+
+
 def with_curation_signals(df: DataFrame,
                           text_col: str = "text") -> DataFrame:
     """All curation signals — token count, language-ID, normalized-text
@@ -122,7 +137,7 @@ def with_curation_signals(df: DataFrame,
         cond = scores[lang] == best
         pred = F.when(cond, F.lit(lang)) if pred is None \
             else F.when(cond, F.lit(lang)).otherwise(pred)
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    norm = F.regexp_replace(fold_lower(F.col(text_col)), r"\s+", " ")
     return df.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -132,9 +147,10 @@ def with_curation_signals(df: DataFrame,
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Document fingerprint: md5 over the normalized (lowercased,
-    whitespace-collapsed) text — the hash-groupBy dedup key."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    """Document fingerprint: md5 over the normalized (lowercased via
+    ``fold_lower``, whitespace-collapsed) text — the hash-groupBy
+    dedup key."""
+    norm = F.regexp_replace(fold_lower(F.col(text_col)), r"\s+", " ")
     return df.select("doc_id", F.md5(norm).alias("fingerprint"))
 
 

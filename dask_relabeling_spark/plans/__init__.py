@@ -92,6 +92,17 @@ _CHANGED = [
     ("events_adjacent_pairs", 10),
     ("events_value_anomalies", 10),
     ("doc_chunks", 10),
+    # round 10, unicode-profile sweep: the media adapters' substrate
+    # is now the ASCII projection (1 char == 1 byte restored for any
+    # corpus) and the fingerprint casefold is engine-total via
+    # fold_lower (U+0130 / Final_Sigma pre-substitution) — plans AND
+    # oracles changed together
+    ("text_fingerprint", 10),
+    ("docs_curation_pipeline", 10),
+    ("multimodal_resize", 10),
+    ("multimodal_pgm_decode", 10),
+    ("multimodal_wav_decode", 10),
+    ("multimodal_y4m_frames", 10),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

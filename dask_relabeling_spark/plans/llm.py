@@ -462,8 +462,13 @@ def text_winnowing(spark, sf_dir):
                                      k=8, w=4)
 
 
-@register("text_fingerprint", """
-SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+# DuckDB twin of operators/text.py::fold_lower — pre-substitute the
+# two Unicode SpecialCasing lowercase inputs (U+0130, Final_Sigma Σ)
+# so simple 1:1 lower() here equals Java's full toLowerCase there.
+_FOLD_LOWER_SQL = "lower(replace(replace(text, 'İ', 'i̇'), 'Σ', 'σ'))"
+
+@register("text_fingerprint", f"""
+SELECT doc_id, md5(regexp_replace({_FOLD_LOWER_SQL}, '\\s+', ' ', 'g'))
        AS fingerprint
 FROM documents
 """)
@@ -498,9 +503,17 @@ def docs_heavy_hitters(spark, sf_dir):
 
 
 # ----------------------------------------------------------- multimodal
-@register("multimodal_metadata", """
+# DuckDB twin of operators/multimodal.py::_ascii_substrate — the
+# synthesized-payload substrate is the printable-ASCII projection of
+# the text (each other code point -> '?'), which keeps 1 char == 1
+# byte so the ascii(substr(...)) byte replays below stay exact on any
+# unicode corpus.  RE2 and java.util.regex both apply the class per
+# code point, so the projection is engine-identical.
+_ASCII_SQL = "regexp_replace(text, '[^\\x20-\\x7e]', '?', 'g')"
+
+@register("multimodal_metadata", f"""
 SELECT doc_id AS media_id, 'image' AS kind,
-       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CAST(octet_length(encode({_ASCII_SQL})) AS INT) AS n_bytes,
        64 AS width, 64 AS height
 FROM documents
 WHERE text IS NOT NULL
@@ -517,7 +530,8 @@ _Y4M_NF = 8          # frames per payload; every_k=4 keeps fi in {0, 4}
 
 
 @register("multimodal_y4m_frames", f"""
-WITH d AS (SELECT doc_id AS media_id, text, length(text) AS L
+WITH d AS (SELECT doc_id AS media_id, {_ASCII_SQL} AS text,
+                  length(text) AS L
            FROM documents WHERE length(text) > 0),
 f AS (SELECT media_id, fi FROM d, unnest([0, 4]) AS u(fi)),
 s AS (SELECT f.media_id, f.fi,
@@ -564,7 +578,8 @@ _WAV_N = 128      # mono PCM-16 samples per synthesized payload
 
 
 @register("multimodal_wav_decode", f"""
-WITH d AS (SELECT doc_id AS media_id, text, length(text) AS L
+WITH d AS (SELECT doc_id AS media_id, {_ASCII_SQL} AS text,
+                  length(text) AS L
            FROM documents WHERE length(text) > 0),
 sm AS (SELECT media_id,
               list_transform(
@@ -608,7 +623,8 @@ _PGM_HEADER_LEN = len(f"P5\n{_PGM_W} {_PGM_H}\n255\n".encode())
 
 
 @register("multimodal_pgm_decode", f"""
-WITH d AS (SELECT doc_id AS media_id, text, length(text) AS L
+WITH d AS (SELECT doc_id AS media_id, {_ASCII_SQL} AS text,
+                  length(text) AS L
            FROM documents WHERE length(text) > 0),
 px AS (SELECT media_id,
               list_transform(generate_series(1, {_PGM_W * _PGM_H // 8}),
@@ -631,8 +647,9 @@ def multimodal_pgm_decode(spark, sf_dir):
     (kernels/codecs.py::decode_pnm — header tokenizer, comment
     handling, raster length validation) before the same bucket-mean
     featurization as ``multimodal_features``.  The oracle replays the
-    cycled raster bytes with ``ascii(substr(...))`` (valid on the
-    pure-ASCII corpus — the ``test_multimodal`` guard) and the chunk
+    cycled raster bytes with ``ascii(substr(...))`` (exact for any
+    corpus since the substrate is the ASCII projection —
+    ``_ascii_substrate`` / ``_ASCII_SQL``) and the chunk
     mean with ``round_even``; a header mis-parse, off-by-one in the
     raster offset, or a dropped/duplicated pixel shifts f0 or n_bytes
     and breaks the hash.  Formats needing external codecs (JPEG/PNG/
@@ -652,7 +669,8 @@ _RSZ_HEADER_LEN = len(f"P5\n{_RSZ_W} {_RSZ_H}\n255\n".encode())
 
 
 @register("multimodal_resize", f"""
-WITH d AS (SELECT doc_id AS media_id, text, length(text) AS L
+WITH d AS (SELECT doc_id AS media_id, {_ASCII_SQL} AS text,
+                  length(text) AS L
            FROM documents WHERE length(text) > 0),
 px AS (SELECT media_id,
               list_transform(generate_series(0, {_RSZ_W * _RSZ_H - 1}),
@@ -696,10 +714,10 @@ def multimodal_resize(spark, sf_dir):
                         .alias("f0"))
 
 
-@register("multimodal_features", """
-WITH d AS (SELECT doc_id AS media_id, text,
-                  octet_length(encode(text)) AS n FROM documents
-           WHERE text IS NOT NULL),
+@register("multimodal_features", f"""
+WITH d0 AS (SELECT doc_id AS media_id, {_ASCII_SQL} AS text
+            FROM documents WHERE text IS NOT NULL),
+d AS (SELECT media_id, text, octet_length(encode(text)) AS n FROM d0),
 c AS (SELECT media_id, n,
              (n // 8) + CASE WHEN n % 8 > 0 THEN 1 ELSE 0 END AS c0
       FROM d),
@@ -1410,7 +1428,8 @@ def _curation_sql() -> str:
     return f"""
 WITH sig AS (
   SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens, {sums},
-         md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+         md5(regexp_replace({_FOLD_LOWER_SQL}, '\\s+', ' ', 'g'))
+           AS fingerprint
   FROM (SELECT doc_id, text,
                list_filter(string_split(text, ' '), x -> x <> '') AS tk
         FROM documents)),

@@ -166,3 +166,48 @@ def test_weighted_interleave_digitless_source(spark, tmp_path):
     # digitless and NULL sources fall back to weight 1: every round
     # has exactly slot 0
     assert (got.loc[[9000001, 9000002], "mix_slot"] == 0).all()
+
+
+def test_fold_lower_matches_duckdb_on_special_casing(spark):
+    # Java's toLowerCase applies the two Unicode SpecialCasing rules
+    # (U+0130 'İ' -> 'i' + U+0307, Final_Sigma 'Σ' -> 'ς') that
+    # DuckDB's 1:1 lower() does not; fold_lower pre-substitutes both
+    # code points so the engines' lowercase agrees on EVERY string
+    import duckdb
+    from dask_relabeling_spark.operators.text import fold_lower
+    texts = ["İstanbul DİYARBAKIR", "ΑΣ ΣΟΦΟΣ", "straße STRASSE",
+             "café café", "中文 👍🏽", "plain ASCII Text"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    got = {r.id: r.f for r in
+           df.select("id", fold_lower(F.col("text")).alias("f"))
+           .collect()}
+    con = duckdb.connect()
+    for i, t in enumerate(texts):
+        want = con.execute(
+            "SELECT lower(replace(replace(?, 'İ', 'i̇'), 'Σ', 'σ'))",
+            [t]).fetchone()[0]
+        assert got[i] == want, (t, got[i], want)
+
+
+def test_media_substrate_ascii_projection_exact_bytes(spark):
+    # a multibyte doc used to emit an OVERSIZED raster (chars cycled,
+    # bytes emitted) that matched neither the oracle's ascii() replay
+    # nor Y4M's frame-size check; the ASCII projection restores
+    # 1 char == 1 byte for any unicode text
+    from dask_relabeling_spark.operators.multimodal import (
+        documents_as_pgm_media)
+    df = spark.createDataFrame(
+        [(1, "👍🏽 emoji 🚀 café\xa0ΑΣ"), (2, "plain ascii")],
+        "doc_id long, text string")
+    rows = {r.media_id: bytes(r.payload)
+            for r in documents_as_pgm_media(df, w=4, h=4).collect()}
+    header = b"P5\n4 4\n255\n"
+    for mid, payload in rows.items():
+        assert payload.startswith(header)
+        assert len(payload) == len(header) + 16, (mid, len(payload))
+        raster = payload[len(header):]
+        assert all(0x20 <= b <= 0x7E for b in raster), (mid, raster)
+    # each non-ASCII code point (incl. astral emoji and the combining
+    # mark) became exactly one '?'
+    assert rows[1][len(header):].startswith(b"?? emoji ? caf")

@@ -28,7 +28,8 @@ acceptable loud alternative only if BOTH engines fail.
 
 Usage: python tools/null_parity_sweep.py [name ...]
 Env:   NULL_SWEEP_SF      (default /root/testdata/sf0.001)
-       NULL_SWEEP_PROFILE ("null" | "edge" | "all"; default "all")
+       NULL_SWEEP_PROFILE ("null" | "edge" | "unicode" | "all";
+                           default "all")
 """
 import os
 import shutil
@@ -48,10 +49,12 @@ BASE = os.environ.get("NULL_SWEEP_SF", "/root/testdata/sf0.001")
 
 # Appended rows, per table: doc/vec/event ids sit far above the base
 # key range (max 999 at sf0.001) so the injected rows never collide.
-# Two profiles: "null" (missing data — the default) and "edge"
-# (well-typed but degenerate values: empty/whitespace text, digitless
-# source names, NaN/±Inf event values, the all-zero embedding a failed
-# job writes).  Both are routine in a real 100 TB corpus.
+# Three profiles: "null" (missing data), "edge" (well-typed but
+# degenerate values: empty/whitespace text, digitless source names,
+# NaN/±Inf event values, the all-zero embedding a failed job writes)
+# and "unicode" (adversarial but well-formed text: combining marks,
+# astral emoji, RTL, CJK, NBSP/thin-space, case-folding traps).  All
+# are routine in a real 100 TB corpus.
 _FULL_VEC = "[" + ", ".join(["0.5"] * 64) + "]::FLOAT[]"
 _ZERO_VEC = "[" + ", ".join(["0.0"] * 64) + "]::FLOAT[]"
 _PROFILES = {
@@ -93,6 +96,47 @@ _PROFILES = {
             " 'NaN'::DOUBLE, '{}')",
             "(9000003, TIMESTAMP '2024-01-02 03:04:07', 3, 'view',"
             " 'Infinity'::DOUBLE, '{}')",
+        ],
+    },
+    # Unicode-adversarial but well-formed text a real web corpus is
+    # full of.  The divergence surface here is different from "null"
+    # and "edge": Spark regexes are java.util.regex (\\s is
+    # ASCII-only by default, same as DuckDB's RE2, but case mapping
+    # and character classes differ), lengths are code points on both
+    # engines but NOT grapheme clusters, and Java's toLowerCase is
+    # locale-sensitive where DuckDB's lower() is ICU root — so
+    # tokenization, casefolding, n-gram, and length-ratio paths can
+    # silently disagree on emoji/RTL/CJK/NBSP text while both report
+    # success.
+    "unicode": {
+        "documents": [
+            # combining vs precomposed: 'café' NFC then NFD
+            "(9000005, 'café café naïve résum"
+            "é', 'fr', 'web', 25)",
+            # astral-plane emoji, skin-tone + flag (ZWJ/regional)
+            "(9000006, '\U0001F44D\U0001F3FD emoji \U0001F680 text "
+            "\U0001F1FA\U0001F1F8 flags', 'en', 'web', 22)",
+            # RTL arabic with an explicit RLM mark embedded
+            "(9000007, 'مرحبا ‏"
+            "بالعالم rtl mixed',"
+            " 'ar', 'web', 20)",
+            # CJK with no spaces: whitespace tokenizers see ONE token
+            "(9000008, '中文文本没有空"
+            "格。日本語のテキス"
+            "ト', 'zh', 'web', 17)",
+            # exotic whitespace: NBSP + thin space (neither matches
+            # ASCII \\s in either engine — both must agree they don't
+            # split)
+            "(9000009, 'word with nbsp and thin"
+            " spaces', 'en', 'web', 28)",
+            # locale case-folding traps: dotted/dotless I, sharp s
+            "(9000010, 'Türkçe İstanbul DİYARBAK"
+            "IR straße STRASSE', 'tr', 'web', 35)",
+        ],
+        "events": [
+            # unicode payload inside the JSON props column
+            "(9000004, TIMESTAMP '2024-01-02 03:04:08', 3, 'view',"
+            " 1.0, '{\"q\": \"日本語 emoji \U0001F680\"}')",
         ],
     },
 }
