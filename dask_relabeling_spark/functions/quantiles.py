@@ -48,7 +48,13 @@ def exact_quantiles(df: DataFrame, col: str,
     base = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
     counts = base.groupBy("v").agg(F.count("*").alias("cnt"))
     ranked = exclusive_prefix_sum(counts, "v", "cnt", out_col="below")
-    n_row = base.agg(F.count("*").alias("n"))
+    # n = sum(cnt) over the histogram, NOT count(*) over base: the
+    # histogram subtree is localCheckpoint-pinned inside
+    # exclusive_prefix_sum, so this agg reuses those blocks and the
+    # fact table is scanned ONCE per query instead of twice (round-10
+    # bench drift on lineitem_exact_quantiles).  Empty column: sum is
+    # NULL, k is NULL, no rank matches — same empty result as n=0.
+    n_row = ranked.agg(F.sum("cnt").alias("n"))
     qdf = df.sparkSession.createDataFrame(
         [(name, num, den) for name, num, den in quantiles],
         "q string, num long, den long")
@@ -81,7 +87,9 @@ def grouped_exact_quantiles(df: DataFrame, col: str, group_col: str,
     counts = base.groupBy("g", "v").agg(F.count("*").alias("cnt"))
     ranked = exclusive_prefix_sum(counts, "v", "cnt", out_col="below",
                                   group_col="g")
-    sizes = base.groupBy("g").agg(F.count("*").alias("n"))
+    # group sizes from the checkpointed histogram, not a second pass
+    # over base (same single-scan rationale as exact_quantiles)
+    sizes = ranked.groupBy("g").agg(F.sum("cnt").alias("n"))
     qdf = df.sparkSession.createDataFrame(
         [(name, num, den) for name, num, den in quantiles],
         "q string, num long, den long")

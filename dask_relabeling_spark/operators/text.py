@@ -109,7 +109,12 @@ def fold_lower(col):
     those two code points BEFORE ``lower()`` removes both rules'
     inputs, so the engines' lowercase agrees on every string — found
     by the unicode profile of tools/null_parity_sweep.py.  Oracles
-    mirror this as ``lower(replace(replace(text,'İ','i̇'),'Σ','σ'))``."""
+    mirror this as ``lower(replace(replace(text,'İ','i̇'),'Σ','σ'))``.
+
+    ASSUMES a locale-root JVM: a tr/az default locale would lowercase
+    plain 'I' to dotless 'ı' outside either rule.  ``session.get_spark``
+    pins ``Locale.setDefault(ROOT)`` driver-side, and the special-casing
+    parity test asserts 'I' -> 'i' through an actual Spark plan."""
     folded = F.regexp_replace(col, "İ", "i̇")
     return F.lower(F.regexp_replace(folded, "Σ", "σ"))
 

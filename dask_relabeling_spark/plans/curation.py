@@ -702,9 +702,16 @@ def events_value_winsorize_counts(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
     q = exact_quantiles(ev, "value",
                         [("p01", 1, 100), ("p99", 99, 100)])
+    # INNER-join semantics on the thresholds: if the value column is
+    # entirely NULL the quantile table is empty, the agg row carries
+    # NULL p01/p99, and the oracle's CROSS JOIN over its empty p01/p99
+    # CTEs yields ZERO rows — so the Spark side must too, not per-type
+    # rows with 0 clips (round-10 ADVICE; pinned by
+    # tests/test_null_robustness.py::test_winsorize_all_null_column).
     b = F.broadcast(q.agg(
         F.min(F.when(F.col("q") == "p01", F.col("value"))).alias("p01"),
-        F.min(F.when(F.col("q") == "p99", F.col("value"))).alias("p99")))
+        F.min(F.when(F.col("q") == "p99", F.col("value"))).alias("p99"))
+        .filter(F.col("p01").isNotNull() & F.col("p99").isNotNull()))
     # count(when(...)) not sum(cast(...)): a NULL value makes the
     # comparison NULL, and summing the cast turns a group of NULL
     # values into a NULL clip count where the oracle's CASE yields 0 —

@@ -88,4 +88,17 @@ def get_spark(app_name: str = "dask-relabeling-spark",
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Pin the JVM default locale to ROOT: operators.text.fold_lower's
+    # cross-engine lowercase contract assumes locale-root case mapping,
+    # but on a tr/az default-locale JVM, String.toLowerCase maps 'I' to
+    # dotless 'ı' — a divergence the İ/Σ pre-substitution cannot cover
+    # (round-10 ADVICE).  Driver-side set is enough for local[*]; on a
+    # real cluster ALSO pass -Duser.language= in executor JVM options
+    # (asserted by tests/test_null_robustness.py special-casing test).
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.util.Locale.setDefault(jvm.java.util.Locale.ROOT)
+    except Exception:
+        pass  # Spark Connect: no JVM handle; rely on server-side config
+    return spark
