@@ -38,71 +38,22 @@ from . import curation  # noqa: F401  (round-3 pipeline extensions)
 # round-5/6 failure mode: a stale hand list replayed fresh evidence
 # while genuinely stale entries starved).
 _CHANGED = [
-    # (round-10 prune: every r7/r8/r9 flag's post-change green landed
-    # in a committed driver artifact — CORRECTNESS_r07/r08 for the
-    # fuzzy-pairs/resize/neardup flags, CORRECTNESS_r09 for all 13
-    # round-9 ANN/PPJoin/heavy-hitters flags — so the expired entries
-    # are removed per the r9 verdict; the expiry mechanism itself is
-    # unchanged and future flags go here as (name, changed_in_round).)
-    # round 10: PPJoin array verify gained the enforced max_shingles
-    # guard (plan changed: sz now carries the raise_error branch)
-    ("dedup_prefix_jaccard", 10),
-    ("dedup_prefix_clusters", 10),
-    ("dedup_segment_then_prefix", 10),
-    # round 10: ANN query vector now excludes NULL vec_id before the
-    # lowest-id pick (no-op on testdata, but the builder changed)
-    ("ann_cosine_topk", 10),
-    ("ann_lsh_topk", 10),
-    ("ann_ivf_topk", 10),
-    ("ann_ivfpq_topk", 10),
-    ("ann_ivfpq_indexed", 10),
-    ("ann_ivfpq_query", 10),
-    ("ann_recall_panel", 10),
-    ("docs_hybrid_rrf", 10),
-    # round 10: null-robustness fixes from tools/null_parity_sweep.py —
-    # documents_as_media now excludes NULL text (and both multimodal
-    # oracles match), text_langid's oracle keeps NULL-text docs via
-    # LEFT JOIN (no result change on clean data, but plans/oracles
-    # changed so the evidence must be replayed)
-    ("multimodal_metadata", 10),
-    ("multimodal_features", 10),
-    ("text_langid", 10),
-    # round 10, same sweep: sequence(1,0)-descending guard in
-    # repetition_signals; explicit-null to_json; NULL-iff-all-null
-    # partial-SUM merge; quantile machinery now ranks non-null values
-    # only (plan change for every exact-quantile consumer); total
-    # weight function for digitless sources
-    ("text_repetition", 10),
-    ("nested_json_docs", 10),
-    ("events_incremental_rollup", 10),
-    ("events_value_winsorize_counts", 10),
-    ("events_anomaly_mad", 10),
-    ("docs_weighted_interleave", 10),
-    ("lineitem_exact_quantiles", 10),
-    ("orders_price_quartiles_by_priority", 10),
-    ("docs_adaptive_quality_filter", 10),
-    # round 10, edge-profile sweep (NaN/Inf values, empty text, zero
-    # vectors): NULL-total cosine on both sides, zero-token ratio
-    # guards, finite-value convention for bucket/decimal/moment paths,
-    # zero-token docs produce no chunks
-    ("embedding_semantic_dedup", 10),
-    ("embedding_neardup_pairs", 10),
-    ("text_token_stats", 10),
-    ("text_quality", 10),
-    ("events_adjacent_pairs", 10),
-    ("events_value_anomalies", 10),
-    ("doc_chunks", 10),
-    # round 10, unicode-profile sweep: the media adapters' substrate
-    # is now the ASCII projection (1 char == 1 byte restored for any
-    # corpus) and the fingerprint casefold is engine-total via
-    # fold_lower (U+0130 / Final_Sigma pre-substitution) — plans AND
-    # oracles changed together
-    ("text_fingerprint", 10),
-    ("docs_curation_pipeline", 10),
-    ("multimodal_resize", 10),
-    ("multimodal_pgm_decode", 10),
-    ("multimodal_wav_decode", 10),
-    ("multimodal_y4m_frames", 10),
+    # (round-12 prune: every round-10 flag's post-change green landed
+    # in committed CORRECTNESS_r10/r11 artifacts, so the 34 expired
+    # entries are removed — per the r10/r11 verdicts, expired flags are
+    # inert but bury live signal.  The expiry mechanism is unchanged;
+    # future flags go here as (name, changed_in_round).)
+    # round 11: the exact-quantile machinery folded its duplicate fact
+    # scan into the checkpointed histogram (functions/quantiles.py) and
+    # the winsorize thresholds gained inner-join all-NULL semantics
+    # (plans/curation.py) — plans changed for every quantile consumer,
+    # but round 11 forgot to flag them (r11 verdict item 1), so the
+    # driver never replayed the evidence; flagged now.
+    ("lineitem_exact_quantiles", 11),
+    ("orders_price_quartiles_by_priority", 11),
+    ("events_value_winsorize_counts", 11),
+    ("events_anomaly_mad", 11),
+    ("docs_adaptive_quality_filter", 11),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

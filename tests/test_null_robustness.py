@@ -211,3 +211,23 @@ def test_media_substrate_ascii_projection_exact_bytes(spark):
     # each non-ASCII code point (incl. astral emoji and the combining
     # mark) became exactly one '?'
     assert rows[1][len(header):].startswith(b"?? emoji ? caf")
+
+
+def test_winsorize_all_null_column(spark, tmp_path):
+    # all-NULL value column: the quantile table is empty, so the
+    # thresholds row is dropped (inner-join semantics) and the query
+    # yields ZERO rows — matching the oracle, whose CROSS JOIN over
+    # empty p01/p99 CTEs is empty (round-10 ADVICE; this is the test
+    # cited at plans/curation.py events_value_winsorize_counts)
+    import duckdb
+    from dask_relabeling_spark.plans import REGISTRY
+    fn, oracle = REGISTRY["events_value_winsorize_counts"]
+    con = duckdb.connect()
+    con.execute(
+        "COPY (SELECT * REPLACE (CAST(NULL AS DOUBLE) AS value) "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet')) "
+        f"TO '{tmp_path}/events.parquet' (FORMAT PARQUET)")
+    assert fn(spark, str(tmp_path)).count() == 0
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/events.parquet')")
+    assert len(con.execute(oracle).fetchall()) == 0
