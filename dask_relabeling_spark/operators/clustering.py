@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .similarity import as_vec
+
 
 def _sq_dist(a: Column, b: Column) -> Column:
     """Squared L2 distance, folded in index order (engine-portable)."""
@@ -112,7 +114,7 @@ def kmeans_assignments(df: DataFrame, k: int = 8, n_iter: int = 2,
     ``id < k`` value filter, so sparse or offset id spaces still yield
     exactly min(k, n) centroids.  Every update is order-independent."""
     vecs = df.select(F.col(id_col),
-                     F.col(vec_col).cast("array<double>").alias("ve"))
+                     as_vec(vec_col).alias("ve"))
     cent = (vecs.orderBy(id_col).limit(k)
             .select(F.col(id_col).cast("long").alias("cid"),
                     F.col("ve").alias("cv")))
@@ -142,13 +144,13 @@ def semantic_dedup(df: DataFrame, k: int = 8, n_iter: int = 2,
     ``keep_id == id`` for canonical/unique rows.
     """
     from .dedup import connected_components
-    from .similarity import _dot, _norm
+    from .similarity import _dot, _norm  # noqa: PLC0415
 
     assign = kmeans_assignments(df, k=k, n_iter=n_iter,
                                 id_col=id_col, vec_col=vec_col)
     vecs = (df.select(F.col(id_col),
-                      F.col(vec_col).cast("array<double>").alias("v"),
-                      _norm(F.col(vec_col).cast("array<double>"))
+                      as_vec(vec_col).alias("v"),
+                      _norm(as_vec(vec_col))
                       .alias("nrm"))
             .join(assign, id_col))
     a, b = vecs.alias("a"), vecs.alias("b")

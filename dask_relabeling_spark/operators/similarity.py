@@ -18,6 +18,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _nonfinite(x: Column) -> Column:
+    return x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+
+
+def as_vec(c) -> Column:
+    """Embedding-column ingestion: cast to ``array<double>``, NULL
+    unless every component is non-null and finite.  A vector with a
+    NaN/±Inf component (a crashed embedder, a bad parse) is ill-formed,
+    and an ill-formed vector must behave exactly like a NULL embedding
+    everywhere downstream — the engines disagree on almost everything
+    about non-finite values (Spark compares NaN greater-than-everything
+    but ANSI-errors casting it to integral types; DuckDB does the same
+    comparison but errors on CAST(NaN AS BIGINT); NULL ranks last on
+    both), so normalizing ONCE at ingestion is the only portable total
+    convention — every similarity/centroid/moment path then reuses the
+    already-verified NULL-embedding behavior (tools/null_parity_sweep
+    edge profile; DuckDB side: plans/llm.py::_DUCK_VEC)."""
+    col = F.col(c) if isinstance(c, str) else c
+    v = col.cast("array<double>")
+    return F.when(~F.exists(v, _nonfinite), v)
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
@@ -49,9 +71,12 @@ def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     differs across engines).
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    vec = F.col(vec_col).cast("array<double>")
-    scored = df.select(F.col(id_col),
-                       cosine(vec, q).alias("cos"))
+    # project as_vec ONCE into a named column before cosine references
+    # it twice (dot + norm): Catalyst does not CSE across HOF lambdas,
+    # and CollapseProject keeps a non-cheap multiply-referenced alias
+    scored = (df.select(F.col(id_col), as_vec(vec_col).alias("v"))
+              .select(F.col(id_col),
+                      cosine(F.col("v"), q).alias("cos")))
     # Global top-k via orderBy+limit: Spark plans TakeOrderedAndProject —
     # a per-partition bounded heap + driver merge, never an
     # Exchange SinglePartition over the scored corpus (a bare
@@ -75,10 +100,9 @@ def cosine_neardup_pairs(df: DataFrame, threshold_num: int = 45,
     JVM array arithmetic.  The LSH variant below is the scale path; at
     sf-test sizes this exact form is also the oracle's plan.
     """
-    vecs = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v"),
-                     _norm(F.col(vec_col).cast("array<double>"))
-                     .alias("nrm"))
+    vecs = (df.select(F.col(id_col).alias("id"),
+                      as_vec(vec_col).alias("v"))
+            .select("id", "v", _norm(F.col("v")).alias("nrm")))
     a, b = vecs.alias("a"), vecs.alias("b")
     return (a.join(b, F.col("a.id") < F.col("b.id"))
             # try_divide: zero-norm vectors score NULL and fail the
@@ -107,7 +131,7 @@ def ivf_cell_assignments(df: DataFrame, n_centroids: int = 8,
     stage).  Output: (id, cell), ``n_assign`` rows per vector.
     """
     vecs = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v"))
+                     as_vec(vec_col).alias("v"))
     cents = (vecs.orderBy("id").limit(n_centroids)
              .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
     scored = (vecs.crossJoin(F.broadcast(cents))
@@ -167,8 +191,8 @@ def ivf_neardup_pairs(df: DataFrame, threshold_num: int = 45,
                     F.col("b.id").alias("id_b"))
             .distinct())
     vecs = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v"),
-                     _norm(F.col(vec_col).cast("array<double>"))
+                     as_vec(vec_col).alias("v"),
+                     _norm(as_vec(vec_col))
                      .alias("nrm"))
     scored = (cand
               .join(vecs.select(F.col("id").alias("id_a"),
@@ -210,12 +234,14 @@ def hyperplane_lsh_buckets(df: DataFrame, planes: List[List[float]],
     """Random-hyperplane LSH: bucket = sign-bit string over fixed planes.
     Vectors in one bucket are cosine-close with high probability; ANN
     queries join on the bucket key instead of scanning the corpus."""
-    vec = F.col(vec_col).cast("array<double>")
-    bits = [F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p]))
+    # one as_vec evaluation per row, not one per plane (see cosine_topk)
+    vecs = df.select(F.col(id_col), as_vec(vec_col).alias("v"))
+    bits = [F.when(_dot(F.col("v"),
+                        F.array(*[F.lit(float(x)) for x in p]))
                    >= 0, F.lit("1")).otherwise(F.lit("0"))
             for p in planes]
-    return df.select(F.col(id_col),
-                     F.concat(*bits).alias("bucket"))
+    return vecs.select(F.col(id_col),
+                       F.concat(*bits).alias("bucket"))
 
 
 def lsh_cosine_topk(df: DataFrame, query_vec: Sequence[float],
@@ -272,7 +298,7 @@ def pq_codes(df: DataFrame, n_sub: int = 8, sub_dim: int = 8,
     """
     bits = max(1, (n_centroids - 1).bit_length())
     vecs = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v"))
+                     as_vec(vec_col).alias("v"))
     # (crank, cid, cv): rank derived by packing the tiny codebook into
     # one sorted row and posexploding — no global window, no exchange.
     cents = (vecs.orderBy("id").limit(n_centroids)
@@ -321,7 +347,7 @@ def ivf_cells(df: DataFrame, n_centroids: int = 8,
     (or write it bucketed by cell) so probes prune at the scan.
     """
     vecs = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).cast("array<double>").alias("v"))
+                     as_vec(vec_col).alias("v"))
     cents = (vecs.orderBy("id").limit(n_centroids)
              .select(F.col("id").alias("cid"), F.col("v").alias("cv")))
     scored = (vecs.crossJoin(F.broadcast(cents))
@@ -349,12 +375,12 @@ def ivf_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     qdf = spark.createDataFrame([(list(float(v) for v in query_vec),)],
                                 f"{vec_col} array<double>")
     cents = (df.select(F.col(id_col).alias("cid"),
-                       F.col(vec_col).cast("array<double>").alias("cv"))
+                       as_vec(vec_col).alias("cv"))
              .orderBy("cid").limit(n_centroids))
     probe = [r["cid"] for r in
              (cents.crossJoin(F.broadcast(qdf))
               .select("cid", cosine(F.col("cv"),
-                                    F.col(vec_col).cast("array<double>"))
+                                    as_vec(vec_col))
                       .alias("cos"))
               .orderBy(F.desc("cos"), "cid").limit(n_probe).collect())]
     cells = ivf_cells(df, n_centroids, id_col, vec_col)
@@ -443,7 +469,7 @@ def ivfpq_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     qdf = spark.createDataFrame([(list(float(v) for v in query_vec),)],
                                 "qv array<double>")
     cents = (df.select(F.col(id_col).alias("cid"),
-                       F.col(vec_col).cast("array<double>").alias("cv"))
+                       as_vec(vec_col).alias("cv"))
              .orderBy("cid").limit(n_centroids))
     probe = _probe_cells(cents, qdf, n_probe)
     cells = ivf_cells(df, n_centroids, id_col, vec_col)
@@ -452,7 +478,7 @@ def ivfpq_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     codes = pq_codes(df, n_sub, sub_dim, n_codes, id_col, vec_col) \
         .join(cand, "id")
     cb = (df.select(F.col(id_col).alias("cid"),
-                    F.col(vec_col).cast("array<double>").alias("cv"))
+                    as_vec(vec_col).alias("cv"))
           .orderBy("cid").limit(n_codes))
     tab = _adc_table(cb, qdf, n_sub, sub_dim)
     return _adc_topk(codes, tab, k, n_sub, n_codes, id_col)
@@ -483,7 +509,7 @@ def build_ivfpq_index(df: DataFrame, path: str, n_centroids: int = 8,
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/index"))
     cents = (df.select(F.col(id_col).alias("cid"),
-                       F.col(vec_col).cast("array<double>").alias("cv"))
+                       as_vec(vec_col).alias("cv"))
              .orderBy("cid").limit(n_centroids))
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
     cents.limit(n_codes).write.mode("overwrite") \

@@ -54,6 +54,24 @@ _CHANGED = [
     ("events_value_winsorize_counts", 11),
     ("events_anomaly_mad", 11),
     ("docs_adaptive_quality_filter", 11),
+    # round 12: every embedding consumer now normalizes ill-formed
+    # (NaN/Inf-component) vectors to NULL at ingestion, on both engines
+    # (operators/similarity.as_vec + plans/llm._DUCK_VEC) — plans AND
+    # oracles changed together, no result change on finite corpora
+    ("ann_cosine_topk", 12),
+    ("ann_lsh_topk", 12),
+    ("ann_ivf_topk", 12),
+    ("ann_ivfpq_topk", 12),
+    ("ann_ivfpq_indexed", 12),
+    ("ann_ivfpq_query", 12),
+    ("ann_recall_panel", 12),
+    ("docs_hybrid_rrf", 12),
+    ("embedding_pq_codes", 12),
+    ("embedding_neardup_pairs", 12),
+    ("embedding_semantic_dedup", 12),
+    ("embedding_kmeans", 12),
+    ("embedding_label_centroids", 12),
+    ("embedding_dim_stats", 12),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -19,7 +19,9 @@ from ..functions.ids import zorder_key
 from ..operators.clustering import kmeans_assignments
 from ..operators.dedup import incremental_new_docs, tfidf_cosine_pairs
 from ..operators.intervals import overlap_join_binned
+from ..operators.similarity import as_vec
 from ..operators.text import bpe_pair_counts, hashed_linear_score
+from .llm import _DUCK_VEC
 from .relational import finite_or_null, register, t
 
 _DUCK_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
@@ -55,7 +57,7 @@ def _kmeans_ctes(k, n_iter: int = 2) -> str:
             "i -> (v.ve[i] - c.cv[i]) * (v.ve[i] - c.cv[i])), "
             "(a, b) -> a + b)")
     sql = f"""v AS (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                  {_DUCK_VEC} AS ve
            FROM embeddings),
 c1 AS (SELECT cid, cv FROM (
          SELECT CAST(vec_id AS BIGINT) AS cid, ve AS cv,
@@ -624,7 +626,9 @@ WITH ex AS (
            AS milli
   FROM embeddings e,
        unnest(list_transform(generate_series(1, len(e.embedding)),
-              i -> {'i': i, 'v': e.embedding[i]})) AS u(s)),
+              i -> {'i': i, 'v': e.embedding[i]})) AS u(s)
+  WHERE len(list_filter(e.embedding, x -> x IS NULL OR
+            NOT isfinite(CAST(x AS DOUBLE)))) = 0),
 g AS (SELECT dim, sum(nano) AS s, sum(milli * milli) AS s2,
              count(*) AS n
       FROM ex GROUP BY 1)
@@ -656,7 +660,9 @@ def embedding_dim_stats(spark, sf_dir):
     v = F.col("v").cast("double")
     nano = F.floor(v * F.lit(1000000000.0) + F.lit(0.5)).cast("long")
     milli = F.floor(v * F.lit(1000.0) + F.lit(0.5)).cast("long")
-    g = (em.select(F.posexplode("embedding").alias("pos", "v"))
+    # as_vec: ill-formed (NaN/Inf-component) vectors explode to zero
+    # rows like NULL embeddings — see embedding_label_centroids
+    g = (em.select(F.posexplode(as_vec("embedding")).alias("pos", "v"))
          .groupBy((F.col("pos") + 1).cast("int").alias("dim"))
          .agg(F.sum(nano).alias("s"),
               F.sum(milli * milli).alias("s2"),

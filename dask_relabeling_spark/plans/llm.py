@@ -26,7 +26,22 @@ _DUCK_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
 # results are unchanged; on a corpus without vec_id 0 the old
 # ``vec_id = 0`` filter crashed with a bare TypeError (round-8 ADVICE).
 _DUCK_QVEC = ("(SELECT min(vec_id) FROM embeddings"
-              " WHERE embedding IS NOT NULL)")
+              " WHERE len(list_filter(embedding, x -> x IS NULL OR"
+              " NOT isfinite(CAST(x AS DOUBLE)))) = 0)")
+
+# Well-formed-vector ingestion guard (Spark side:
+# operators.similarity.as_vec): an embedding with any NULL/NaN/±Inf
+# component is ill-formed and becomes NULL here, so every downstream
+# path — cosine, centroids, moments, PQ codes — reuses the verified
+# NULL-embedding behavior instead of hitting the engines' divergent
+# non-finite ordering/cast semantics (DuckDB compares NaN greater than
+# everything and errors on CAST(NaN AS BIGINT); Spark ANSI-errors the
+# cast too but ranks differently).  A NULL embedding stays NULL: the
+# len() of a NULL filter result is NULL and the CASE falls through.
+_DUCK_VEC = ("CASE WHEN len(list_filter(embedding, x -> x IS NULL OR"
+             " NOT isfinite(CAST(x AS DOUBLE)))) = 0"
+             " THEN list_transform(embedding, x -> CAST(x AS DOUBLE))"
+             " END")
 
 # NULL-total cosine template: a zero-norm (or NULL) side yields NULL —
 # matching operators.similarity.cosine's try_divide — NEVER NaN.
@@ -50,9 +65,12 @@ def _query_vec(emb) -> list:
     on the lowest non-null id (round-9 ADVICE).  NULL embeddings are
     excluded too (matching ``_DUCK_QVEC``): if the lowest-id row is a
     failed embedding job, the convention is the lowest id WITH a
-    vector, not a crash here and a NULL query vector in the oracle."""
+    vector, not a crash here and a NULL query vector in the oracle.
+    "With a vector" means a WELL-FORMED one — ``as_vec`` NULLs out
+    NaN/Inf-component vectors, so a poisoned lowest-id row cannot
+    become a query vector that NULLs every score."""
     row = (emb.filter(F.col("vec_id").isNotNull()
-                      & F.col("embedding").isNotNull())
+                      & S.as_vec("embedding").isNotNull())
            .orderBy("vec_id").select("embedding").first())
     if row is None:
         raise ValueError(
@@ -178,7 +196,7 @@ def dedup_simhash(spark, sf_dir):
 # -------------------------------------------------- similarity search
 @register("ann_cosine_topk", f"""
 WITH v AS (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                  {_DUCK_VEC} AS ve
            FROM embeddings),
 q AS (SELECT ve AS qv FROM v WHERE vec_id = {_DUCK_QVEC}),
 s AS (SELECT vec_id, {_DUCK_COS.format(a="ve", b="qv")} AS cos
@@ -202,7 +220,7 @@ def _lsh_topk_sql() -> str:
         + "]) >= 0 THEN '1' ELSE '0' END)" for p in planes)
     return f"""
 WITH v AS (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                  {_DUCK_VEC} AS ve
            FROM embeddings),
 b AS (SELECT vec_id, {bits} AS bucket FROM v),
 qb AS (SELECT bucket AS q_bucket FROM b WHERE vec_id = {_DUCK_QVEC}),
@@ -234,7 +252,7 @@ def _ivf_neardup_sql(target_cell: int = 256, n_assign: int = 2) -> str:
     # like the Spark side: max(8, ceil(n / target_cell)).
     return f"""
 WITH v AS (SELECT vec_id AS id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                  {_DUCK_VEC} AS ve
            FROM embeddings),
 ncc AS (SELECT greatest(CAST(ceil(count(*) / {target_cell}.0) AS INT), 8)
                AS nc FROM v),
@@ -1023,7 +1041,7 @@ def _ivf_topk_sql(n_centroids: int = 8, n_probe: int = 2) -> str:
     cos = _DUCK_COS  # NULL-total (zero-norm -> NULL, see top)
     return f"""
 WITH v AS (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                  {_DUCK_VEC} AS ve
            FROM embeddings),
 c AS (SELECT cid, cv FROM (SELECT vec_id AS cid, ve AS cv, row_number() OVER (ORDER BY vec_id) AS rn FROM v) WHERE rn <= {n_centroids}),
 q AS (SELECT ve AS qv FROM v WHERE vec_id = {_DUCK_QVEC}),
@@ -1070,7 +1088,7 @@ def _ivfpq_topk_sql(n_centroids: int = 8, n_probe: int = 2,
              "(a, b) -> a + b)")
     return f"""
 WITH v AS (SELECT vec_id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                  {_DUCK_VEC} AS ve
            FROM embeddings),
 c AS (SELECT cid, cv FROM (SELECT vec_id AS cid, ve AS cv, row_number() OVER (ORDER BY vec_id) AS rn FROM v) WHERE rn <= {n_centroids}),
 q AS (SELECT ve AS qv FROM v WHERE vec_id = {_DUCK_QVEC}),
@@ -1503,6 +1521,8 @@ WITH ex AS (
   FROM embeddings e,
        unnest(list_transform(generate_series(1, len(e.embedding)),
               i -> {'i': i, 'v': e.embedding[i]})) AS u(s)
+  WHERE len(list_filter(e.embedding, x -> x IS NULL OR
+            NOT isfinite(CAST(x AS DOUBLE)))) = 0
 ), g AS (
   SELECT label, dim, sum(nano) AS s_nano, count(*) AS n
   FROM ex GROUP BY 1, 2
@@ -1547,7 +1567,12 @@ def embedding_label_centroids(spark, sf_dir):
     em = t(spark, sf_dir, "embeddings")
     nano = F.floor(F.col("v").cast("double") * F.lit(1000000000.0)
                    + F.lit(0.5)).cast("long")
-    g = (em.select("label", F.posexplode("embedding").alias("pos", "v"))
+    # as_vec: an ill-formed (NaN/Inf-component) vector explodes to zero
+    # rows, exactly like a NULL embedding — otherwise the nano cast
+    # ANSI-errors on one engine and CAST(NaN AS BIGINT)-errors on the
+    # other (tools/null_parity_sweep.py, edge profile)
+    g = (em.select("label",
+                   F.posexplode(S.as_vec("embedding")).alias("pos", "v"))
          .groupBy("label", (F.col("pos") + 1).cast("int").alias("dim"))
          .agg(F.sum(nano).alias("s_nano"),
               F.count("*").alias("n")))
@@ -1792,7 +1817,7 @@ def _pq_codes_sql(n_sub: int = 8, sub_dim: int = 8,
         for s in range(n_sub))
     return f"""
 WITH v AS (SELECT vec_id AS id,
-                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+                  {_DUCK_VEC} AS ve
            FROM embeddings),
 c AS (SELECT cid, cv, rn - 1 AS crank FROM (SELECT id AS cid, ve AS cv, row_number() OVER (ORDER BY id) AS rn FROM v) WHERE rn <= {n_centroids}),
 d AS (SELECT v.id, c.cid, c.crank, {dists} FROM v, c),
@@ -1845,12 +1870,12 @@ bm25 AS (
 sparse AS (
   SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
   FROM bm25 ORDER BY r LIMIT {_RRF_TOPN}),
-q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+q AS (SELECT {_DUCK_VEC} AS qv
       FROM embeddings WHERE vec_id = {_DUCK_QVEC}),
 cosd AS (
   SELECT vec_id AS doc_id,
          {_DUCK_COS.format(
-             a="list_transform(embedding, x -> CAST(x AS DOUBLE))",
+             a=_DUCK_VEC,
              b="qv")} AS cos
   FROM embeddings, q),
 dense AS (

@@ -1,0 +1,54 @@
+"""Standing dirty-corpus cross-engine gate (r10 verdict item 2).
+
+tools/null_parity_sweep.py found 13 real silent divergences in round
+10 and one more class (NaN-component embeddings) in round 12 — but as
+a manual tool nothing re-ran it when a new query landed.  This test
+makes the cheap core of that sweep part of ``pytest tests/``: the
+COMBINED profile (null + edge + unicode rows merged, including the
+NaN-component embedding) injected into the sf0.001 tables, over a
+fixed panel of the cheapest queries that actually read the injected
+tables, one panel member per operator family.  Any query/oracle
+divergence over the dirty corpus fails the build.
+
+The full sweep (every registered query x every profile in isolation)
+stays the manual/per-round tool: ``python tools/null_parity_sweep.py``.
+"""
+import os
+import sys
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+sys.path.insert(0, os.path.join(_ROOT, "tools"))
+
+import null_parity_sweep as NPS  # noqa: E402
+
+# One per family, cheapest member, all touching documents / embeddings
+# / events (the tables the profiles inject into).
+GATE_PANEL = [
+    # text analysis / curation signals
+    "text_quality", "text_langid", "text_token_stats",
+    "text_repetition", "text_fingerprint", "doc_chunks",
+    "docs_curation_pipeline",
+    # dedup
+    "dedup_exact", "dedup_minhash_signatures",
+    # similarity / embeddings
+    "ann_cosine_topk", "embedding_neardup_pairs", "embedding_kmeans",
+    "embedding_label_centroids", "embedding_dim_stats",
+    # events / quantile / anomaly paths
+    "events_value_winsorize_counts", "events_anomaly_mad",
+    "events_value_anomalies", "events_incremental_rollup",
+    # multimodal adapters + nested JSON
+    "multimodal_metadata", "nested_json_docs",
+]
+
+
+def test_dirty_corpus_parity_panel(spark):
+    import __spark_entry__ as E
+    missing = set(GATE_PANEL) - set(E.queries())
+    assert not missing, f"gate panel names drifted: {missing}"
+    bad, loud, n_run = NPS.run_profile(
+        spark, "combined", only=set(GATE_PANEL), quiet=True)
+    assert n_run == len(GATE_PANEL)
+    # loud (both engines refuse the dirty input) is acceptable; a
+    # silent one-engine-only divergence is the bug class this pins
+    assert not bad, bad

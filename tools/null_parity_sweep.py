@@ -28,8 +28,14 @@ acceptable loud alternative only if BOTH engines fail.
 
 Usage: python tools/null_parity_sweep.py [name ...]
 Env:   NULL_SWEEP_SF      (default /root/testdata/sf0.001)
-       NULL_SWEEP_PROFILE ("null" | "edge" | "unicode" | "all";
-                           default "all")
+       NULL_SWEEP_PROFILE ("null" | "edge" | "unicode" | "combined" |
+                           "all"; default "all" = the three isolated
+                           profiles AND the combined merge, one unified
+                           summary)
+
+The cheap standing subset of this gate also runs in pytest
+(tests/test_dirty_corpus_gate.py) so a future query cannot land
+without dirty-corpus parity.
 """
 import os
 import shutil
@@ -57,6 +63,8 @@ BASE = os.environ.get("NULL_SWEEP_SF", "/root/testdata/sf0.001")
 # are routine in a real 100 TB corpus.
 _FULL_VEC = "[" + ", ".join(["0.5"] * 64) + "]::FLOAT[]"
 _ZERO_VEC = "[" + ", ".join(["0.0"] * 64) + "]::FLOAT[]"
+_NAN_VEC = ("[" + ", ".join(["0.25"] * 63) + ", 'NaN'::FLOAT]"
+            "::FLOAT[]")
 _PROFILES = {
     "null": {
         "documents": [
@@ -90,6 +98,13 @@ _PROFILES = {
             # against it is 0/0 = NaN — both engines must rank it the
             # same way or top-k silently differs
             f"(9000003, {_ZERO_VEC}, 1)",
+            # the NaN-component vector a poisoned pipeline writes:
+            # ill-formed, normalized to NULL at ingestion on BOTH
+            # engines (operators/similarity.as_vec / plans _DUCK_VEC) —
+            # without that, DuckDB errors on CAST(NaN AS BIGINT) in the
+            # centroid/moment paths while Spark ANSI-errors differently,
+            # and NaN ranks greater-than-everything in every top-k
+            f"(9000004, {_NAN_VEC}, 2)",
         ],
         "events": [
             "(9000002, TIMESTAMP '2024-01-02 03:04:06', 3, 'view',"
@@ -142,9 +157,8 @@ _PROFILES = {
 }
 
 
-def _inject_rows() -> dict:
-    prof = os.environ.get("NULL_SWEEP_PROFILE", "all")
-    names = list(_PROFILES) if prof == "all" else [prof]
+def _inject_rows(profile: str) -> dict:
+    names = list(_PROFILES) if profile == "combined" else [profile]
     merged: dict = {}
     for p in names:
         for t, rows in _PROFILES[p].items():
@@ -152,10 +166,10 @@ def _inject_rows() -> dict:
     return merged
 
 
-def build_injected_dir() -> str:
+def build_injected_dir(profile: str = "combined") -> str:
     out = tempfile.mkdtemp(prefix="null_sweep_")
     con = duckdb.connect()
-    inject = _inject_rows()
+    inject = _inject_rows(profile)
     for t in OS.TABLES:
         src = f"{BASE}/{t}.parquet"
         dst = f"{out}/{t}.parquet"
@@ -177,12 +191,19 @@ def _cols(con, src: str) -> list:
                         ).fetchall()]
 
 
-def main() -> int:
-    only = set(sys.argv[1:])
-    sf = build_injected_dir()
-    print(f"# injected tables -> {sf}")
-    spark = get_spark()
-    spark.sparkContext.setLogLevel("ERROR")
+def run_profile(spark, profile: str, only=None, quiet: bool = False):
+    """Run every registered query (or just ``only``) on the
+    ``profile``-injected corpus, Spark vs its DuckDB oracle, with the
+    driver's own normalization.  Returns ``(bad, loud, n_run)`` —
+    ``bad`` is the silent-divergence list (the gate condition), ``loud``
+    the acceptable both-engines-refused list.  This is the callable the
+    standing pytest gate (tests/test_dirty_corpus_gate.py) reuses."""
+    def say(line):
+        if not quiet:
+            print(line)
+
+    sf = build_injected_dir(profile)
+    say(f"# [{profile}] injected tables -> {sf}")
     con = duckdb.connect()
     for t in OS.TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
@@ -209,9 +230,9 @@ def main() -> int:
             if name not in oracles:
                 if s_err:
                     bad.append((name, f"SPARK ERROR (rows-only): {s_err}"))
-                    print(f"ERROR  {name}: {s_err}")
+                    say(f"ERROR  {name}: {s_err}")
                 else:
-                    print(f"rows   {name}: {len(sdf)} (rows-only)")
+                    say(f"rows   {name}: {len(sdf)} (rows-only)")
                 continue
             try:
                 odf = con.execute(oracles[name]).df()
@@ -223,35 +244,57 @@ def main() -> int:
                     # both engines refused the dirty input: loud and
                     # consistent — acceptable, but reported
                     loud.append((name, s_err, o_err))
-                    print(f"loud   {name}: both engines error")
+                    say(f"loud   {name}: both engines error")
                 else:
                     side = "spark" if s_err else "oracle"
                     bad.append((name, f"{side} ONLY errored: "
                                 f"{s_err or o_err}"))
-                    print(f"FAIL   {name}: {side} errored, the other "
-                          "succeeded")
+                    say(f"FAIL   {name}: {side} errored, the other "
+                        "succeeded")
                 continue
             s, o = OS.normalize(sdf), OS.normalize(odf)
             if sorted(s.columns) != sorted(o.columns):
                 bad.append((name, "columns differ"))
-                print(f"FAIL   {name}: columns differ")
+                say(f"FAIL   {name}: columns differ")
             elif len(s) != len(o):
                 bad.append((name, f"rows {len(s)} != {len(o)}"))
-                print(f"FAIL   {name}: rowcount {len(s)} != {len(o)}")
+                say(f"FAIL   {name}: rowcount {len(s)} != {len(o)}")
             elif not OS.values_match(s, o):
                 bad.append((name, "values differ"))
-                print(f"FAIL   {name}: values differ")
+                say(f"FAIL   {name}: values differ")
             else:
-                print(f"ok     {name}: {len(s)} rows")
+                say(f"ok     {name}: {len(s)} rows")
     finally:
         shutil.rmtree(sf, ignore_errors=True)
-    print(f"\n{len(bad)} divergences, {len(loud)} loud-both-sides "
-          f"/ {n_run} queries run (registry: {len(qs)})")
-    for name, why in bad:
-        print(f"  DIVERGE {name}: {why}")
-    for name, se, oe in loud:
-        print(f"  LOUD    {name}: spark: {se} | oracle: {oe}")
-    return 1 if bad else 0
+    return bad, loud, n_run
+
+
+def main() -> int:
+    only = set(sys.argv[1:])
+    prof = os.environ.get("NULL_SWEEP_PROFILE", "all")
+    # default "all": each profile in isolation AND the combined merge —
+    # one command, one summary (a divergence can hide in a merged
+    # corpus when an aggregate/top-k sees the other profiles' rows, and
+    # a combined-only run would miss it; r10 verdict item 5)
+    profiles = (["null", "edge", "unicode", "combined"] if prof == "all"
+                else [prof])
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for p in profiles:
+        results[p] = run_profile(spark, p, only)
+    n_bad = sum(len(b) for b, _, _ in results.values())
+    n_loud = sum(len(lo) for _, lo, _ in results.values())
+    n_run = sum(n for _, _, n in results.values())
+    print(f"\n{n_bad} divergences, {n_loud} loud-both-sides / "
+          f"{n_run} query runs over {len(profiles)} profile(s) "
+          f"({' '.join(profiles)}; registry: {len(E.queries())})")
+    for p, (bad, loud, _) in results.items():
+        for name, why in bad:
+            print(f"  DIVERGE [{p}] {name}: {why}")
+        for name, se, oe in loud:
+            print(f"  LOUD    [{p}] {name}: spark: {se} | oracle: {oe}")
+    return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
