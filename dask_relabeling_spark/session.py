@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import warnings
 from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
@@ -83,6 +84,18 @@ def get_spark(app_name: str = "dask-relabeling-spark",
                 os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # ROOT-locale JVMs cluster-wide: executors lowercase under THEIR
+        # default locale, so the driver-side Locale.setDefault below is
+        # not enough on a real cluster — a tr/az executor would still
+        # map 'I' to dotless 'ı' inside fold_lower.  Empty
+        # user.language/country resolve to Locale.ROOT.  (Appended
+        # per-session options would clobber a caller's own
+        # extraJavaOptions; callers needing both should pre-set the env
+        # with these flags included.)
+        .config("spark.executor.extraJavaOptions",
+                "-Duser.language= -Duser.country=")
+        .config("spark.driver.extraJavaOptions",
+                "-Duser.language= -Duser.country=")
     )
     if master is not None:
         builder = builder.master(master)
@@ -93,12 +106,25 @@ def get_spark(app_name: str = "dask-relabeling-spark",
     # cross-engine lowercase contract assumes locale-root case mapping,
     # but on a tr/az default-locale JVM, String.toLowerCase maps 'I' to
     # dotless 'ı' — a divergence the İ/Σ pre-substitution cannot cover
-    # (round-10 ADVICE).  Driver-side set is enough for local[*]; on a
-    # real cluster ALSO pass -Duser.language= in executor JVM options
+    # (round-10 ADVICE).  This covers local[*] and an already-started
+    # driver JVM; executors are covered by the extraJavaOptions above
     # (asserted by tests/test_null_robustness.py special-casing test).
+    # Never silent: a skipped or failed pin re-opens the tr/az
+    # divergence, so both failure paths warn (round-11 ADVICE).
     try:
         jvm = spark.sparkContext._jvm
         jvm.java.util.Locale.setDefault(jvm.java.util.Locale.ROOT)
-    except Exception:
-        pass  # Spark Connect: no JVM handle; rely on server-side config
+        tag = jvm.java.util.Locale.getDefault().toLanguageTag()
+        if tag != "und":  # ROOT's BCP-47 tag
+            warnings.warn(
+                f"JVM default-locale pin did not stick (got {tag!r}); "
+                "fold_lower's cross-engine lowercase contract needs a "
+                "ROOT-locale JVM — pass -Duser.language= -Duser.country= "
+                "in the JVM options")
+    except Exception as exc:  # no JVM handle (e.g. Spark Connect)
+        warnings.warn(
+            "JVM default-locale pin skipped "
+            f"({type(exc).__name__}: {exc}); on Spark Connect set "
+            "-Duser.language= -Duser.country= in the server-side JVM "
+            "options or fold_lower may diverge on tr/az-locale JVMs")
     return spark

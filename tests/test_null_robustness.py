@@ -175,6 +175,11 @@ def test_fold_lower_matches_duckdb_on_special_casing(spark):
     # code points so the engines' lowercase agrees on EVERY string
     import duckdb
     from dask_relabeling_spark.operators.text import fold_lower
+    # the get_spark locale pin must have stuck: a non-ROOT JVM locale
+    # (tr/az) breaks fold_lower in ways the İ/Σ pre-substitution cannot
+    # cover, and session.py warns-but-continues, so assert here
+    jvm = spark.sparkContext._jvm
+    assert jvm.java.util.Locale.getDefault().toLanguageTag() == "und"
     texts = ["İstanbul DİYARBAKIR", "ΑΣ ΣΟΦΟΣ", "straße STRASSE",
              "café café", "中文 👍🏽", "plain ASCII Text"]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
