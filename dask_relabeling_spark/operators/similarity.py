@@ -57,8 +57,23 @@ def cosine(a: Column, b: Column) -> Column:
     (tools/null_parity_sweep.py, edge profile).  NULL scores sort LAST
     under the rank windows' DESC (both engines' default), so zero-norm
     vectors lose every top-k tie-break instead of crashing it; the
-    oracles guard their divisions with the matching CASE WHEN nrm > 0."""
-    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    oracles guard their divisions with the matching CASE WHEN nrm > 0.
+
+    Also total over ILL-FORMED inputs: a NaN/Inf component poisons the
+    dot/norm folds into a non-finite ratio, and the engines disagree on
+    non-finite ordering — so a non-finite ratio is NULL, exactly like
+    zero-norm.  This result-level guard costs one scalar check per
+    score (vs a whole extra pass for ``as_vec`` on the input), letting
+    single-pass scoring scans skip ingestion normalization; the oracles
+    get the same totality from ``_DUCK_VEC`` NULLing the vector.
+    ``nanvl`` (not a when-guard) so the HOF ratio is referenced exactly
+    once — HOF exprs are CodegenFallback, so a multiply-referenced
+    ratio re-evaluates the folds per reference.  NaN is the ONLY
+    non-finite ratio possible: ±Inf needs a zero norm-product with a
+    nonzero dot (contradiction) or an Inf dot with finite norms
+    (contradiction), and zero-norm is already NULL via try_divide."""
+    return F.nanvl(F.try_divide(_dot(a, b), _norm(a) * _norm(b)),
+                   F.lit(None).cast("double"))
 
 
 def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
@@ -71,10 +86,14 @@ def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     differs across engines).
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    # project as_vec ONCE into a named column before cosine references
-    # it twice (dot + norm): Catalyst does not CSE across HOF lambdas,
-    # and CollapseProject keeps a non-cheap multiply-referenced alias
-    scored = (df.select(F.col(id_col), as_vec(vec_col).alias("v"))
+    # plain cast, NOT as_vec: this scan's whole cost is one pass per
+    # vector, so an ingestion finiteness pass would be +~35% measured;
+    # cosine()'s result-level finite guard gives the same NULL score
+    # for ill-formed vectors at the cost of one scalar check.  The
+    # projection keeps the cast single-evaluation (no CSE across HOF
+    # lambdas; CollapseProject keeps a non-cheap multi-referenced alias)
+    scored = (df.select(F.col(id_col),
+                        F.col(vec_col).cast("array<double>").alias("v"))
               .select(F.col(id_col),
                       cosine(F.col("v"), q).alias("cos")))
     # Global top-k via orderBy+limit: Spark plans TakeOrderedAndProject —
