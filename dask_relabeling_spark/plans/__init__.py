@@ -39,7 +39,7 @@ from . import curation  # noqa: F401  (round-3 pipeline extensions)
 # while genuinely stale entries starved).
 _CHANGED = [
     # (round-12 prune: every round-10 flag's post-change green landed
-    # in committed CORRECTNESS_r10/r11 artifacts, so the 34 expired
+    # in committed CORRECTNESS_r10/r11 artifacts, so the 36 expired
     # entries are removed — per the r10/r11 verdicts, expired flags are
     # inert but bury live signal.  The expiry mechanism is unchanged;
     # future flags go here as (name, changed_in_round).)
