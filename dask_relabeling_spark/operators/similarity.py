@@ -86,12 +86,13 @@ def cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     differs across engines).
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    # plain cast, NOT as_vec: this scan's whole cost is one pass per
-    # vector, so an ingestion finiteness pass would be +~35% measured;
-    # cosine()'s result-level finite guard gives the same NULL score
-    # for ill-formed vectors at the cost of one scalar check.  The
-    # projection keeps the cast single-evaluation (no CSE across HOF
-    # lambdas; CollapseProject keeps a non-cheap multi-referenced alias)
+    # plain cast, NOT as_vec: this scan's whole execution cost is one
+    # pass per vector, and an ingestion finiteness pass would add a
+    # second (plus HOF-heavy analysis time that dominates small-SF
+    # walls); cosine()'s result-level finite guard gives the same NULL
+    # score for ill-formed vectors at the cost of one scalar check.
+    # The projection keeps the cast single-evaluation (no CSE across
+    # HOF lambdas; CollapseProject keeps a non-cheap multi-use alias)
     scored = (df.select(F.col(id_col),
                         F.col(vec_col).cast("array<double>").alias("v"))
               .select(F.col(id_col),
