@@ -195,3 +195,60 @@ def test_milli_mean_formula_matches_exact_rational(spark, seed):
         import math
         half = Fraction(r.s, 1_000_000 * r.n)
         assert expect == math.floor(half + Fraction(1, 2)), (r.s, r.n)
+
+
+@pytest.mark.parametrize("seed", [11, 13])
+def test_dirty_vector_cosine_matches_duckdb(spark, seed):
+    # property pin for the round-12 totality convention: on vectors
+    # salted with NaN/±Inf/NULL components (plus zero vectors and NULL
+    # embeddings), per-pair cosine through as_vec must match the
+    # oracle-side _DUCK_VEC + _DUCK_COS combination exactly — an
+    # ill-formed vector scores NULL against everything, never a
+    # NaN/Inf rank or a one-engine cast error
+    import duckdb
+
+    from dask_relabeling_spark.operators.similarity import as_vec, cosine
+    from dask_relabeling_spark.plans.llm import _DUCK_COS, _DUCK_VEC
+
+    rng = np.random.RandomState(seed)
+    dim, n = 6, 24
+    rows = []
+    for i in range(n):
+        kind = rng.randint(0, 6)
+        if kind == 0:
+            vec = None                               # NULL embedding
+        else:
+            vec = [float(x) for x in rng.uniform(-1, 1, dim)]
+            if kind == 1:
+                vec[rng.randint(dim)] = float("nan")
+            elif kind == 2:
+                vec[rng.randint(dim)] = float("inf")
+            elif kind == 3:
+                vec[rng.randint(dim)] = None         # NULL component
+            elif kind == 4:
+                vec = [0.0] * dim                    # zero norm
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "id long, embedding array<double>")
+    vecs = df.select("id", as_vec("embedding").alias("v"))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    got = {(r.ia, r.ib): r.cos for r in
+           (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),
+                    cosine(F.col("a.v"), F.col("b.v")).alias("cos"))
+            .collect())}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (id BIGINT, embedding DOUBLE[])")
+    con.executemany("INSERT INTO embeddings VALUES (?, ?)", rows)
+    exp = {(ia, ib): cos for ia, ib, cos in con.execute(f"""
+        WITH v AS (SELECT id, {_DUCK_VEC} AS ve FROM embeddings)
+        SELECT a.id, b.id, {_DUCK_COS.format(a='a.ve', b='b.ve')}
+        FROM v a JOIN v b ON a.id < b.id""").fetchall()}
+
+    assert set(got) == set(exp)
+    for k in got:
+        g, e = got[k], exp[k]
+        if g is None or e is None:
+            assert g is None and e is None, (k, g, e)
+        else:
+            assert abs(g - e) < 1e-12, (k, g, e)
