@@ -148,10 +148,10 @@ def semantic_dedup(df: DataFrame, k: int = 8, n_iter: int = 2,
 
     assign = kmeans_assignments(df, k=k, n_iter=n_iter,
                                 id_col=id_col, vec_col=vec_col)
-    vecs = (df.select(F.col(id_col),
-                      as_vec(vec_col).alias("v"),
-                      _norm(as_vec(vec_col))
-                      .alias("nrm"))
+    # two-step projection: one as_vec evaluation per row, not two —
+    # no CSE across HOF lambdas (see similarity.cosine_neardup_pairs)
+    vecs = (df.select(F.col(id_col), as_vec(vec_col).alias("v"))
+            .select(id_col, "v", _norm(F.col("v")).alias("nrm"))
             .join(assign, id_col))
     a, b = vecs.alias("a"), vecs.alias("b")
     pairs = (a.join(b, (F.col("a.cluster") == F.col("b.cluster")) &

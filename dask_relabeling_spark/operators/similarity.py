@@ -210,10 +210,11 @@ def ivf_neardup_pairs(df: DataFrame, threshold_num: int = 45,
             .select(F.col("a.id").alias("id_a"),
                     F.col("b.id").alias("id_b"))
             .distinct())
-    vecs = df.select(F.col(id_col).alias("id"),
-                     as_vec(vec_col).alias("v"),
-                     _norm(as_vec(vec_col))
-                     .alias("nrm"))
+    # two-step projection: one as_vec evaluation per row, not two —
+    # no CSE across HOF lambdas (see cosine_neardup_pairs)
+    vecs = (df.select(F.col(id_col).alias("id"),
+                      as_vec(vec_col).alias("v"))
+            .select("id", "v", _norm(F.col("v")).alias("nrm")))
     scored = (cand
               .join(vecs.select(F.col("id").alias("id_a"),
                                 F.col("v").alias("va"),
