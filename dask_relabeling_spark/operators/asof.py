@@ -53,6 +53,19 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     a match farther than this from the left timestamp is discarded
     (columns NULL).  Applied as a post-filter on the carried match, so
     the plan shape (one shuffle, linear pass) is unchanged.
+
+    NULL semantics follow SQL comparison rules — ``l.ts >= r.ts`` and
+    ``l.key = r.key`` are never true through a NULL — made EXPLICIT
+    here because the window formulation would otherwise invent its
+    own: ``partitionBy`` groups NULL keys into one partition (so
+    NULL-key rows would match each other, which no equi-join does),
+    and a NULL timestamp's sort position depends on direction (Spark
+    asc puts NULLs first, desc last) while DuckDB's ASOF sorts them
+    last either way.  So right rows with a NULL key or NULL ``right_ts``
+    are dropped (they can never be a match), and a left row with a NULL
+    ``left_ts`` is kept but never matched (found by the round-12
+    randomized dirty-corpus fuzz: DuckDB's ASOF matched a NULL-ts
+    purchase to the user's last click, this operator did not).
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -80,6 +93,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
                 f"right_id column '{right_id}' must be integral, got "
                 f"{id_type.simpleString()} (a non-numeric tiebreak would "
                 f"cast to NULL and silently lose determinism)")
+
+    # a right row with a NULL join key or NULL timestamp can never be
+    # an as-of match under SQL comparison semantics; drop before the
+    # union so it cannot be carried by the window (see docstring)
+    never_match = _c(right_ts).isNull()
+    for k in on:
+        never_match = never_match | _c(k).isNull()
+    right = right.filter(~never_match)
 
     r_payload = [c for c in right.columns if c not in on]
     r_struct = F.struct(*[_c(c).alias(c) for c in r_payload])
@@ -143,6 +164,14 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
                    .filter(F.col("_l").isNotNull()))
+    # a left row with NULL left_ts is kept but never matched (SQL
+    # comparison semantics).  Positional argument alone is not enough:
+    # backward's asc order happens to place NULLs first (no prior right
+    # row), but forward's desc order places them LAST, where the window
+    # has seen every right row — the guard makes the convention explicit
+    # and direction-independent
+    matched = matched.withColumn(
+        "_m", F.when(F.col("_ts").isNotNull(), F.col("_m")))
     if tolerance_seconds is not None:
         # timestampdiff works natively on TIMESTAMP and TIMESTAMP_NTZ
         # alike with no session-timezone interpretation — a cast through

@@ -72,6 +72,27 @@ _CHANGED = [
     ("embedding_kmeans", 12),
     ("embedding_label_centroids", 12),
     ("embedding_dim_stats", 12),
+    # round 12 (second batch): the randomized dirty-corpus fuzz found
+    # seven time-ordered event queries silently diverging on NULL
+    # ts/value/user_id (engines' opposite window NULL ordering,
+    # F.window's NULL-ts drop, a split predicate losing NULL ts, and
+    # DuckDB ASOF matching NULL-ts left rows) — the NULL-exclusion
+    # convention is now explicit on both sides of each, and asof_join
+    # enforces SQL never-match semantics (also changing
+    # events_asof_next_purchase's plan)
+    ("events_hourly_windows", 12),
+    ("events_incremental_rollup", 12),
+    ("events_sessionize", 12),
+    ("events_session_windows", 12),
+    ("events_asof_last_click", 12),
+    ("events_asof_next_purchase", 12),
+    ("events_lead_lag_deltas", 12),
+    ("events_value_percentiles", 12),
+    # round 12 (fuzz seeds 102/103): the inline sessionize in the
+    # interval-overlap join had the same NULL-ts divergence, and the
+    # props-extract oracle died on malformed JSON Spark NULLs through
+    ("events_session_overlap", 12),
+    ("events_props_extract", 12),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

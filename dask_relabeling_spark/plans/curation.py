@@ -140,7 +140,8 @@ WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, ts,
          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -151,7 +152,7 @@ sess AS (SELECT user_id, CAST(sid AS BIGINT) AS session_idx,
                 CAST(count(*) AS BIGINT) AS n_events
          FROM s GROUP BY 1, 2),
 hours AS (SELECT date_trunc('hour', ts) AS h, count(*) AS c
-          FROM events GROUP BY 1),
+          FROM events WHERE ts IS NOT NULL GROUP BY 1),
 win AS (SELECT h FROM hours ORDER BY c DESC, h LIMIT 3)
 SELECT user_id, session_idx, n_events, h AS window_start,
        least(epoch_us(s_end), epoch_us(h + INTERVAL 1 HOUR))
@@ -165,8 +166,13 @@ def events_session_overlap(spark, sf_dir):
     hour-bucket bin join (operators/intervals.py) — candidates come
     from an equi-join on the bucket, each pair exactly once, the exact
     closed-interval predicate as a post-join filter.  The oracle uses
-    the direct theta join (same semantics, oracle-scale only)."""
-    ev = t(spark, sf_dir, "events")
+    the direct theta join (same semantics, oracle-scale only).
+
+    NULL-ts events are off the timeline on both sides (the same
+    round-12 convention as events_sessionize — the engines' opposite
+    window NULL ordering would otherwise split sessions differently,
+    and a NULL hour bucket could displace a top-3 busiest hour)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
     brk = F.when(F.lag("ts").over(w).isNull()
@@ -1140,7 +1146,7 @@ WITH hourly AS (
          CAST(count(*) AS BIGINT) AS n_events,
          CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END
                        AS DECIMAL(27,9))) AS DECIMAL(27,9)) AS sv
-  FROM events GROUP BY 1, 2)
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
 SELECT event_type, h, n_events,
        round(CAST(sv AS DOUBLE), 2) AS sum_value
 FROM hourly
@@ -1159,7 +1165,13 @@ def events_incremental_rollup(spark, sf_dir):
     arrival order.  At scale this is one small-batch agg + one
     broadcast-or-shuffle merge join onto the MV table instead of a full
     re-aggregation of the corpus."""
-    ev = t(spark, sf_dir, "events")
+    # NULL-ts events are excluded EXPLICITLY on both sides: the
+    # incremental split below partitions history by ts < cut vs
+    # ts >= cut, and a NULL ts satisfies NEITHER predicate — without
+    # the filter the Spark side silently loses the NULL-hour group the
+    # oracle's single GROUP BY keeps (round-12 dirty-corpus fuzz).  A
+    # row with no timestamp has no hour to roll into.
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     cut = F.lit("2024-01-26 00:00:00").cast("timestamp")
 
     def hourly(df):

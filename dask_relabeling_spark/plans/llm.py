@@ -779,7 +779,7 @@ def multimodal_features(spark, sf_dir):
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        round(sum(value), 4) AS total_value
-FROM events GROUP BY 1, 2
+FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """)
 def events_hourly_windows(spark, sf_dir):
     return windowed_event_counts(t(spark, sf_dir, "events"), "1 hour")
@@ -787,12 +787,15 @@ def events_hourly_windows(spark, sf_dir):
 
 @register("events_asof_last_click", """
 SELECT l.event_id, l.user_id,
-       r.event_id AS click_event_id, r.value AS click_value
+       CASE WHEN l.ts IS NOT NULL THEN r.event_id END AS click_event_id,
+       CASE WHEN l.ts IS NOT NULL THEN r.value END AS click_value
 FROM (SELECT * FROM events WHERE event_type = 'purchase') l
 ASOF LEFT JOIN (
   SELECT user_id, ts, max(event_id) AS event_id,
          arg_max(value, event_id) AS value
-  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+  FROM events
+  WHERE event_type = 'click' AND ts IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY user_id, ts
 ) r ON l.user_id = r.user_id AND l.ts >= r.ts
 """)
 def events_asof_last_click(spark, sf_dir):
@@ -804,7 +807,14 @@ def events_asof_last_click(spark, sf_dir):
     the max event_id: DuckDB's ASOF JOIN tie choice among equal r.ts
     rows is unspecified, so the oracle would be nondeterministic on tied
     data without this (the current seed data has no ties; this is
-    insurance against regenerated data)."""
+    insurance against regenerated data).
+
+    NULL semantics are pinned to SQL comparison rules on both sides
+    (``asof_join`` drops NULL-key/NULL-ts clicks and never matches a
+    NULL-ts purchase); the oracle needs the explicit WHERE + CASE
+    because DuckDB's ASOF implementation sorts NULLs last and would
+    otherwise match a NULL-ts purchase to the user's LAST click
+    (round-12 dirty-corpus fuzz)."""
     ev = t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase")
     clicks = (ev.filter(F.col("event_type") == "click")
@@ -823,7 +833,8 @@ WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, event_id,
          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -843,7 +854,8 @@ WITH g AS (
   SELECT user_id, event_id, ts,
          CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w >= 1800
               OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS brk
-  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 s AS (
   SELECT user_id, event_id, ts,
          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -861,7 +873,11 @@ def events_session_windows(spark, sf_dir):
     state merging).  Semantics caveat the oracle must mirror: Spark's
     session spans [first_ts, last_ts + gap), so a new session starts when
     the inter-event gap is >= the timeout — strict `>` in `sessionize_
-    batch` vs `>=` here (they differ only on exactly-1800 s gaps)."""
+    batch` vs `>=` here (they differ only on exactly-1800 s gaps).
+    Second caveat the oracle mirrors (WHERE ts IS NOT NULL): Spark's
+    session_window, like every time window, silently drops NULL-ts rows
+    — DuckDB's lag/cumsum replay would instead sessionize them under
+    its NULLS LAST order (round-12 dirty-corpus fuzz)."""
     ev = t(spark, sf_dir, "events")
     return (ev.groupBy("user_id",
                        F.session_window("ts", "30 minutes").alias("w"))
@@ -1779,16 +1795,22 @@ SELECT event_id, user_id,
        round(value - lag(value) OVER w, 4) AS delta_prev,
        lead(event_type) OVER w AS next_type,
        first_value(event_type) OVER w AS first_type
-FROM events
+FROM events WHERE ts IS NOT NULL
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """)
 def events_lead_lag_deltas(spark, sf_dir):
     """Offset window functions (lag / lead / first_value) over the
     per-user event timeline — ONE window spec shared by all three, so
     Spark sorts each user partition once; partitioning by user keeps
-    every partition small and the sort local (no global order)."""
+    every partition small and the sort local (no global order).
+
+    NULL-ts events are excluded on both sides: an event without a
+    timestamp has no position on the timeline, and the engines would
+    otherwise place it at OPPOSITE ends of the user's ordered stream
+    (Spark asc sorts NULLs first, DuckDB last), shifting every
+    lead/lag neighbor (round-12 dirty-corpus fuzz)."""
     from pyspark.sql import Window as W
-    ev = t(spark, sf_dir, "events")
+    ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id", "user_id",

@@ -359,12 +359,19 @@ def nested_json_docs(spark, sf_dir):
 
 @register("events_props_extract", """
 SELECT event_id,
-       CAST(json_extract(props, '$.k') AS INT) AS prop_k
+       CASE WHEN json_valid(props)
+            THEN CAST(json_extract(props, '$.k') AS INT) END AS prop_k
 FROM events WHERE event_type = 'purchase'
 """)
 def events_props_extract(spark, sf_dir):
     """JSON path extraction from a string column (get_json_object) —
-    semi-structured props riding a typed table."""
+    semi-structured props riding a typed table.
+
+    Total over malformed JSON: Spark's get_json_object returns NULL on
+    an unparseable document, but DuckDB's json_extract ERRORS — the
+    json_valid guard makes the oracle as total as the plan, so one
+    garbage props string can't kill the oracle while Spark sails on
+    (round-12 dirty-corpus fuzz, seed 103)."""
     ev = t(spark, sf_dir, "events")
     return (ev.filter(F.col("event_type") == "purchase")
             .select("event_id",
@@ -1038,7 +1045,7 @@ WITH r AS (
                               ORDER BY value, event_id) AS pr,
          cume_dist() OVER (PARTITION BY event_type
                            ORDER BY value, event_id) AS cd
-  FROM events)
+  FROM events WHERE value IS NOT NULL)
 SELECT event_type,
        CAST(count(*) FILTER (WHERE pr >= 0.9) AS BIGINT) AS n_top_decile,
        round(avg(value) FILTER (WHERE pr >= 0.9), 4) AS avg_top_decile,
@@ -1049,8 +1056,15 @@ def events_value_percentiles(spark, sf_dir):
     """percent_rank / cume_dist distribution windows per event type, then
     a top-decile rollup.  Partitioned by type so each window sorts only
     its own partition; the deterministic (value, event_id) order makes
-    both engines agree on ties."""
-    ev = t(spark, sf_dir, "events")
+    both engines agree on ties.
+
+    NULL values are not values (the same convention as
+    functions/quantiles.py): a distribution rank over a column with
+    NULLs is engine-dependent — Spark's window sorts them FIRST
+    (percent_rank ~0), DuckDB's LAST (percent_rank 1.0, silently
+    claiming the whole top decile) — so both sides rank the non-null
+    values only (round-12 dirty-corpus fuzz)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     r = ev.select("event_type", "value",
                   F.percent_rank().over(w).alias("pr"),

@@ -22,7 +22,13 @@ SESSION_GAP_MIN = 30
 def windowed_event_counts(df: DataFrame, window: str = "1 hour") -> DataFrame:
     """Tumbling-window counts/sums per event type.  Works identically on a
     batch DataFrame and a streaming one (add ``with_watermark`` for
-    streams)."""
+    streams).
+
+    NULL-ts rows are not on the timeline: ``F.window`` itself injects an
+    ``isnotnull(ts)`` filter, so they are excluded — the registered
+    oracle mirrors this with an explicit ``WHERE ts IS NOT NULL``
+    (DuckDB's ``date_trunc`` would otherwise keep a NULL bucket the
+    Spark plan never produces; round-12 dirty-corpus fuzz)."""
     return (df.groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
                  F.round(F.sum("value"), 4).alias("total_value"))
@@ -58,7 +64,16 @@ def sessionize_batch(df: DataFrame, gap_min: int = SESSION_GAP_MIN
     """Batch sessionization: a session breaks when the gap to the previous
     event of the same user exceeds ``gap_min`` minutes.  Pure window
     functions (lag + conditional cumsum) — fully SQL-expressible, so it
-    doubles as the oracle for the stateful streaming variant."""
+    doubles as the oracle for the stateful streaming variant.
+
+    NULL-ts events belong to no session (they cannot be placed on the
+    timeline) and are excluded EXPLICITLY: without the filter the two
+    engines sessionize them differently — Spark's window sorts NULLs
+    first (each opens a session break), DuckDB's sorts them last (each
+    joins the user's final session) — a silent per-user session-count
+    divergence (round-12 dirty-corpus fuzz).  The streaming twin
+    agrees: a watermarked stream drops NULL-event-time rows."""
+    df = df.filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - \
         F.lag(F.col("ts").cast("long")).over(w)

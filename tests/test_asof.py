@@ -153,3 +153,31 @@ def test_backtick_column_names(spark):
     [row2] = asof_join(left, right, ["k"], "ts", "r.ts",
                        right_id="rid", tolerance_seconds=1).collect()
     assert row2["rid_r"] is None
+
+
+def test_null_keys_and_timestamps_never_match(spark):
+    """SQL comparison semantics pinned explicitly (round-12 fuzz): a
+    NULL join key or NULL timestamp never produces a match, in either
+    direction — without the operator's guards, window partitioning
+    would match NULL keys to each other and a NULL-ts left row would
+    match everything (forward) or nothing (backward) by sort accident."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts(20)),      # normal: matches rid 100 backward
+         (2, "u", None),         # NULL left ts: kept, never matched
+         (3, None, _ts(20))],    # NULL left key: kept, never matched
+        "lid int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, "u", _ts(10), 1.0),
+         (101, "u", None, 2.0),    # NULL right ts: never a match
+         (102, None, _ts(5), 3.0)],  # NULL right key: never a match
+        "rid int, k string, rts timestamp, val double")
+    # lid=1 (t20, right at t10): backward/nearest match rid 100;
+    # forward has no right row at/after t20
+    for direction, want1 in (("backward", 100), ("forward", None),
+                             ("nearest", 100)):
+        got = {r.lid: r.rid_r for r in
+               asof_join(left, right, ["k"], "ts", "rts",
+                         right_id="rid", direction=direction).collect()}
+        assert set(got) == {1, 2, 3}, direction
+        assert got[2] is None and got[3] is None, direction
+        assert got[1] == want1, direction

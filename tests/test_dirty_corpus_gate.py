@@ -37,6 +37,14 @@ GATE_PANEL = [
     # events / quantile / anomaly paths
     "events_value_winsorize_counts", "events_anomaly_mad",
     "events_value_anomalies", "events_incremental_rollup",
+    # time-ordered events paths (round-12 fuzz: NULL ts/value/user_id
+    # divergence class — one member per sub-family: tumbling window,
+    # sessionize, as-of join, offset windows, distribution windows)
+    "events_hourly_windows", "events_sessionize",
+    "events_asof_last_click", "events_lead_lag_deltas",
+    "events_value_percentiles",
+    # malformed-JSON props (fuzz seed 103: oracle needs json_valid)
+    "events_props_extract",
     # multimodal adapters + nested JSON
     "multimodal_metadata", "nested_json_docs",
 ]

@@ -79,15 +79,33 @@ def test_rows_only_green_counts_as_evidence():
 
 def test_stalest_entries_fit_driver_budget():
     """Every entry tied for the stalest evidence lands inside the
-    driver's budget (unless there are more such entries than budget)."""
+    driver's budget — EXCEPT the overflow the budget itself forces:
+    changed-entry flags and never-green entries legitimately rank
+    ahead of the stale tail (they need fresh evidence more urgently),
+    so when front + stalest > budget, up to that difference may wait
+    one round.  What must NEVER happen is an entry with FRESHER
+    evidence occupying a budget slot while a stalest entry waits —
+    that is the round-6 starvation bug this test exists to catch."""
     latest = _latest_green()
     tail = {n: r for n, r in latest.items() if n in REGISTRY}
     if not tail:
         pytest.skip("no folded evidence")
     stalest_round = min(tail.values())
     stalest = [n for n, r in tail.items() if r == stalest_round]
-    top = set(list(REGISTRY)[:BUDGET])
-    missing = [n for n in stalest if n not in top]
-    assert len(stalest) > BUDGET or not missing, (
-        "stalest entries starved by the rotation: %r" % missing
+    top = list(REGISTRY)[:BUDGET]
+    missing = [n for n in stalest if n not in set(top)]
+    head = _front(latest)
+    forced = max(0, len(head) + len(stalest) - BUDGET)
+    assert len(missing) <= forced, (
+        "stalest entries starved by the rotation beyond budget "
+        "pressure (%d forced): %r" % (forced, missing)
     )
+    # no queue-jumping: every budget slot not taken by the policy head
+    # (flags / never-green / flagship) holds stalest-round evidence
+    # whenever any stalest entry is still waiting
+    if missing:
+        fresher = [n for n in top
+                   if n not in head and latest.get(n, -1) > stalest_round]
+        assert not fresher, (
+            "entries with fresher evidence jumped the stale queue: %r"
+            % fresher)

@@ -85,6 +85,29 @@ _PROFILES = {
             # untyped / valueless / propless event
             "(9000001, TIMESTAMP '2024-01-02 03:04:05', 3, NULL, NULL,"
             " NULL)",
+            # timestampless event: off the timeline — the round-12
+            # dirty-corpus fuzz found SEVEN queries silently diverging
+            # on this one row class (Spark's windows sort NULL ts
+            # first / F.window drops it / a ts<cut|ts>=cut split loses
+            # it, while DuckDB sorts it last / keeps a NULL bucket);
+            # the convention is now an explicit ts IS NOT NULL on both
+            # engines in every time-ordered plan
+            "(9000005, NULL, 3, 'click', 7.5, '{}')",
+            # userless click: a NULL join/partition key — window
+            # partitioning would group NULL keys together (matching
+            # them to each other) where SQL equality never does;
+            # asof_join drops NULL-key right rows explicitly
+            "(9000006, TIMESTAMP '2024-01-02 03:04:09', NULL,"
+            " 'click', 2.5, '{}')",
+            # a NULL-ts PURCHASE: must get NULL attribution on both
+            # engines (DuckDB's ASOF would otherwise match it to the
+            # user's last click — it sorts NULLs last)
+            "(9000007, NULL, 3, 'purchase', 1.0, '{}')",
+            # malformed JSON props on a purchase: Spark's
+            # get_json_object NULLs it, DuckDB's json_extract ERRORS —
+            # the oracle needs a json_valid guard (fuzz seed 103)
+            "(9000008, TIMESTAMP '2024-01-02 03:04:10', 3,"
+            " 'purchase', 1.0, 'not json')",
         ],
     },
     "edge": {
