@@ -100,6 +100,15 @@ def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
         cid = payload[i:i + 4]
         size = int.from_bytes(payload[i + 4:i + 8], "little")
         body = payload[i + 8:i + 8 + size]
+        if len(body) != size:
+            # the chunk's declared size runs past the payload: a
+            # truncated file.  Without this check a clipped data chunk
+            # silently decodes to FEWER samples (when the clipped
+            # length happens to stay int16-aligned) — found by the
+            # round-13 corrupt-payload fuzz
+            raise ValueError(
+                f"truncated RIFF chunk {cid!r}: declares {size} bytes, "
+                f"{n - i - 8} remain")
         if cid == b"fmt ":
             fmt = body
         elif cid == b"data":
@@ -107,6 +116,8 @@ def decode_wav(payload: bytes) -> Tuple[np.ndarray, int]:
         i += 8 + size + (size & 1)          # chunks are 2-byte aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk too short ({len(fmt)} bytes)")
     audio_format = int.from_bytes(fmt[0:2], "little")
     channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
@@ -154,6 +165,11 @@ def decode_y4m(payload: bytes) -> np.ndarray:
             colorspace = t
     if w is None or h is None:
         raise ValueError("missing W/H in YUV4MPEG2 header")
+    if w <= 0 or h <= 0:
+        # a W0/H0 header would otherwise "decode" an endless run of
+        # silent zero-byte frames (fsize = 0 never exhausts the
+        # payload) — round-13 corrupt-payload fuzz
+        raise ValueError(f"non-positive Y4M dimensions {w}x{h}")
     if colorspace == "Cmono":
         planes = 1
     elif colorspace == "C444":
@@ -193,6 +209,12 @@ def decode_pnm(payload: bytes) -> np.ndarray:
         raise ValueError(f"not a binary PGM/PPM payload: {magic!r}")
     (w_b, h_b, maxval_b), off = _header_tokens(payload, 3)
     w, h, maxval = int(w_b), int(h_b), int(maxval_b)
+    if w <= 0 or h <= 0:
+        # netpbm requires positive dimensions; without this check a
+        # "P5\n0 0\n255\n" payload decodes to a silent (0, 0) raster
+        # (need = 0 bytes always "present") — found by the round-13
+        # corrupt-payload fuzz (tools/dirty_fuzz.py media arm)
+        raise ValueError(f"non-positive PNM dimensions {w}x{h}")
     if not (0 < maxval <= 255):
         raise ValueError(f"unsupported maxval {maxval} (want 1..255)")
     ch = 1 if magic == b"P5" else 3

@@ -38,6 +38,24 @@ MEDIA_SCHEMA = T.StructType([
     ]), True),
 ])
 
+def _loud(media_id, fn):
+    """Per-item loud-failure contract: run ``fn()`` and re-raise any
+    decode error with the offending ``media_id`` prepended.  On a 100 TB
+    corpus a corrupt payload kills its task; an anonymous
+    ``ValueError("truncated PNM raster")`` from one of a billion items
+    is undebuggable — the id makes the failure actionable (mirrors the
+    reference's per-chunk failure posture, where chunkops kernels
+    propagate exceptions with the chunk's coordinates attached)."""
+    try:
+        return fn()
+    except Exception as exc:  # noqa: BLE001 — context, then re-raise
+        msg = f"media_id={media_id}: {exc}"
+        try:
+            raise type(exc)(msg) from exc
+        except TypeError:
+            raise ValueError(msg) from exc
+
+
 FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("kind", T.StringType(), False),
@@ -198,15 +216,16 @@ def decode_and_featurize(df: DataFrame, decode: str = "fake",
                         "payload IS NOT NULL upstream")
                 payload = bytes(payload)
                 if decode == "real":
-                    if payload[:2] in (b"P5", b"P6"):
-                        px = decode_pnm(payload).ravel()
-                    elif payload[:4] == b"RIFF":
-                        px = decode_wav(payload)[0]
-                    else:
+                    def _decode(payload=payload):
+                        if payload[:2] in (b"P5", b"P6"):
+                            return decode_pnm(payload).ravel()
+                        if payload[:4] == b"RIFF":
+                            return decode_wav(payload)[0]
                         raise NotImplementedError(
                             "only PGM/PPM/PCM-WAV decode without "
                             "external codecs; plug PIL/ffmpeg here for "
                             f"{payload[:4]!r}")
+                    px = _loud(media_id, _decode)
                 else:
                     # deterministic fake decode: bytes -> uint8 "pixels"
                     px = np.frombuffer(payload, dtype=np.uint8)
@@ -276,14 +295,24 @@ def resize_media(df: DataFrame, out_w: int = 16, out_h: int = 16,
             for media_id, kind, raw, meta in zip(
                     pdf["media_id"], pdf["kind"], pdf["payload"],
                     pdf["meta"]):
+                # meta is a NULLABLE struct (MEDIA_SCHEMA): a row
+                # without metadata is legal — the real path reads dims
+                # from the payload itself, the fake path falls back to
+                # its defaults (round-13 corrupt-payload fuzz: a NULL
+                # meta crashed the whole batch with an anonymous
+                # 'NoneType' TypeError)
+                meta = meta if meta is not None else {}
                 if decode == "real":
                     payload = bytes(raw)
-                    if payload[:2] not in (b"P5", b"P6"):
-                        raise NotImplementedError(
-                            "only PGM/PPM resize without external "
-                            "codecs; plug PIL/cv2 here for "
-                            f"{payload[:2]!r}")
-                    img = decode_pnm(payload)
+
+                    def _decode(payload=payload):
+                        if payload[:2] not in (b"P5", b"P6"):
+                            raise NotImplementedError(
+                                "only PGM/PPM resize without external "
+                                "codecs; plug PIL/cv2 here for "
+                                f"{payload[:2]!r}")
+                        return decode_pnm(payload)
+                    img = _loud(media_id, _decode)
                     h, w = img.shape[:2]
                     ys = (np.arange(out_h) * h) // out_h
                     xs = (np.arange(out_w) * w) // out_w
@@ -291,8 +320,8 @@ def resize_media(df: DataFrame, out_w: int = 16, out_h: int = 16,
                     out_payload = (encode_pgm(out) if out.ndim == 2
                                    else encode_ppm(out))
                 else:
-                    w = int(meta["width"] or 8)
-                    h = int(meta["height"] or 8)
+                    w = int(meta.get("width") or 8)
+                    h = int(meta.get("height") or 8)
                     px = np.frombuffer(bytes(raw), dtype=np.uint8)
                     img = np.resize(px, (h, w))  # pad/cycle to dims
                     ys = (np.arange(out_h) * h) // out_h
@@ -302,8 +331,8 @@ def resize_media(df: DataFrame, out_w: int = 16, out_h: int = 16,
                     "media_id": int(media_id), "kind": kind,
                     "payload": out_payload,
                     "meta": {"width": out_w, "height": out_h,
-                             "sample_rate": meta["sample_rate"],
-                             "n_frames": meta["n_frames"]}})
+                             "sample_rate": meta.get("sample_rate"),
+                             "n_frames": meta.get("n_frames")}})
             yield pd.DataFrame.from_records(
                 recs, columns=["media_id", "kind", "payload", "meta"])
 
@@ -335,18 +364,20 @@ def sample_frames(df: DataFrame, every_k: int = 4,
                     pdf["media_id"], pdf["payload"], pdf["meta"]):
                 payload = bytes(raw)
                 if decode == "real":
-                    if not payload.startswith(b"YUV4MPEG2"):
-                        raise NotImplementedError(
-                            "only YUV4MPEG2 frame extraction without "
-                            "external codecs; plug ffmpeg/pyav here "
-                            f"for {payload[:4]!r}")
-                    frames = decode_y4m(payload)
+                    def _decode(payload=payload):
+                        if not payload.startswith(b"YUV4MPEG2"):
+                            raise NotImplementedError(
+                                "only YUV4MPEG2 frame extraction "
+                                "without external codecs; plug "
+                                f"ffmpeg/pyav here for {payload[:4]!r}")
+                        return decode_y4m(payload)
+                    frames = _loud(media_id, _decode)
                     for fi in range(0, len(frames), every_k):
                         recs.append({"media_id": int(media_id),
                                      "frame_idx": fi,
                                      "frame": frames[fi].tobytes()})
                     continue
-                n = int(meta["n_frames"] or 1)
+                n = int(meta.get("n_frames") or 1)
                 n = max(n, 1)
                 step = max(len(payload) // n, 1)
                 for fi in range(0, n, every_k):

@@ -93,6 +93,19 @@ _CHANGED = [
     # props-extract oracle died on malformed JSON Spark NULLs through
     ("events_session_overlap", 12),
     ("events_props_extract", 12),
+    # round 13: the corrupt-payload fuzz (tools/dirty_fuzz.py --media)
+    # hardened the decode kernels — per-item media_id error context
+    # (operators/multimodal._loud), NULL-meta struct tolerance, and
+    # loud codec rejection of zero-dim PNM/Y4M headers and size-lying
+    # RIFF chunks (kernels/codecs.py).  Clean-corpus results are
+    # unchanged by construction (error paths + a nullable-struct
+    # guard), but every query whose mapInPandas closure re-serialized
+    # is re-verified
+    ("multimodal_pgm_decode", 13),
+    ("multimodal_wav_decode", 13),
+    ("multimodal_y4m_frames", 13),
+    ("multimodal_resize", 13),
+    ("multimodal_features", 13),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -45,8 +45,13 @@ GATE_PANEL = [
     "events_value_percentiles",
     # malformed-JSON props (fuzz seed 103: oracle needs json_valid)
     "events_props_extract",
-    # multimodal adapters + nested JSON
-    "multimodal_metadata", "nested_json_docs",
+    # multimodal adapters + nested JSON; the four real-codec decode
+    # queries joined in round 13 so dirty DOCUMENT rows (NULL/empty/
+    # unicode text) keep flowing through payload synthesis + actual
+    # PGM/WAV/Y4M parses under the gate
+    "multimodal_metadata", "multimodal_pgm_decode",
+    "multimodal_wav_decode", "multimodal_y4m_frames",
+    "multimodal_resize", "nested_json_docs",
 ]
 
 
@@ -59,4 +64,21 @@ def test_dirty_corpus_parity_panel(spark):
     assert n_run == len(GATE_PANEL)
     # loud (both engines refuse the dirty input) is acceptable; a
     # silent one-engine-only divergence is the bug class this pins
+    assert not bad, bad
+
+
+def test_media_corruption_panel(spark):
+    """Corrupt-payload gate (round-13 fuzz arm): structurally invalid
+    PGM/WAV/Y4M payloads must fail LOUDLY with the offending media_id;
+    spec-legal mutations (header comments, unknown RIFF chunks, FRAME
+    params, trailing sub-header junk) must decode byte-identically to
+    their pristine twin; mixed batches must not silently drop rows.
+    Seed 0 is the promoted permanent panel — the classes the round-13
+    fuzz found live (silent zero-dim PGM/Y4M decodes, silent truncated
+    RIFF chunks, NULL-meta batch crashes, anonymous decode errors)."""
+    import random
+
+    import dirty_fuzz as DF
+    bad, n_loud, n_run = DF.run_media_fuzz(spark, random.Random(0))
+    assert n_run == 48, n_run
     assert not bad, bad

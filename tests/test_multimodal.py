@@ -263,3 +263,53 @@ def test_real_sample_frames_y4m(spark):
         assert set(out[mid]) == {0, 4}
         for fi in (0, 4):
             assert out[mid][fi] == cycled[fi * 256:(fi + 1) * 256]
+
+
+def test_codecs_reject_structurally_invalid_headers():
+    """The round-13 corrupt-payload fuzz classes: degenerate headers
+    and size-lying chunks must fail LOUDLY, not decode silently
+    (kernels/codecs.py hardening; tools/dirty_fuzz.py media arm)."""
+    import pytest as _pytest
+    import numpy as np
+    from dask_relabeling_spark.kernels.codecs import (
+        decode_pnm, decode_wav, decode_y4m, encode_wav_pcm16,
+        encode_y4m_mono)
+    # zero / negative PNM dimensions: previously a silent (0, 0) raster
+    with _pytest.raises(ValueError, match="non-positive"):
+        decode_pnm(b"P5\n0 0\n255\n")
+    with _pytest.raises(ValueError, match="non-positive"):
+        decode_pnm(b"P5\n-4 2\n255\n" + bytes(8))
+    # truncated RIFF chunk: declared size running past the payload
+    # previously decoded to silently fewer samples when int16-aligned
+    wav = encode_wav_pcm16(np.zeros(8, np.int16))
+    with _pytest.raises(ValueError, match="truncated RIFF chunk"):
+        decode_wav(wav[:-4])
+    with _pytest.raises(ValueError, match="fmt chunk too short"):
+        decode_wav(wav[:12] + b"fmt \x02\x00\x00\x00\x01\x00"
+                   + wav[12 + 8 + 16:])
+    # zero-dimension Y4M: previously an endless run of empty frames
+    y4m = encode_y4m_mono(np.zeros((2, 4, 4), np.uint8))
+    with _pytest.raises(ValueError, match="non-positive"):
+        decode_y4m(y4m.replace(b" W4 ", b" W0 ", 1))
+
+
+def test_decode_errors_name_the_offending_media_id(spark):
+    """Per-item loud-failure contract (operators/multimodal._loud): a
+    corrupt payload's task failure must identify the row — on a real
+    corpus an anonymous ValueError from one of a billion items is
+    undebuggable."""
+    import pytest as _pytest
+    from dask_relabeling_spark.operators.multimodal import (
+        MEDIA_SCHEMA, decode_and_featurize, resize_media, sample_frames)
+    df = spark.createDataFrame(
+        [(424242, "image", b"P5\n4 2\n255\n" + bytes(3), None)],
+        MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="media_id=424242"):
+        decode_and_featurize(df, decode="real").collect()
+    with _pytest.raises(Exception, match="media_id=424242"):
+        resize_media(df, out_w=2, out_h=2, decode="real").collect()
+    vdf = spark.createDataFrame(
+        [(424243, "video", b"YUV4MPEG2 W4 H4 Cmono\nFRAMX\n", None)],
+        MEDIA_SCHEMA)
+    with _pytest.raises(Exception, match="media_id=424243"):
+        sample_frames(vdf, every_k=2, decode="real").collect()

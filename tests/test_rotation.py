@@ -95,7 +95,10 @@ def test_stalest_entries_fit_driver_budget():
     top = list(REGISTRY)[:BUDGET]
     missing = [n for n in stalest if n not in set(top)]
     head = _front(latest)
-    forced = max(0, len(head) + len(stalest) - BUDGET)
+    # union, not sum: a flagged entry that is ALSO tied for stalest
+    # occupies one slot, not two — summing would inflate the allowed
+    # overflow and weaken the starvation assertion (r12 ADVICE)
+    forced = max(0, len(set(head) | set(stalest)) - BUDGET)
     assert len(missing) <= forced, (
         "stalest entries starved by the rotation beyond budget "
         "pressure (%d forced): %r" % (forced, missing)

@@ -10,14 +10,19 @@ in the VALUE columns a dirty corpus actually produces —
 
   documents:   text / lang / source / n_chars
   embeddings:  embedding / label          (vec_id stays non-null: key)
-  events:      event_type / value / props (event_id/ts/user_id stay
-               non-null: key + the round-10 loud-fail ts contract)
+  events:      event_type / value / props — AND, since the round-12
+               fuzz promotion, NULL ts (off-the-timeline), NULL
+               user_id (a join/partition key SQL equality never
+               matches), and malformed-JSON props rows; only
+               event_id stays non-null (primary key)
 
 — then run EVERY registered query on Spark AND its DuckDB oracle over
 the injected data and compare with the driver's own normalization
-(reusing oracle_sweep's compare).  Key columns stay non-null because
-the TPC-H-ish schema contract declares them so; injecting NULL keys
-would test a corpus the loaders are documented not to accept.
+(reusing oracle_sweep's compare).  Primary keys stay non-null because
+the TPC-H-ish schema contract declares them so; everything else —
+including timestamps and user ids — is injectable, because the
+round-12 randomized fuzz proved those rows silently diverge without
+explicit both-engine conventions.
 
 A FAIL here is not a clean-data gate failure — it is a SILENT
 cross-engine divergence waiting for the first dirty corpus (the known
