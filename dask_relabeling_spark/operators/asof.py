@@ -65,7 +65,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     are dropped (they can never be a match), and a left row with a NULL
     ``left_ts`` is kept but never matched (found by the round-12
     randomized dirty-corpus fuzz: DuckDB's ASOF matched a NULL-ts
-    purchase to the user's last click, this operator did not).
+    purchase to the user's last click, this operator did not).  Left
+    rows with a NULL key or NULL ``left_ts`` additionally bypass the
+    shuffle entirely (r12 ADVICE): ``partitionBy`` would hash every
+    NULL-key row into one straggler partition to compute a match that
+    is NULL by definition.
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
@@ -101,6 +105,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     for k in on:
         never_match = never_match | _c(k).isNull()
     right = right.filter(~never_match)
+
+    # symmetrically, a LEFT row with a NULL key or NULL left_ts is kept
+    # but can never match — and without a split it still pays for the
+    # shuffle, where ``partitionBy`` hashes every NULL-key row into ONE
+    # partition: on a dirty corpus a heavily NULL-keyed left side
+    # becomes a single straggler doing useless window work (r12
+    # ADVICE).  Route those rows around the window entirely and union
+    # them back with NULL match columns at the end — the window path
+    # below then only ever sees non-NULL keys and timestamps.
+    l_bypass = _c(left_ts).isNull()
+    for k in on:
+        l_bypass = l_bypass | _c(k).isNull()
+    left_null = left.filter(l_bypass)
+    left = left.filter(~l_bypass)
 
     r_payload = [c for c in right.columns if c not in on]
     r_struct = F.struct(*[_c(c).alias(c) for c in r_payload])
@@ -164,12 +182,12 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
         matched = (u.withColumn("_m", F.last("_r", ignorenulls=True).over(w))
                    .filter(F.col("_l").isNotNull()))
-    # a left row with NULL left_ts is kept but never matched (SQL
-    # comparison semantics).  Positional argument alone is not enough:
-    # backward's asc order happens to place NULLs first (no prior right
-    # row), but forward's desc order places them LAST, where the window
-    # has seen every right row — the guard makes the convention explicit
-    # and direction-independent
+    # NULL-left_ts rows were split into the bypass branch above, so
+    # every row reaching this point has a real timestamp; the guard
+    # stays as defense in depth (it is what enforced the convention
+    # before the bypass existed, and a future edit that weakens the
+    # split must not silently re-open the forward-direction hole where
+    # desc ordering sorts NULL ts last, AFTER every right row)
     matched = matched.withColumn(
         "_m", F.when(F.col("_ts").isNotNull(), F.col("_m")))
     if tolerance_seconds is not None:
@@ -190,4 +208,11 @@ def asof_join(left: DataFrame, right: DataFrame, on: List[str],
     out_cols = ([F.col("_l").getField(c).alias(c) for c in left.columns]
                 + [F.col("_m").getField(c).alias(c + suffix)
                    for c in r_payload])
-    return matched.select(*out_cols)
+    out = matched.select(*out_cols)
+    # re-attach the bypassed never-match left rows (NULL match columns,
+    # same types as the window path's getField projections)
+    null_out = left_null.select(
+        *[_c(c).alias(c) for c in left.columns],
+        *[F.lit(None).cast(r_struct_type[c].dataType).alias(c + suffix)
+          for c in r_payload])
+    return out.unionByName(null_out)

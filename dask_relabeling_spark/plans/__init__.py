@@ -106,6 +106,12 @@ _CHANGED = [
     ("multimodal_y4m_frames", 13),
     ("multimodal_resize", 13),
     ("multimodal_features", 13),
+    # round 13 (second batch): asof_join routes never-match left rows
+    # (NULL key / NULL left_ts) around the shuffle instead of hashing
+    # them all into one straggler partition (r12 ADVICE item 3) — the
+    # result set is identical, the plan gains a Union
+    ("events_asof_last_click", 13),
+    ("events_asof_next_purchase", 13),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

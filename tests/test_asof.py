@@ -181,3 +181,31 @@ def test_null_keys_and_timestamps_never_match(spark):
         assert set(got) == {1, 2, 3}, direction
         assert got[2] is None and got[3] is None, direction
         assert got[1] == want1, direction
+
+
+def test_null_key_left_rows_bypass_the_window(spark):
+    """Never-match left rows (NULL key or NULL left_ts) are routed
+    around the shuffle (r12 ADVICE: partitionBy hashes every NULL-key
+    row into ONE straggler partition computing a match that is NULL by
+    definition).  Pins both the plan shape — a Union whose bypass
+    branch carries no Window — and the unchanged semantics."""
+    left = spark.createDataFrame(
+        [(1, "u", _ts(10)), (2, None, _ts(10)), (3, "u", None),
+         (4, None, None)],
+        "lid int, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, "u", _ts(8), 1.5)],
+        "rid int, k string, rts timestamp, val double")
+    out = asof_join(left, right, ["k"], "ts", "rts", right_id="rid")
+    got = {r.lid: (r.rid_r, r.val_r) for r in out.collect()}
+    assert got == {1: (100, 1.5), 2: (None, None), 3: (None, None),
+                   4: (None, None)}
+    # under AQE the string renders the final AND initial plans; count
+    # nodes in the final section only
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "Union" in plan
+    # one Window over one key Exchange (the backward pass), and no
+    # second exchange introduced for the bypass branch
+    assert plan.count("+- Window ") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
