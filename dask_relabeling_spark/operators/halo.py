@@ -24,8 +24,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..kernels.halo import assemble_expanded, pad_tile
-from ..sources.tiles import (TILE_FIELDS, TILE_SCHEMA, TileSet, key_cols,
-                             pdf_classes, pdf_tile, tile_record)
+from ..sources.tiles import (TILE_FIELDS, TILE_SCHEMA, TileSet,
+                             checked_loc, key_cols, pdf_classes, pdf_tile,
+                             tile_record)
+
+
+def _chunk_loud(loc, fn):
+    """Per-chunk loud-failure contract (the tile twin of
+    ``operators/multimodal._loud``): run ``fn()`` and re-raise any
+    error with the chunk's grid coordinates prepended — the posture the
+    reference gets from dask, whose kernels always know their
+    ``block_info`` coordinates (``chunkops.py:19-32``).  Errors already
+    attributed upstream (``pdf_tile``/``pdf_classes``/``checked_loc``
+    messages start with ``tile (``, assembly messages with ``chunk (``)
+    pass through unchanged."""
+    try:
+        return fn()
+    except Exception as exc:  # noqa: BLE001 — context, then re-raise
+        s = str(exc)
+        if s.startswith("tile (") or s.startswith("chunk ("):
+            raise
+        msg = f"chunk {loc}: {exc}"
+        try:
+            new = type(exc)(msg)
+        except TypeError:
+            new = ValueError(msg)
+        raise new from exc
 
 # Exchange-internal rows use BINARY payloads (raw little-endian int64),
 # not ARRAY<BIGINT>: pieces are produced and consumed only by NumPy
@@ -73,19 +97,22 @@ def pad_edge_tiles(ts: TileSet) -> TileSet:
     """Zero-pad edge tiles up to the chunk shape (narrow; no shuffle).
     Reference ``relabeling.py:169-183`` pads the whole array to a chunk
     multiple — per-tile that touches only the last tile of each axis."""
-    nd, chunk = ts.nd, ts.chunk_shape
+    nd, chunk, grid = ts.nd, ts.chunk_shape, ts.grid
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                tile = pdf_tile(row, nd)
-                cls = pdf_classes(row, nd)
-                loc = tuple(int(row[c]) for c in key_cols(nd))
-                tile = pad_tile(tile, chunk)
-                if cls is not None:
-                    cls = np.stack([pad_tile(p, chunk) for p in cls])
-                recs.append(tile_record(loc, tile, cls))
+                loc = checked_loc(row, nd, grid)
+
+                def work(row=row, loc=loc):
+                    tile = pad_tile(pdf_tile(row, nd), chunk)
+                    cls = pdf_classes(row, nd)
+                    if cls is not None:
+                        cls = np.stack([pad_tile(p, chunk) for p in cls])
+                    return tile_record(loc, tile, cls)
+
+                recs.append(_chunk_loud(loc, work))
             yield pd.DataFrame.from_records(
                 recs, columns=[f.name for f in TILE_FIELDS])
 
@@ -119,18 +146,57 @@ def _emit_rows(tile, cls, loc, grid, depth) -> list:
 
 def _assemble_one(loc, pdf: pd.DataFrame, nd: int, grid):
     """Inverse of ``_emit_rows``: (expanded_tile, expanded_classes) from one
-    key group of piece rows."""
+    key group of piece rows.
+
+    Exchange-integrity checks (round-14 tile fuzz arm): a tile TABLE
+    with a duplicated chunk key delivers two center payloads (or two
+    margin pieces at one position) to this group — previously
+    last-row-wins, i.e. silently nondeterministic ownership; a table
+    MISSING a chunk delivers margins with no center — previously an
+    anonymous crash inside ``np.block``.  Both now fail loudly with the
+    chunk's coordinates (dask makes these states unrepresentable; a
+    Spark table does not)."""
     pieces, cls_pieces, center, center_cls = {}, {}, None, None
+    seen_center = False
     for _, row in pdf.iterrows():
         pos = tuple(int(row[c]) for c in
                     ((["pz"] if nd == 3 else []) + ["py", "px"]))
         tile = _piece_tile(row, nd)
         cls = _piece_classes(row, nd)
         if all(p == 0 for p in pos):
-            center, center_cls = tile, cls
+            if seen_center:
+                raise ValueError(
+                    f"chunk {loc}: duplicate tile — two rows share "
+                    f"this tile key (the exchange received two center "
+                    f"payloads)")
+            center, center_cls, seen_center = tile, cls, True
         else:
+            if pos in pieces:
+                raise ValueError(
+                    f"chunk {loc}: duplicate margin piece at position "
+                    f"{pos} — a neighboring tile key appears more than "
+                    f"once in the table")
             pieces[pos] = tile
             cls_pieces[pos] = cls
+    if not seen_center:
+        raise ValueError(
+            f"chunk {loc}: missing tile — neighbors emitted halo "
+            f"margins to this key but the table has no row for it "
+            f"(tile tables must be dense over the declared grid)")
+    # every in-grid neighbor owes a margin piece: a chunk missing from
+    # the table starves its neighbors' assemblies too, and without this
+    # check that surfaces as an anonymous KeyError inside np.block
+    from itertools import product as iproduct
+    axis_vals = [([-1] if loc[ax] > 0 else []) + [0]
+                 + ([1] if loc[ax] < grid[ax] - 1 else [])
+                 for ax in range(nd)]
+    for pos in iproduct(*axis_vals):
+        if all(p == 0 for p in pos) or pos in pieces:
+            continue
+        nb = tuple(l + p for l, p in zip(loc, pos))
+        raise ValueError(
+            f"chunk {loc}: missing margin piece from neighbor {nb} "
+            f"(tile tables must be dense over the declared grid)")
     expanded = assemble_expanded(center, loc, grid, pieces)
     exp_cls = None
     if center_cls is not None:
@@ -153,16 +219,17 @@ def halo_exchange(ts: TileSet, overlaps: Sequence[int]) -> TileSet:
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                tile = pdf_tile(row, nd)
-                cls = pdf_classes(row, nd)
-                loc = tuple(int(row[c]) for c in key_cols(nd))
-                recs.extend(_emit_rows(tile, cls, loc, grid, depth))
+                loc = checked_loc(row, nd, grid)
+                recs.extend(_chunk_loud(loc, lambda: _emit_rows(
+                    pdf_tile(row, nd), pdf_classes(row, nd), loc, grid,
+                    depth)))
             yield pd.DataFrame.from_records(
                 recs, columns=_PIECE_SCHEMA.fieldNames())
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         loc = tuple(int(k) for k in key)
-        expanded, exp_cls = _assemble_one(loc, pdf, nd, grid)
+        expanded, exp_cls = _chunk_loud(
+            loc, lambda: _assemble_one(loc, pdf, nd, grid))
         return pd.DataFrame.from_records(
             [tile_record(loc, expanded, exp_cls)],
             columns=[f.name for f in TILE_FIELDS])
@@ -190,17 +257,19 @@ def fused_double_exchange(ts: TileSet, overlaps: Sequence[int],
     """
     nd, grid = ts.nd, ts.grid
     depth = tuple(int(o) for o in overlaps)
-    keys = key_cols(nd)
 
     def emit1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                tile = pdf_tile(row, nd)
-                cls = pdf_classes(row, nd)
-                loc = tuple(int(row[c]) for c in keys)
-                tile, cls = pre_fn(tile, cls, loc)
-                recs.extend(_emit_rows(tile, cls, loc, grid, depth))
+                loc = checked_loc(row, nd, grid)
+
+                def work(row=row, loc=loc):
+                    tile, cls = pre_fn(pdf_tile(row, nd),
+                                       pdf_classes(row, nd), loc)
+                    return _emit_rows(tile, cls, loc, grid, depth)
+
+                recs.extend(_chunk_loud(loc, work))
             yield pd.DataFrame.from_records(
                 recs, columns=_PIECE_SCHEMA.fieldNames())
 
@@ -229,19 +298,25 @@ def double_exchange_pieces(pieces_df: DataFrame, nd: int, grid,
 
     def mid(key, pdf: pd.DataFrame) -> pd.DataFrame:
         loc = tuple(int(k) for k in key)
-        tile, cls = _assemble_one(loc, pdf, nd, grid)
-        tile, cls = mid_fn(tile, cls, loc)
+
+        def work():
+            tile, cls = _assemble_one(loc, pdf, nd, grid)
+            tile, cls = mid_fn(tile, cls, loc)
+            return _emit_rows(tile, cls, loc, grid, depth)
+
         return pd.DataFrame.from_records(
-            _emit_rows(tile, cls, loc, grid, depth),
-            columns=_PIECE_SCHEMA.fieldNames())
+            _chunk_loud(loc, work), columns=_PIECE_SCHEMA.fieldNames())
 
     def fin(key, pdf: pd.DataFrame) -> pd.DataFrame:
         loc = tuple(int(k) for k in key)
-        tile, cls = _assemble_one(loc, pdf, nd, grid)
-        tile, cls = final_fn(tile, cls, loc)
+
+        def work():
+            tile, cls = _assemble_one(loc, pdf, nd, grid)
+            tile, cls = final_fn(tile, cls, loc)
+            return [tile_record(loc, tile, cls)]
+
         return pd.DataFrame.from_records(
-            [tile_record(loc, tile, cls)],
-            columns=[f.name for f in TILE_FIELDS])
+            _chunk_loud(loc, work), columns=[f.name for f in TILE_FIELDS])
 
     a1 = pieces_df.groupBy(*keys).applyInPandas(mid, _PIECE_SCHEMA)
     return a1.groupBy(*keys).applyInPandas(fin, TILE_SCHEMA)
@@ -280,18 +355,25 @@ def fused_exchange_records(ts: TileSet, overlaps: Sequence[int],
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                tile = pdf_tile(row, nd)
-                cls = pdf_classes(row, nd)
-                loc = tuple(int(row[c]) for c in keys)
-                tile, cls = pre_fn(tile, cls, loc)
-                recs.extend(_emit_rows(tile, cls, loc, grid, depth))
+                loc = checked_loc(row, nd, grid)
+
+                def work(row=row, loc=loc):
+                    tile, cls = pre_fn(pdf_tile(row, nd),
+                                       pdf_classes(row, nd), loc)
+                    return _emit_rows(tile, cls, loc, grid, depth)
+
+                recs.extend(_chunk_loud(loc, work))
             yield pd.DataFrame.from_records(
                 recs, columns=_PIECE_SCHEMA.fieldNames())
 
     def fin(key, pdf: pd.DataFrame) -> pd.DataFrame:
         loc = tuple(int(k) for k in key)
-        tile, cls = _assemble_one(loc, pdf, nd, grid)
-        return pd.DataFrame.from_records(finish(tile, cls, loc),
+
+        def work():
+            tile, cls = _assemble_one(loc, pdf, nd, grid)
+            return finish(tile, cls, loc)
+
+        return pd.DataFrame.from_records(_chunk_loud(loc, work),
                                          columns=cols)
 
     p1 = ts.df.mapInPandas(emit1, _PIECE_SCHEMA)
@@ -308,8 +390,12 @@ def exchange_records_from_pieces(pieces_df: DataFrame, nd: int, grid,
 
     def fin(key, pdf: pd.DataFrame) -> pd.DataFrame:
         loc = tuple(int(k) for k in key)
-        tile, cls = _assemble_one(loc, pdf, nd, grid)
-        return pd.DataFrame.from_records(finish(tile, cls, loc),
+
+        def work():
+            tile, cls = _assemble_one(loc, pdf, nd, grid)
+            return finish(tile, cls, loc)
+
+        return pd.DataFrame.from_records(_chunk_loud(loc, work),
                                          columns=cols)
 
     return pieces_df.groupBy(*keys).applyInPandas(fin, out_schema)
@@ -319,17 +405,16 @@ def map_tiles_records(ts: TileSet, finish, out_schema) -> DataFrame:
     """Narrow fused map producing arbitrary records:
     ``finish(tile, cls, loc) -> list[dict]`` per tile, one Python pass,
     no shuffle."""
-    nd = ts.nd
+    nd, grid = ts.nd, ts.grid
     cols = out_schema.fieldNames()
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                tile = pdf_tile(row, nd)
-                cls = pdf_classes(row, nd)
-                loc = tuple(int(row[c]) for c in key_cols(nd))
-                recs.extend(finish(tile, cls, loc))
+                loc = checked_loc(row, nd, grid)
+                recs.extend(_chunk_loud(loc, lambda: finish(
+                    pdf_tile(row, nd), pdf_classes(row, nd), loc)))
             yield pd.DataFrame.from_records(recs, columns=cols)
 
     return ts.df.mapInPandas(gen, out_schema)
@@ -338,17 +423,20 @@ def map_tiles_records(ts: TileSet, finish, out_schema) -> DataFrame:
 def map_tiles(ts: TileSet, fn, with_loc: bool = True) -> TileSet:
     """Narrow per-tile map: ``fn(tile, classes, loc) -> (tile, classes)``.
     No shuffle; stays in one Arrow batch round-trip."""
-    nd = ts.nd
+    nd, grid = ts.nd, ts.grid
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             recs = []
             for _, row in pdf.iterrows():
-                tile = pdf_tile(row, nd)
-                cls = pdf_classes(row, nd)
-                loc = tuple(int(row[c]) for c in key_cols(nd))
-                new_tile, new_cls = fn(tile, cls, loc)
-                recs.append(tile_record(loc, new_tile, new_cls))
+                loc = checked_loc(row, nd, grid)
+
+                def work(row=row, loc=loc):
+                    new_tile, new_cls = fn(pdf_tile(row, nd),
+                                           pdf_classes(row, nd), loc)
+                    return tile_record(loc, new_tile, new_cls)
+
+                recs.append(_chunk_loud(loc, work))
             yield pd.DataFrame.from_records(
                 recs, columns=[f.name for f in TILE_FIELDS])
 

@@ -50,10 +50,17 @@ def _loud(media_id, fn):
         return fn()
     except Exception as exc:  # noqa: BLE001 — context, then re-raise
         msg = f"media_id={media_id}: {exc}"
+        # Construct the contextualized twin FIRST, raise it outside the
+        # fallback: raising type(exc)(msg) inside the try let a decode
+        # error that was itself a TypeError get caught by its own
+        # constructor fallback and come out retyped as ValueError — the
+        # fallback must fire only when the constructor rejects a single
+        # message arg (multi-arg exception classes).
         try:
-            raise type(exc)(msg) from exc
+            new = type(exc)(msg)
         except TypeError:
-            raise ValueError(msg) from exc
+            new = ValueError(msg)
+        raise new from exc
 
 
 FEATURE_SCHEMA = T.StructType([
@@ -362,6 +369,11 @@ def sample_frames(df: DataFrame, every_k: int = 4,
             recs = []
             for media_id, raw, meta in zip(
                     pdf["media_id"], pdf["payload"], pdf["meta"]):
+                # NULL meta struct is legal (MEDIA_SCHEMA) — same guard
+                # as resize_media; without it the fake path's
+                # meta.get('n_frames') kills the whole batch with an
+                # anonymous 'NoneType' AttributeError
+                meta = meta if meta is not None else {}
                 payload = bytes(raw)
                 if decode == "real":
                     def _decode(payload=payload):

@@ -38,80 +38,44 @@ from . import curation  # noqa: F401  (round-3 pipeline extensions)
 # round-5/6 failure mode: a stale hand list replayed fresh evidence
 # while genuinely stale entries starved).
 _CHANGED = [
-    # (round-12 prune: every round-10 flag's post-change green landed
-    # in committed CORRECTNESS_r10/r11 artifacts, so the 36 expired
-    # entries are removed — per the r10/r11 verdicts, expired flags are
-    # inert but bury live signal.  The expiry mechanism is unchanged;
-    # future flags go here as (name, changed_in_round).)
-    # round 11: the exact-quantile machinery folded its duplicate fact
-    # scan into the checkpointed histogram (functions/quantiles.py) and
-    # the winsorize thresholds gained inner-join all-NULL semantics
-    # (plans/curation.py) — plans changed for every quantile consumer,
-    # but round 11 forgot to flag them (r11 verdict item 1), so the
-    # driver never replayed the evidence; flagged now.
-    ("lineitem_exact_quantiles", 11),
-    ("orders_price_quartiles_by_priority", 11),
-    ("events_value_winsorize_counts", 11),
-    ("events_anomaly_mad", 11),
-    ("docs_adaptive_quality_filter", 11),
-    # round 12: every embedding consumer now normalizes ill-formed
-    # (NaN/Inf-component) vectors to NULL at ingestion, on both engines
-    # (operators/similarity.as_vec + plans/llm._DUCK_VEC) — plans AND
-    # oracles changed together, no result change on finite corpora
-    ("ann_cosine_topk", 12),
-    ("ann_lsh_topk", 12),
-    ("ann_ivf_topk", 12),
-    ("ann_ivfpq_topk", 12),
-    ("ann_ivfpq_indexed", 12),
-    ("ann_ivfpq_query", 12),
-    ("ann_recall_panel", 12),
-    ("docs_hybrid_rrf", 12),
-    ("embedding_pq_codes", 12),
-    ("embedding_neardup_pairs", 12),
-    ("embedding_semantic_dedup", 12),
-    ("embedding_kmeans", 12),
-    ("embedding_label_centroids", 12),
-    ("embedding_dim_stats", 12),
-    # round 12 (second batch): the randomized dirty-corpus fuzz found
-    # seven time-ordered event queries silently diverging on NULL
-    # ts/value/user_id (engines' opposite window NULL ordering,
-    # F.window's NULL-ts drop, a split predicate losing NULL ts, and
-    # DuckDB ASOF matching NULL-ts left rows) — the NULL-exclusion
-    # convention is now explicit on both sides of each, and asof_join
-    # enforces SQL never-match semantics (also changing
-    # events_asof_next_purchase's plan)
-    ("events_hourly_windows", 12),
-    ("events_incremental_rollup", 12),
-    ("events_sessionize", 12),
-    ("events_session_windows", 12),
-    ("events_asof_last_click", 12),
-    ("events_asof_next_purchase", 12),
-    ("events_lead_lag_deltas", 12),
-    ("events_value_percentiles", 12),
-    # round 12 (fuzz seeds 102/103): the inline sessionize in the
-    # interval-overlap join had the same NULL-ts divergence, and the
-    # props-extract oracle died on malformed JSON Spark NULLs through
-    ("events_session_overlap", 12),
-    ("events_props_extract", 12),
-    # round 13: the corrupt-payload fuzz (tools/dirty_fuzz.py --media)
-    # hardened the decode kernels — per-item media_id error context
-    # (operators/multimodal._loud), NULL-meta struct tolerance, and
-    # loud codec rejection of zero-dim PNM/Y4M headers and size-lying
-    # RIFF chunks (kernels/codecs.py).  Clean-corpus results are
-    # unchanged by construction (error paths + a nullable-struct
-    # guard), but every query whose mapInPandas closure re-serialized
-    # is re-verified
-    ("multimodal_pgm_decode", 13),
-    ("multimodal_wav_decode", 13),
-    ("multimodal_y4m_frames", 13),
-    ("multimodal_resize", 13),
-    ("multimodal_features", 13),
-    # round 13 (second batch): asof_join routes never-match left rows
-    # (NULL key / NULL left_ts) around the shuffle instead of hashing
-    # them all into one straggler partition (r12 ADVICE item 3) — the
-    # result set is identical, the plan gains a Union
-    ("events_asof_last_click", 13),
-    ("events_asof_next_purchase", 13),
+    # (round-14 prune, same discipline as the round-12 prune: every
+    # r11/r12/r13 flag's post-change green landed in the committed
+    # CORRECTNESS_r12/r13 artifacts, so the 29 expired tuples are
+    # removed — expired flags are inert but bury live signal.  The
+    # expiry mechanism is unchanged; future flags go here as
+    # (name, changed_in_round).)
+    # round 14: the r13 ADVICE multimodal fixes — sample_frames' fake
+    # path gained resize_media's NULL-meta guard (its mapInPandas
+    # closure re-serialized) and _loud no longer retypes TypeError-
+    # family decode errors to ValueError.  Clean-corpus results are
+    # unchanged by construction (a nullable-struct guard + error-path
+    # typing), but per the r13 precedent every query through the
+    # touched module is re-verified
+    ("multimodal_pgm_decode", 14),
+    ("multimodal_wav_decode", 14),
+    ("multimodal_y4m_frames", 14),
+    ("multimodal_resize", 14),
+    ("multimodal_features", 14),
+    # round 14 (second batch): the tile-table dirty-fuzz arm
+    # (tools/dirty_fuzz.py --tiles) hardened the tile ingestion and
+    # exchange paths — structural row validation with chunk-coordinate
+    # context (sources/tiles.py: pdf_tile/pdf_classes/checked_loc) and
+    # exchange-integrity checks (operators/halo.py: _chunk_loud,
+    # duplicate/missing center+margin detection in _assemble_one).
+    # Well-formed tables are unchanged by construction (checks only
+    # reject states dask cannot represent), but every tile-pipeline
+    # query's UDF closures re-serialized
+    ("relabel_components", 14),
+    ("relabel_components_summary", 14),
+    ("relabel_components_3d", 14),
+    ("relabel_annotations", 14),
+    ("relabel_annotations_3d", 14),
+    ("relabel_annotations_summary", 14),
+    ("relabel_components_3d_interior", 14),
+    ("relabel_annotations_3d_summary", 14),
+    ("relabel_annotations_tile_interior_counts", 14),
+    ("relabel_annotations_3d_tile_counts", 14),
+    ("relabel_sorted_label_stats", 14),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -58,22 +58,114 @@ def row_shape(row, nd: int) -> Loc:
         else (int(row.h), int(row.w))
 
 
+def _is_null(v) -> bool:
+    """NULL in a pandas-converted Arrow batch: ``None`` for object
+    columns, ``NaN`` for nullable-int columns (Arrow widens them to
+    float64)."""
+    return v is None or (isinstance(v, float) and np.isnan(v))
+
+
+def _row_key_str(row, nd: int) -> str:
+    """Raw key rendering for error context, e.g. ``(cy=1, cx=None)``.
+    Integral floats render as ints (pandas widens int columns to float
+    when a row mixes them with NULLs) and NaN as None, so the message
+    is the same whichever dtype the batch arrived in."""
+    def fmt(v):
+        if isinstance(v, float):
+            return None if np.isnan(v) else (int(v) if v == int(v) else v)
+        return v
+    return "(" + ", ".join(
+        f"{c}={fmt(row[c])}" for c in key_cols(nd)) + ")"
+
+
 def pdf_tile(row, nd: int) -> np.ndarray:
-    """Tile ndarray out of one pandas row."""
-    shape = (int(row["d"]), int(row["h"]), int(row["w"])) if nd == 3 \
-        else (int(row["h"]), int(row["w"]))
-    return np.asarray(row["data"], dtype=np.int64).reshape(shape)
+    """Tile ndarray out of one pandas row, with the structural checks
+    dask's shape bookkeeping gives the reference for free (a dask chunk
+    CANNOT have a payload/shape mismatch, ``chunkops.py:19-32``) — a
+    Spark tile TABLE has no such guarantee, and without these checks a
+    malformed row fails SILENTLY (``np.reshape`` with a -1 dimension
+    INFERS it from the payload length; a zero dimension reshapes an
+    empty payload into a tile that vanishes into the exchange) or
+    anonymously (a bare reshape ValueError with no chunk coordinates —
+    undebuggable at one bad row in 10^9).  Loud, chunk-attributed
+    failure mirrors the media kernels' posture
+    (``operators/multimodal._loud``; round-14 tile fuzz arm,
+    ``tools/dirty_fuzz.py --tiles``)."""
+    dims = []
+    for c in shape_cols(nd):
+        v = row[c]
+        if _is_null(v):
+            raise ValueError(
+                f"tile {_row_key_str(row, nd)}: NULL dimension {c}")
+        if int(v) <= 0:
+            raise ValueError(f"tile {_row_key_str(row, nd)}: "
+                             f"non-positive dimension {c}={int(v)}")
+        dims.append(int(v))
+    shape = tuple(dims)
+    data = row["data"]
+    # iterrows() renders a NULL array cell as float NaN, not None
+    if _is_null(data):
+        raise ValueError(f"tile {_row_key_str(row, nd)}: NULL payload")
+    n = 1
+    for s in shape:
+        n *= s
+    if len(data) != n:
+        raise ValueError(
+            f"tile {_row_key_str(row, nd)}: payload length {len(data)} "
+            f"!= {'x'.join(map(str, shape))} = {n}")
+    return np.asarray(data, dtype=np.int64).reshape(shape)
 
 
 def pdf_classes(row, nd: int) -> Optional[np.ndarray]:
-    """Classes planes (nclasses, *spatial) out of one pandas row, or None."""
+    """Classes planes (nclasses, *spatial) out of one pandas row, or
+    None.  The ``nclasses``/``classes`` pair must be NULL together and
+    sized ``nclasses * d*h*w`` — same loud chunk-attributed posture as
+    ``pdf_tile`` (previously a one-sided NULL either silently dropped
+    the classes plane or died as an anonymous ``int(None)``)."""
     cls = row["classes"]
-    if cls is None or (isinstance(cls, float) and np.isnan(cls)):
+    ncl = row["nclasses"]
+    cls_null = cls is None or (isinstance(cls, float) and np.isnan(cls))
+    if cls_null and _is_null(ncl):
         return None
-    n = int(row["nclasses"])
+    if cls_null or _is_null(ncl):
+        raise ValueError(
+            f"tile {_row_key_str(row, nd)}: nclasses/classes must be "
+            f"NULL together (nclasses="
+            f"{'NULL' if _is_null(ncl) else int(ncl)}, classes "
+            f"{'NULL' if cls_null else 'present'})")
+    n = int(ncl)
+    if n <= 0:
+        raise ValueError(f"tile {_row_key_str(row, nd)}: "
+                         f"non-positive nclasses={n}")
     shape = (n, int(row["d"]), int(row["h"]), int(row["w"])) if nd == 3 \
         else (n, int(row["h"]), int(row["w"]))
+    want = 1
+    for s in shape:
+        want *= s
+    if len(cls) != want:
+        raise ValueError(
+            f"tile {_row_key_str(row, nd)}: classes length {len(cls)} "
+            f"!= nclasses x tile = {want}")
     return np.asarray(cls, dtype=np.int64).reshape(shape)
+
+
+def checked_loc(row, nd: int, grid: Loc) -> Loc:
+    """Tile key out of one pandas row, validated: a NULL key component
+    or an out-of-grid location fails loudly with the raw key.  Without
+    this a NULL key dies as an anonymous ``int(None)`` TypeError, and —
+    worse — an out-of-grid row SILENTLY emits halo margins into
+    neighbors it does not own (wrong ownership, corrupting tiles that
+    are themselves well-formed)."""
+    vals = [row[c] for c in key_cols(nd)]
+    if any(_is_null(v) for v in vals):
+        raise ValueError(
+            f"tile {_row_key_str(row, nd)}: NULL key component")
+    loc = tuple(int(v) for v in vals)
+    if any(not (0 <= l < g) for l, g in zip(loc, grid)):
+        raise ValueError(
+            f"tile {_row_key_str(row, nd)}: location outside the "
+            f"declared grid {tuple(int(g) for g in grid)}")
+    return loc
 
 
 def tile_record(loc: Loc, tile: np.ndarray,

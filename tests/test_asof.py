@@ -12,6 +12,20 @@ def _ts(s):
     return dt.datetime(2024, 1, 1, 0, 0, s)
 
 
+def _node_count(plan: str, node: str) -> int:
+    """Count physical-plan NODES named ``node`` in a plan rendering:
+    a node label starts after the tree-drawing prefix ("+- ", ":- ",
+    ":  ", spaces) and an optional whole-stage-codegen marker
+    ("*(3) ") — tolerant of renderer/indentation changes, and immune
+    to the name appearing inside expression text (e.g.
+    ``windowspecdefinition``) since those never start a label."""
+    import re
+    pat = re.compile(
+        r"^[\s:+|\-]*(?:\*\(\d+\)\s*)?" + re.escape(node) + r"\b",
+        re.MULTILINE)
+    return len(pat.findall(plan))
+
+
 @pytest.fixture()
 def sides(spark):
     left = spark.createDataFrame(
@@ -201,11 +215,16 @@ def test_null_key_left_rows_bypass_the_window(spark):
     assert got == {1: (100, 1.5), 2: (None, None), 3: (None, None),
                    4: (None, None)}
     # under AQE the string renders the final AND initial plans; count
-    # nodes in the final section only
+    # nodes in the final section only (split is a no-op if the marker
+    # is absent, e.g. AQE off or a renderer change)
     plan = (out._jdf.queryExecution().executedPlan().toString()
             .split("== Initial Plan ==")[0])
-    assert "Union" in plan
     # one Window over one key Exchange (the backward pass), and no
-    # second exchange introduced for the bypass branch
-    assert plan.count("+- Window ") == 1
-    assert plan.count("Exchange hashpartitioning") == 1
+    # second exchange introduced for the bypass branch — matched as
+    # plan NODES (tree-prefix + optional codegen-stage marker, then the
+    # node name at the start of the label), not exact string renderings
+    # (r13 ADVICE: '+- Window ' / bare substring counts break
+    # spuriously on Spark renderer changes rather than on regressions)
+    assert _node_count(plan, "Union") >= 1
+    assert _node_count(plan, "Window") == 1
+    assert _node_count(plan, "Exchange hashpartitioning") == 1

@@ -80,5 +80,32 @@ def test_media_corruption_panel(spark):
 
     import dirty_fuzz as DF
     bad, n_loud, n_run = DF.run_media_fuzz(spark, random.Random(0))
-    assert n_run == 48, n_run
+    # 47 corruption-case stage runs + batch accounting + the two
+    # fake-path NULL-meta probes (r14: the r13 ADVICE found
+    # sample_frames' fake path missing resize_media's NULL-meta guard)
+    assert n_run == 50, n_run
+    assert not bad, bad
+
+
+def test_tile_corruption_panel(spark):
+    """Malformed-tile gate (round-14 fuzz arm): structurally invalid
+    tile TABLE rows — payload length != h*w, zero/negative/NULL dims,
+    NULL payloads/keys, out-of-grid locations, duplicated chunk keys,
+    missing chunks, one-sided NULL nclasses/classes — must fail LOUDLY
+    with chunk-coordinate context through the REAL pipelines
+    (image2labels, labels2geojson); a row-order permutation must
+    reproduce the pristine output byte-identically.  The reference
+    gets this for free from dask's shape bookkeeping
+    (chunkops.py:19-32); a Spark tile table has to enforce it
+    (sources/tiles.py checks + operators/halo._chunk_loud).  Seed 0 is
+    the promoted permanent panel — pre-round-14, a -1 dim was INFERRED
+    by np.reshape, a zero-dim tile vanished, a duplicate chunk key was
+    last-row-wins nondeterministic ownership, and a one-sided NULL
+    nclasses silently dropped the classes plane."""
+    import random
+
+    import dirty_fuzz as DF
+    bad, n_loud, n_run = DF.run_tile_fuzz(spark, random.Random(0))
+    # 18 cases x 2 pipeline stages
+    assert n_run == 36, n_run
     assert not bad, bad

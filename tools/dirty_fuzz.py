@@ -18,6 +18,8 @@ explicit both-engine conventions; the trigger rows were then
 promoted into the sweep's permanent null profile.
 
 Usage:  python tools/dirty_fuzz.py [seed ...]    (default: 101)
+        python tools/dirty_fuzz.py --media [seed ...]   (media payloads)
+        python tools/dirty_fuzz.py --tiles [seed ...]   (tile tables)
 Exit 1 if any seed produced a silent divergence.
 
 MUST be run from the repo root (Spark's Python workers resolve
@@ -289,18 +291,221 @@ def run_media_fuzz(spark, rng: random.Random, quiet: bool = True):
     if MM.decode_and_featurize(batch, decode="real").count() != 3:
         bad.append(("batch/accounting", "row silently dropped in a "
                     "mixed valid batch"))
+    # NULL meta through the FAKE decode paths (r13 ADVICE: resize_media
+    # gained the NULL-meta guard but sample_frames' fake path had no
+    # twin — and the real-decode cases above `continue` before reaching
+    # it, so only an explicit fake-path probe can see the crash)
+    nullmeta = spark.createDataFrame(
+        [(778001, "video", pristine["y4m"], None)], MM.MEDIA_SCHEMA)
+    n_run += 2
+    try:
+        if MM.sample_frames(nullmeta, every_k=2, decode="fake") \
+                .count() < 1:
+            bad.append(("fake/null-meta/frames",
+                        "NULL-meta row produced no frames"))
+    except Exception as exc:  # noqa: BLE001 — legal row must not crash
+        bad.append(("fake/null-meta/frames",
+                    f"legal NULL-meta row crashed the batch: "
+                    f"{str(exc)[:160]}"))
+    try:
+        if MM.resize_media(nullmeta, out_w=4, out_h=4, decode="fake") \
+                .count() != 1:
+            bad.append(("fake/null-meta/resize",
+                        "NULL-meta row silently dropped"))
+    except Exception as exc:  # noqa: BLE001
+        bad.append(("fake/null-meta/resize",
+                    f"legal NULL-meta row crashed the batch: "
+                    f"{str(exc)[:160]}"))
+    return bad, n_loud, n_run
+
+
+# ---------------------------------------------------------------------------
+# Tile-table arm (round 14): malformed tile rows through the relabel
+# pipelines.
+#
+# The flagship relabel queries synthesize their tile tables internally
+# (well-formed by construction), so the tile kernels had never been fed
+# a malformed TABLE row under a gate — the last operator family outside
+# the differential net (r13 verdict, missing item 1).  The reference
+# cannot represent these states at all (dask's shape bookkeeping makes a
+# payload/shape mismatch or a duplicate chunk unrepresentable,
+# chunkops.py:19-32); a Spark tile TABLE has no such guarantee.  This
+# arm builds a valid dense tile table, applies per-row structural
+# corruptions, and runs the REAL pipelines (image2labels: 2 exchanges;
+# labels2geojson: 1 exchange) over each:
+#
+#   expect "loud"  — every stage must RAISE, and the error must carry
+#                    chunk-coordinate context (sources/tiles.py checks,
+#                    operators/halo._chunk_loud / _assemble_one);
+#                    silent acceptance is a divergence.  Pre-round-14,
+#                    a -1 dim was INFERRED by np.reshape, a zero-dim
+#                    tile vanished, a duplicate chunk key was
+#                    last-row-wins nondeterministic ownership, and a
+#                    one-sided NULL nclasses/classes silently dropped
+#                    the classes plane.
+#   expect "valid" — the mutation is legal (row order permutation):
+#                    the stage must succeed AND produce output
+#                    identical to the pristine table's.
+#   expect "either"— ambiguous (negative/huge label values): loud
+#                    (attributed) or success both acceptable.
+# ---------------------------------------------------------------------------
+
+TILE_GRID = (3, 3)
+TILE_CHUNK = (8, 8)
+TILE_OVERLAP = 2
+TILE_STAGES = ("labels", "geojson")
+
+
+def _tile_rows(rng: random.Random) -> list:
+    """Dense pristine 3x3 tile table (sparse random binary masks)."""
+    import numpy as np
+    rows = []
+    for cy in range(TILE_GRID[0]):
+        for cx in range(TILE_GRID[1]):
+            px = np.frombuffer(rng.randbytes(64), dtype=np.uint8)
+            mask = (px % 11 == 0).astype(np.int64)
+            rows.append({"cz": None, "cy": cy, "cx": cx,
+                         "d": None, "h": 8, "w": 8,
+                         "data": [int(v) for v in mask],
+                         "nclasses": None, "classes": None})
+    return rows
+
+
+def gen_tile_cases(rng: random.Random):
+    """Returns ``(pristine_rows, cases)``: the dense table and the
+    corruption cases derived from it (tag, rows, expect, needles) —
+    ``needles`` are the chunk-context substrings of which at least one
+    must appear in a loud error."""
+    rows = _tile_rows(rng)
+    tgt = next(i for i, r in enumerate(rows)
+               if (r["cy"], r["cx"]) == (1, 1))
+    d = rows[tgt]["data"]
+
+    def mut(**kw):
+        out = [dict(r) for r in rows]
+        out[tgt] = {**out[tgt], **kw}
+        return out
+
+    at = ["(cy=1, cx=1)"]          # pdf_tile/pdf_classes/checked_loc
+    anyc = ["chunk (", "tile ("]   # any chunk/tile-attributed error
+    cases = [
+        ("short-payload", mut(data=d[:-rng.randint(1, 63)]), "loud", at),
+        ("long-payload", mut(data=d + [1, 1, 1]), "loud", at),
+        ("zero-dims", mut(h=0, w=0, data=[]), "loud", at),
+        # np.reshape INFERS a -1 dimension from the payload length:
+        # silently accepted before round 14
+        ("negative-dim", mut(h=-1), "loud", at),
+        ("null-dim", mut(h=None), "loud", at),
+        ("null-payload", mut(data=None), "loud", at),
+        ("null-key", mut(cx=None), "loud", ["(cy=1, cx=None)"]),
+        ("out-of-grid", mut(cx=7), "loud", ["(cy=1, cx=7)"]),
+        ("duplicate-key", rows + [dict(rows[tgt], data=[0] * 64)],
+         "loud", ["duplicate"]),
+        ("missing-chunk", [r for i, r in enumerate(rows) if i != tgt],
+         "loud", ["missing"]),
+        ("nclasses-no-classes", mut(nclasses=2), "loud", at),
+        ("classes-no-nclasses", mut(classes=[0] * 128), "loud", at),
+        ("classes-len-mismatch", mut(nclasses=2, classes=[0] * 100),
+         "loud", at),
+        ("zero-nclasses", mut(nclasses=0, classes=[]), "loud", at),
+        # internally consistent but wrong-shaped for the grid: must
+        # still die attributed, not as an anonymous np.pad/np.block
+        # error from whichever neighbor assembles first
+        ("wrong-shape", mut(h=16, w=4), "loud", anyc),
+        ("negative-labels", mut(data=[-v for v in d]), "either", anyc),
+        ("huge-labels", mut(data=[v * (2 ** 61) for v in d]), "either",
+         anyc),
+        ("permuted-rows", list(reversed(rows)), "valid", []),
+    ]
+    return rows, cases
+
+
+def _run_tile_stage(spark, stage, rows):
+    """Execute one relabel pipeline over a tile table built from
+    ``rows`` and return a comparable value; errors propagate."""
+    from pyspark.sql import types as T
+
+    from dask_relabeling_spark.operators.pipeline import (image2labels,
+                                                          labels2geojson)
+    from dask_relabeling_spark.sources.tiles import TILE_FIELDS, TileSet
+
+    # all-nullable twin of TILE_SCHEMA: a parquet tile table carries no
+    # nullability guarantee — which is exactly this arm's point
+    schema = T.StructType([
+        T.StructField(f.name,
+                      T.ArrayType(T.LongType(), True)
+                      if isinstance(f.dataType, T.ArrayType)
+                      else f.dataType, True)
+        for f in TILE_FIELDS])
+    df = spark.createDataFrame(
+        [tuple(r[f.name] for f in TILE_FIELDS) for r in rows], schema)
+    ts = TileSet(df=df, nd=2, grid=TILE_GRID, chunk_shape=TILE_CHUNK,
+                 overlaps=(0, 0), image_shape=(24, 24))
+    if stage == "labels":
+        out = image2labels(ts, overlaps=TILE_OVERLAP, threshold=0.05)
+        return sorted((r.cy, r.cx, tuple(r.data))
+                      for r in out.df.collect())
+    out = labels2geojson(ts, overlaps=TILE_OVERLAP, threshold=0.5)
+    return sorted((r.cy, r.cx, r.annotation) for r in out.collect())
+
+
+def run_tile_fuzz(spark, rng: random.Random, quiet: bool = True):
+    """Gate the malformed-tile cases; returns (bad, n_loud, n_run)."""
+    rows, cases = gen_tile_cases(rng)
+    bad, n_loud, n_run = [], 0, 0
+    base = {}
+    for stage in TILE_STAGES:
+        try:
+            base[stage] = _run_tile_stage(spark, stage, rows)
+        except Exception as exc:  # noqa: BLE001 — recorded as divergence
+            bad.append((f"tiles/pristine/{stage}",
+                        "pristine tile table failed: " + str(exc)[:160]))
+    for tag, mrows, expect, needles in cases:
+        for stage in TILE_STAGES:
+            n_run += 1
+            name = f"tiles/{tag}/{stage}"
+            try:
+                val, err = _run_tile_stage(spark, stage, mrows), None
+            except Exception as exc:  # noqa: BLE001 — classified below
+                val, err = None, str(exc)
+            if err is not None:
+                n_loud += 1
+                if expect == "valid":
+                    bad.append((name,
+                                f"legal table refused: {err[:160]}"))
+                elif needles and not any(n in err for n in needles):
+                    bad.append((name, "anonymous tile error (no chunk "
+                                f"context): {err[:200]}"))
+                elif not quiet:
+                    print(f"loud   {name}")
+            else:
+                if expect == "loud":
+                    bad.append((name, "malformed tile table accepted "
+                                "silently"))
+                elif expect == "valid" and val != base.get(stage):
+                    bad.append((name, "legal mutation produced "
+                                "different output from the pristine "
+                                "table"))
+                elif not quiet:
+                    print(f"ok     {name}")
     return bad, n_loud, n_run
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--media"]
+    args = [a for a in sys.argv[1:] if a not in ("--media", "--tiles")]
     media = "--media" in sys.argv[1:]
+    tiles = "--tiles" in sys.argv[1:]
     seeds = [int(s) for s in args] or [101]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     any_bad = False
     for seed in seeds:
-        if media:
+        if tiles:
+            bad, n_loud, n_run = run_tile_fuzz(
+                spark, random.Random(seed))
+            print(f"tiles seed {seed}: {len(bad)} divergences, "
+                  f"{n_loud} loud / {n_run} run")
+        elif media:
             bad, n_loud, n_run = run_media_fuzz(
                 spark, random.Random(seed))
             print(f"media seed {seed}: {len(bad)} divergences, "
