@@ -1148,7 +1148,7 @@ WITH hourly AS (
                        AS DECIMAL(27,9))) AS DECIMAL(27,9)) AS sv
   FROM events WHERE ts IS NOT NULL GROUP BY 1, 2)
 SELECT event_type, h, n_events,
-       round(CAST(sv AS DOUBLE), 2) AS sum_value
+       CAST(round(sv, 2) AS DOUBLE) AS sum_value
 FROM hourly
 """)
 def events_incremental_rollup(spark, sf_dir):
@@ -1206,8 +1206,16 @@ def events_incremental_rollup(spark, sf_dir):
                        + F.coalesce(F.col("l.n_events"), F.lit(0)))
                       .alias("n_events"),
                       sv_merged.alias("sv")))
+    # Round the exact DECIMAL, cast to double AFTER (round-14 fuzz,
+    # seed 131): both engines round DECIMALs identically (exact
+    # HALF_UP away from zero), but their DOUBLE rounds disagree at
+    # true halves — Spark rounds the double's SHORTEST decimal
+    # representation (BigDecimal.valueOf: -19.185 -> "-19.185" ->
+    # -19.19) while DuckDB rounds the binary value (-19.18499... ->
+    # -19.18), so an exact half-cent sum (two 4-decimal values adding
+    # to -19.1850) silently diverged.
     return merged.select("event_type", "h", "n_events",
-                         F.round(F.col("sv").cast("double"), 2)
+                         F.round(F.col("sv"), 2).cast("double")
                          .alias("sum_value"))
 
 

@@ -15,7 +15,7 @@ from ..operators import text as TX
 from ..operators.asof import asof_join
 from ..operators.multimodal import documents_as_media, media_metadata
 from ..streaming.events import sessionize_batch, windowed_event_counts
-from .relational import REGISTRY, register, t
+from .relational import REGISTRY, finite_or_null, register, t
 
 # Portable token hash, DuckDB side (Spark side: operators.dedup.token_hash)
 _DUCK_H32 = "CAST('0x' || substr(md5({x}), 1, 8) AS BIGINT)"
@@ -918,7 +918,8 @@ types AS (SELECT DISTINCT event_type FROM events),
 agg AS (
   SELECT date_trunc('hour', ts) AS hour, event_type,
          CAST(count(*) AS BIGINT) AS n_events,
-         round(sum(value), 2) AS sum_value
+         CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                             AS DECIMAL(27,9))), 2) AS DOUBLE) AS sum_value
   FROM events GROUP BY 1, 2)
 SELECT t.event_type, h.hour,
        coalesce(a.n_events, 0) AS n_events,
@@ -939,10 +940,20 @@ def events_hourly_gapfill(spark, sf_dir):
     hours = span.select(F.explode(
         F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour"))
     types = ev.select("event_type").distinct()
+    # Exact-DECIMAL finite-only sum, rounded as a DECIMAL (round-14
+    # fuzz, seed 131 class): summing doubles is shuffle-order
+    # nondeterministic at scale, and rounding a DOUBLE at 2 diverges
+    # between the engines when the sum lands on a true half-cent
+    # (Spark rounds the shortest decimal representation, DuckDB the
+    # binary value).  Non-finite values have no exact-decimal form and
+    # are excluded identically on both sides (isfinite CASE in the
+    # oracle) — the convention events_incremental_rollup pinned.
     agg = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                       "event_type")
            .agg(F.count("*").cast("bigint").alias("n_events"),
-                F.round(F.sum("value"), 2).alias("sum_value")))
+                F.round(F.sum(finite_or_null("value")
+                              .cast("decimal(27,9)")), 2)
+                .cast("double").alias("sum_value")))
     return (hours.crossJoin(F.broadcast(types))
             .join(agg, ["hour", "event_type"], "left")
             .select("event_type", "hour",
@@ -1758,7 +1769,8 @@ def docs_importance_sample(spark, sf_dir):
 @register("events_rollup_cascade", """
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS total_value,
+       CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                           AS DECIMAL(27,9))), 2) AS DOUBLE) AS total_value,
        round(min(value), 4) AS min_value,
        round(max(value), 4) AS max_value
 FROM events
@@ -1776,16 +1788,25 @@ def events_rollup_cascade(spark, sf_dir):
     machinery).  Rounding happens ONLY at the day layer — rounding the
     hour partials first would break sum re-aggregation."""
     ev = t(spark, sf_dir, "events")
+    # Sum partials are exact finite-only DECIMALs and the final round
+    # happens on the DECIMAL (round-14 fuzz, seed 131 class): double
+    # partials re-summed at the day layer are accumulation-order
+    # nondeterministic, and rounding a DOUBLE at 2 diverges between
+    # the engines at true half-cents (Spark rounds the shortest
+    # decimal representation, DuckDB the binary value).  min/max at
+    # scale 4 are identity rounds of 4-decimal values — tie-free.
     hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
                          "event_type")
               .agg(F.count("*").alias("n"),
-                   F.sum("value").alias("s"),
+                   F.sum(finite_or_null("value").cast("decimal(27,9)"))
+                   .alias("s"),
                    F.min("value").alias("mn"),
                    F.max("value").alias("mx")))
     return (hourly.groupBy(F.date_trunc("day", "hour").alias("day"),
                            "event_type")
             .agg(F.sum("n").cast("bigint").alias("n_events"),
-                 F.round(F.sum("s"), 2).alias("total_value"),
+                 F.round(F.sum("s"), 2).cast("double")
+                 .alias("total_value"),
                  F.round(F.min("mn"), 4).alias("min_value"),
                  F.round(F.max("mx"), 4).alias("max_value")))
 

@@ -37,6 +37,10 @@ GATE_PANEL = [
     # events / quantile / anomaly paths
     "events_value_winsorize_counts", "events_anomaly_mad",
     "events_value_anomalies", "events_incremental_rollup",
+    # half-cent DOUBLE-round divergence class (fuzz seed 131): the
+    # value-sum rollups round exact DECIMALs now; the promoted
+    # half-cent trigger rows keep the class pinned here
+    "events_hourly_gapfill", "events_rollup_cascade",
     # time-ordered events paths (round-12 fuzz: NULL ts/value/user_id
     # divergence class — one member per sub-family: tumbling window,
     # sessionize, as-of join, offset windows, distribution windows)

@@ -113,6 +113,19 @@ _PROFILES = {
             # the oracle needs a json_valid guard (fuzz seed 103)
             "(9000008, TIMESTAMP '2024-01-02 03:04:10', 3,"
             " 'purchase', 1.0, 'not json')",
+            # an exact HALF-CENT hour group (two 4-decimal values
+            # summing to -19.1850, plus a lone x.xx50 value in its own
+            # hour): rounding the sum as a DOUBLE at scale 2 diverges
+            # between the engines exactly at true halves — Spark
+            # rounds the shortest decimal representation, DuckDB the
+            # binary value (fuzz seed 131, events_incremental_rollup);
+            # the value-sum queries now round exact DECIMALs instead
+            "(9000009, TIMESTAMP '2024-01-07 05:10:00', 4,"
+            " 'purchase', -9.5924, '{}')",
+            "(9000010, TIMESTAMP '2024-01-07 05:20:00', 4,"
+            " 'purchase', -9.5926, '{}')",
+            "(9000011, TIMESTAMP '2024-01-07 06:10:00', 4,"
+            " 'view', 7.1250, '{}')",
         ],
     },
     "edge": {
