@@ -401,6 +401,24 @@ def main() -> None:
     except OSError as e:
         print(f"# durable record write FAILED ({e}); the stdout line "
               "is the only copy", file=sys.stderr)
+    # Append-only window log (round-14 verdict item 4: the driver's own
+    # bench run overwrote a committed gold window in bench_out_r14.json
+    # — mode "w" above is the latest-window view the driver expects,
+    # but every window must also survive later runs).  One line per
+    # window, never truncated; clean/gold windows stay recoverable no
+    # matter how many contended windows land after them.
+    jsonl_path = os.path.splitext(out_path)[0] + ".jsonl"
+    base = os.path.basename(jsonl_path)
+    if base.startswith("bench_out_r"):
+        jsonl_path = os.path.join(os.path.dirname(jsonl_path),
+                                  "bench_windows_r" +
+                                  base[len("bench_out_r"):])
+    try:
+        with open(jsonl_path, "a") as fh:
+            fh.write(line + "\n")
+        print(f"# window appended -> {jsonl_path}", file=sys.stderr)
+    except OSError as e:
+        print(f"# window-log append FAILED ({e})", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -25,8 +25,8 @@ from pyspark.sql import types as T
 
 from ..kernels.halo import assemble_expanded, pad_tile
 from ..sources.tiles import (TILE_FIELDS, TILE_SCHEMA, TileSet,
-                             checked_loc, key_cols, pdf_classes, pdf_tile,
-                             tile_record)
+                             attributed_error, checked_loc, key_cols,
+                             pdf_classes, pdf_tile, tile_record)
 
 
 def _chunk_loud(loc, fn):
@@ -35,20 +35,27 @@ def _chunk_loud(loc, fn):
     error with the chunk's grid coordinates prepended — the posture the
     reference gets from dask, whose kernels always know their
     ``block_info`` coordinates (``chunkops.py:19-32``).  Errors already
-    attributed upstream (``pdf_tile``/``pdf_classes``/``checked_loc``
-    messages start with ``tile (``, assembly messages with ``chunk (``)
-    pass through unchanged."""
+    attributed upstream (``pdf_tile``/``pdf_classes``/``checked_loc``/
+    assembly checks) carry the ``_chunk_attributed`` sentinel set by
+    ``sources.tiles.attributed_error`` and pass through unchanged —
+    matching on the sentinel, not the message text, so an attributed
+    error re-raised while assembling a DIFFERENT chunk keeps its own
+    coordinates and a kernel error whose message merely starts with
+    ``tile (`` still gets attributed (round-14 ADVICE).  The wrapped
+    re-raise chains the original via ``from exc``, so exception state a
+    ``type(exc)(msg)`` reconstruction drops (e.g. ``OSError.errno``)
+    stays reachable on ``__cause__``."""
     try:
         return fn()
     except Exception as exc:  # noqa: BLE001 — context, then re-raise
-        s = str(exc)
-        if s.startswith("tile (") or s.startswith("chunk ("):
+        if getattr(exc, "_chunk_attributed", False):
             raise
         msg = f"chunk {loc}: {exc}"
         try:
             new = type(exc)(msg)
         except TypeError:
             new = ValueError(msg)
+        new._chunk_attributed = True
         raise new from exc
 
 # Exchange-internal rows use BINARY payloads (raw little-endian int64),
@@ -165,21 +172,21 @@ def _assemble_one(loc, pdf: pd.DataFrame, nd: int, grid):
         cls = _piece_classes(row, nd)
         if all(p == 0 for p in pos):
             if seen_center:
-                raise ValueError(
+                raise attributed_error(
                     f"chunk {loc}: duplicate tile — two rows share "
                     f"this tile key (the exchange received two center "
                     f"payloads)")
             center, center_cls, seen_center = tile, cls, True
         else:
             if pos in pieces:
-                raise ValueError(
+                raise attributed_error(
                     f"chunk {loc}: duplicate margin piece at position "
                     f"{pos} — a neighboring tile key appears more than "
                     f"once in the table")
             pieces[pos] = tile
             cls_pieces[pos] = cls
     if not seen_center:
-        raise ValueError(
+        raise attributed_error(
             f"chunk {loc}: missing tile — neighbors emitted halo "
             f"margins to this key but the table has no row for it "
             f"(tile tables must be dense over the declared grid)")
@@ -194,7 +201,7 @@ def _assemble_one(loc, pdf: pd.DataFrame, nd: int, grid):
         if all(p == 0 for p in pos) or pos in pieces:
             continue
         nb = tuple(l + p for l, p in zip(loc, pos))
-        raise ValueError(
+        raise attributed_error(
             f"chunk {loc}: missing margin piece from neighbor {nb} "
             f"(tile tables must be dense over the declared grid)")
     expanded = assemble_expanded(center, loc, grid, pieces)

@@ -38,54 +38,30 @@ from . import curation  # noqa: F401  (round-3 pipeline extensions)
 # round-5/6 failure mode: a stale hand list replayed fresh evidence
 # while genuinely stale entries starved).
 _CHANGED = [
-    # (round-14 prune, same discipline as the round-12 prune: every
-    # r11/r12/r13 flag's post-change green landed in the committed
-    # CORRECTNESS_r12/r13 artifacts, so the 29 expired tuples are
-    # removed — expired flags are inert but bury live signal.  The
+    # (round-15 prune, same discipline as the round-12/round-14
+    # prunes: all 19 round-14 flags' post-change greens landed in the
+    # committed CORRECTNESS_r14.json artifact, so the expired tuples
+    # are removed — expired flags are inert but bury live signal.  The
     # expiry mechanism is unchanged; future flags go here as
     # (name, changed_in_round).)
-    # round 14: the r13 ADVICE multimodal fixes — sample_frames' fake
-    # path gained resize_media's NULL-meta guard (its mapInPandas
-    # closure re-serialized) and _loud no longer retypes TypeError-
-    # family decode errors to ValueError.  Clean-corpus results are
-    # unchanged by construction (a nullable-struct guard + error-path
-    # typing), but per the r13 precedent every query through the
-    # touched module is re-verified
-    ("multimodal_pgm_decode", 14),
-    ("multimodal_wav_decode", 14),
-    ("multimodal_y4m_frames", 14),
-    ("multimodal_resize", 14),
-    ("multimodal_features", 14),
-    # round 14 (second batch): the tile-table dirty-fuzz arm
-    # (tools/dirty_fuzz.py --tiles) hardened the tile ingestion and
-    # exchange paths — structural row validation with chunk-coordinate
-    # context (sources/tiles.py: pdf_tile/pdf_classes/checked_loc) and
-    # exchange-integrity checks (operators/halo.py: _chunk_loud,
-    # duplicate/missing center+margin detection in _assemble_one).
-    # Well-formed tables are unchanged by construction (checks only
-    # reject states dask cannot represent), but every tile-pipeline
-    # query's UDF closures re-serialized
-    ("relabel_components", 14),
-    ("relabel_components_summary", 14),
-    ("relabel_components_3d", 14),
-    ("relabel_annotations", 14),
-    ("relabel_annotations_3d", 14),
-    ("relabel_annotations_summary", 14),
-    ("relabel_components_3d_interior", 14),
-    ("relabel_annotations_3d_summary", 14),
-    ("relabel_annotations_tile_interior_counts", 14),
-    ("relabel_annotations_3d_tile_counts", 14),
-    ("relabel_sorted_label_stats", 14),
-    # round 14 (third batch): fuzz seed 131 caught the engines'
-    # DOUBLE-round semantics diverging at a true half-cent sum (Spark
-    # rounds the shortest decimal representation, DuckDB the binary
-    # value) — the three value-sum rollups now sum exact finite-only
-    # DECIMAL partials and round the DECIMAL, casting to double after;
-    # oracles changed in lockstep, trigger rows promoted into the
-    # permanent null profile
-    ("events_incremental_rollup", 14),
-    ("events_hourly_gapfill", 14),
-    ("events_rollup_cascade", 14),
+    # round 15: the r14 ADVICE tile fixes — error attribution keys on
+    # the _chunk_attributed sentinel instead of message prefixes
+    # (operators/halo._chunk_loud, sources/tiles.attributed_error) and
+    # pdf_classes validates dimensions via the shared _checked_shape.
+    # Well-formed tables are unchanged by construction (error-path-only
+    # changes), but every tile-pipeline query's UDF closures
+    # re-serialized — same re-verification discipline as round 14
+    ("relabel_components", 15),
+    ("relabel_components_summary", 15),
+    ("relabel_components_3d", 15),
+    ("relabel_annotations", 15),
+    ("relabel_annotations_3d", 15),
+    ("relabel_annotations_summary", 15),
+    ("relabel_components_3d_interior", 15),
+    ("relabel_annotations_3d_summary", 15),
+    ("relabel_annotations_tile_interior_counts", 15),
+    ("relabel_annotations_3d_tile_counts", 15),
+    ("relabel_sorted_label_stats", 15),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

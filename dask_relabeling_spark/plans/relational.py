@@ -42,7 +42,24 @@ def finite_or_null(c) -> F.Column:
     STDDEV overflows on Inf), so bucketing/decimal/moment paths
     normalize to NULL FIRST — the DuckDB side mirrors this with
     ``CASE WHEN isfinite(value) THEN value END``
-    (tools/null_parity_sweep.py, edge profile)."""
+    (tools/null_parity_sweep.py, edge profile).
+
+    DECIMAL-sum convention (round-14 fuzz, seed 131): value sums ride
+    ``finite_or_null(c).cast("decimal(27,9)")`` partials and are
+    rounded AS DECIMALs (exact HALF_UP in both engines), cast to
+    double after — rounding a DOUBLE sum splits the engines at true
+    halves (Spark rounds the shortest decimal representation via
+    ``BigDecimal.valueOf``, DuckDB the binary value).  RESIDUAL CLASS
+    (round-14 ADVICE, documented not reachable): the double->DECIMAL
+    cast is itself a scale-9 round under the same shortest-decimal
+    rule, so an input landing on a true tie at the NINTH decimal
+    (e.g. 5e-10, 1.0000000005) can still diverge by one ulp of the
+    kept digit.  Unreachable for every current corpus (the generators
+    emit <=4-decimal values, and sums of scale-4 decimals are exact at
+    scale 9) — pinned by the scale-9 tie rows in the permanent null
+    profile (round-15 tie-injection audit) so a corpus change that
+    widens value precision rediscovers it as a failing gate row, not
+    a silent divergence."""
     col = F.col(c) if isinstance(c, str) else c
     return F.when(~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))),
                   col)

@@ -65,6 +65,19 @@ def _is_null(v) -> bool:
     return v is None or (isinstance(v, float) and np.isnan(v))
 
 
+def attributed_error(msg: str) -> ValueError:
+    """A chunk-attributed validation error.  The ``_chunk_attributed``
+    sentinel tells ``operators/halo._chunk_loud`` the message already
+    carries its chunk coordinates, so the wrapper must pass it through
+    instead of prepending a DIFFERENT chunk's context (round-14 ADVICE:
+    the previous message-prefix match let an error re-raised while
+    assembling another chunk through unattributed, and a kernel error
+    whose text happened to start with ``tile (`` skipped attribution)."""
+    exc = ValueError(msg)
+    exc._chunk_attributed = True
+    return exc
+
+
 def _row_key_str(row, nd: int) -> str:
     """Raw key rendering for error context, e.g. ``(cy=1, cx=None)``.
     Integral floats render as ints (pandas widens int columns to float
@@ -91,29 +104,39 @@ def pdf_tile(row, nd: int) -> np.ndarray:
     failure mirrors the media kernels' posture
     (``operators/multimodal._loud``; round-14 tile fuzz arm,
     ``tools/dirty_fuzz.py --tiles``)."""
-    dims = []
-    for c in shape_cols(nd):
-        v = row[c]
-        if _is_null(v):
-            raise ValueError(
-                f"tile {_row_key_str(row, nd)}: NULL dimension {c}")
-        if int(v) <= 0:
-            raise ValueError(f"tile {_row_key_str(row, nd)}: "
-                             f"non-positive dimension {c}={int(v)}")
-        dims.append(int(v))
-    shape = tuple(dims)
+    shape = _checked_shape(row, nd)
     data = row["data"]
     # iterrows() renders a NULL array cell as float NaN, not None
     if _is_null(data):
-        raise ValueError(f"tile {_row_key_str(row, nd)}: NULL payload")
+        raise attributed_error(
+            f"tile {_row_key_str(row, nd)}: NULL payload")
     n = 1
     for s in shape:
         n *= s
     if len(data) != n:
-        raise ValueError(
+        raise attributed_error(
             f"tile {_row_key_str(row, nd)}: payload length {len(data)} "
             f"!= {'x'.join(map(str, shape))} = {n}")
     return np.asarray(data, dtype=np.int64).reshape(shape)
+
+
+def _checked_shape(row, nd: int) -> Loc:
+    """Validated spatial tile shape out of one pandas row — shared by
+    ``pdf_tile`` and ``pdf_classes`` (round-14 ADVICE: ``pdf_classes``
+    used to read ``int(row['d'])/['h']/['w']`` unchecked, safe only
+    because every call site evaluated ``pdf_tile`` first; a standalone
+    caller on a NULL-dim row died as an anonymous ``int(None)``)."""
+    dims = []
+    for c in shape_cols(nd):
+        v = row[c]
+        if _is_null(v):
+            raise attributed_error(
+                f"tile {_row_key_str(row, nd)}: NULL dimension {c}")
+        if int(v) <= 0:
+            raise attributed_error(f"tile {_row_key_str(row, nd)}: "
+                                   f"non-positive dimension {c}={int(v)}")
+        dims.append(int(v))
+    return tuple(dims)
 
 
 def pdf_classes(row, nd: int) -> Optional[np.ndarray]:
@@ -128,22 +151,21 @@ def pdf_classes(row, nd: int) -> Optional[np.ndarray]:
     if cls_null and _is_null(ncl):
         return None
     if cls_null or _is_null(ncl):
-        raise ValueError(
+        raise attributed_error(
             f"tile {_row_key_str(row, nd)}: nclasses/classes must be "
             f"NULL together (nclasses="
             f"{'NULL' if _is_null(ncl) else int(ncl)}, classes "
             f"{'NULL' if cls_null else 'present'})")
     n = int(ncl)
     if n <= 0:
-        raise ValueError(f"tile {_row_key_str(row, nd)}: "
-                         f"non-positive nclasses={n}")
-    shape = (n, int(row["d"]), int(row["h"]), int(row["w"])) if nd == 3 \
-        else (n, int(row["h"]), int(row["w"]))
+        raise attributed_error(f"tile {_row_key_str(row, nd)}: "
+                               f"non-positive nclasses={n}")
+    shape = (n,) + _checked_shape(row, nd)
     want = 1
     for s in shape:
         want *= s
     if len(cls) != want:
-        raise ValueError(
+        raise attributed_error(
             f"tile {_row_key_str(row, nd)}: classes length {len(cls)} "
             f"!= nclasses x tile = {want}")
     return np.asarray(cls, dtype=np.int64).reshape(shape)
@@ -158,11 +180,11 @@ def checked_loc(row, nd: int, grid: Loc) -> Loc:
     are themselves well-formed)."""
     vals = [row[c] for c in key_cols(nd)]
     if any(_is_null(v) for v in vals):
-        raise ValueError(
+        raise attributed_error(
             f"tile {_row_key_str(row, nd)}: NULL key component")
     loc = tuple(int(v) for v in vals)
     if any(not (0 <= l < g) for l, g in zip(loc, grid)):
-        raise ValueError(
+        raise attributed_error(
             f"tile {_row_key_str(row, nd)}: location outside the "
             f"declared grid {tuple(int(g) for g in grid)}")
     return loc

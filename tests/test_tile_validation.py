@@ -14,7 +14,8 @@ import pandas as pd
 import pytest
 
 from dask_relabeling_spark.operators.halo import _chunk_loud
-from dask_relabeling_spark.sources.tiles import (checked_loc, pdf_classes,
+from dask_relabeling_spark.sources.tiles import (attributed_error,
+                                                 checked_loc, pdf_classes,
                                                  pdf_tile)
 
 
@@ -70,6 +71,13 @@ def test_pdf_classes_ok_and_none():
      "NULL together"),
     (dict(nclasses=0, classes=[]), "non-positive nclasses"),
     (dict(nclasses=2, classes=list(range(10))), "classes length 10"),
+    # round-14 ADVICE: pdf_classes validates dimensions itself (shared
+    # _checked_shape) — a standalone call on a NULL/zero-dim row fails
+    # loudly instead of dying as int(None)/reshaping garbage
+    (dict(nclasses=2, classes=list(range(12)), h=None),
+     "NULL dimension h"),
+    (dict(nclasses=2, classes=[], h=0, w=0, data=[]),
+     "non-positive dimension"),
 ])
 def test_pdf_classes_loud(kw, needle):
     with pytest.raises(ValueError, match=r"tile \(cy=1, cx=2\)") as ei:
@@ -99,14 +107,38 @@ def test_chunk_loud_attributes_anonymous_errors():
 
 
 def test_chunk_loud_passes_attributed_errors_unchanged():
-    err = ValueError("tile (cy=1, cx=2): payload length 5 != 2x3 = 6")
+    # sentinel-marked errors (everything pdf_tile/pdf_classes/
+    # checked_loc/_assemble_one raise) pass through even when caught
+    # while working on a DIFFERENT chunk — their message already names
+    # the right coordinates
+    err = attributed_error(
+        "tile (cy=1, cx=2): payload length 5 != 2x3 = 6")
     with pytest.raises(ValueError) as ei:
         _chunk_loud((0, 1), lambda: (_ for _ in ()).throw(err))
     assert str(ei.value) == str(err)   # no double prefix
-    err2 = ValueError("chunk (1, 2): duplicate tile")
+    err2 = attributed_error("chunk (1, 2): duplicate tile")
     with pytest.raises(ValueError) as ei:
         _chunk_loud((0, 1), lambda: (_ for _ in ()).throw(err2))
     assert str(ei.value) == str(err2)
+
+
+def test_chunk_loud_attributes_coincidental_prefixes():
+    # round-14 ADVICE: pass-through keys on the sentinel ATTRIBUTE, not
+    # the message text — a kernel error that merely *sounds* attributed
+    # still gets this chunk's coordinates prepended
+    with pytest.raises(ValueError,
+                       match=r"chunk \(0, 1\): tile \(garbled"):
+        _chunk_loud((0, 1), lambda: (_ for _ in ()).throw(
+            ValueError("tile (garbled kernel message")))
+    # and the wrapper's own output is sentinel-marked, so a re-wrap at
+    # an outer _chunk_loud layer cannot double-prefix it
+    try:
+        _chunk_loud((0, 1), lambda: (_ for _ in ()).throw(
+            ValueError("boom")))
+    except ValueError as exc:
+        assert getattr(exc, "_chunk_attributed", False)
+        with pytest.raises(ValueError, match=r"^chunk \(0, 1\): boom$"):
+            _chunk_loud((9, 9), lambda: (_ for _ in ()).throw(exc))
 
 
 def test_chunk_loud_preserves_exception_type():
