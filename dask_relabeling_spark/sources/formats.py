@@ -39,7 +39,16 @@ def read_any(spark: SparkSession, path: str, fmt: str = "parquet",
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     reader = spark.read.format(fmt)
     if fmt == "csv":
-        reader = reader.option("header", "true")
+        # escape='"': RFC-4180 doubled-quote parsing.  Spark's default
+        # escape is backslash, which reads the RFC form `"say ""hi"""`
+        # as the literal `"say ""hi"""` — found by the round-15 sources
+        # fuzz arm (tools/dirty_fuzz.py --sources) as a silent
+        # divergence from DuckDB's read_csv on the same file.  Fields
+        # with embedded NEWLINES additionally need multiLine=true
+        # (deliberately NOT the default: multiLine reads each file
+        # whole, killing split parallelism at scale — opt in per call).
+        reader = (reader.option("header", "true")
+                  .option("escape", '"'))
     if schema is not None:
         reader = reader.schema(schema)
     elif fmt not in ("parquet", "orc"):
@@ -66,7 +75,17 @@ def write_any(df: DataFrame, path: str, fmt: str = "parquet",
         raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
     writer = df.write.format(fmt).mode(mode)
     if fmt == "csv":
-        writer = writer.option("header", "true")
+        # escape='"' writes RFC-4180 doubled quotes (Spark's default
+        # backslash escape emits `"say \"hi\""`, which RFC readers —
+        # DuckDB, python csv — mis-parse); symmetric with read_any.
+        # ignore*WhiteSpace=false: Spark's CSV WRITER defaults these to
+        # true and silently TRIMS leading/trailing whitespace out of
+        # string data on the way to disk — found by the round-15
+        # sources fuzz arm as a round-trip multiset change
+        writer = (writer.option("header", "true")
+                  .option("escape", '"')
+                  .option("ignoreLeadingWhiteSpace", "false")
+                  .option("ignoreTrailingWhiteSpace", "false"))
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     for k, v in options.items():

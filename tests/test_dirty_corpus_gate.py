@@ -113,3 +113,27 @@ def test_tile_corruption_panel(spark):
     # 18 cases x 2 pipeline stages
     assert n_run == 36, n_run
     assert not bad, bad
+
+
+def test_source_corruption_panel(spark):
+    """Ingestion-sources gate (round-15 fuzz arm): dirty BYTES through
+    sources/formats.py — RFC-4180 csv and JSONL edge content must parse
+    identically in Spark and DuckDB under the same explicit schema;
+    files with malformed records must read with zero silent drops and
+    every bad record flagged in the corrupt-record column (FAILFAST
+    loud); write_any -> read_any preserves the row multiset per format;
+    compact_parquet / write_zordered preserve the multiset; the pinned
+    source postures (csv '' -> NULL, JSON duplicate-key last-wins,
+    zero-length files yield NO row from text/binaryFile) hold.  Seed 0
+    is the promoted permanent panel — the arm's first run found
+    read_any's CSV quoting was NOT the RFC-4180 its docstring claimed
+    (Spark's backslash escape mis-parses doubled quotes vs DuckDB) and
+    Spark's CSV WRITER silently trimming leading/trailing whitespace
+    out of string data (both fixed in sources/formats.py)."""
+    import random
+
+    import dirty_fuzz as DF
+    bad, n_loud, n_run = DF.run_source_fuzz(spark, random.Random(0))
+    assert n_run == 21, n_run
+    assert n_loud == 2, n_loud   # both FAILFAST probes must be loud
+    assert not bad, bad

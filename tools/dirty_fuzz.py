@@ -491,16 +491,314 @@ def run_tile_fuzz(spark, rng: random.Random, quiet: bool = True):
     return bad, n_loud, n_run
 
 
+# ---------------------------------------------------------------------------
+# Ingestion-sources arm (round 15): dirty bytes through
+# sources/formats.py.
+#
+# The table/media/tile arms all start from ALREADY-LOADED DataFrames;
+# the readers themselves (csv/json parsing, PERMISSIVE corrupt-record
+# handling, whole-file text/binary ingest, compaction rewrites) had
+# never been fed dirty bytes under a gate — the classic silent-
+# divergence surface: a reader that mis-parses quietly poisons every
+# query downstream while both engines report success (r14 verdict,
+# next-round item 2).  Three check families:
+#
+#   differential — the same well-formed-but-nasty csv/jsonl bytes read
+#       by ``read_any`` AND DuckDB's read_csv/read_json with the same
+#       explicit schema must parse to identical tables (driver
+#       normalization via oracle_sweep).  The arm's first run found
+#       ``read_any``'s CSV defaults were NOT the RFC-4180 quoting its
+#       docstring claimed — Spark's default backslash escape reads the
+#       RFC form ``"say ""hi"""`` as the literal ``"say ""hi"""`` —
+#       fixed with escape='"' on both read_any and write_any.
+#   accounting — a file with K malformed records among N must read as
+#       exactly N rows with exactly K flagged in the corrupt-record
+#       column (no silent drops, no silent coercion: a string where
+#       the schema says DOUBLE is flagged, not nulled quietly), and
+#       FAILFAST must raise.  Records only one engine can represent
+#       stay OUT of the differential set and are pinned here instead
+#       (duplicate JSON keys: Spark keeps the LAST value, DuckDB the
+#       first — last-wins is the pinned Spark posture).
+#   round-trip — write_any -> read_any preserves the row multiset per
+#       format.  Pinned lossy mappings: csv reads '' back as NULL
+#       (both engines agree on the bytes; the type system cannot);
+#       embedded newlines need multiLine=true on re-read (NOT the
+#       default: multiLine reads files whole and kills split
+#       parallelism at scale).  compact_parquet / write_zordered
+#       preserve the multiset and honor file counts.  Spark's text and
+#       binaryFile sources emit NO row for a zero-length file — pinned
+#       here so a Spark upgrade that changes it fails the panel;
+#       per-file accounting at 100 TB must come from an upstream
+#       manifest, not the listing.
+# ---------------------------------------------------------------------------
+
+SRC_SCHEMA = "id BIGINT, name STRING, val DOUBLE, ts TIMESTAMP"
+_SRC_DUCK_COLS = ("{'id': 'BIGINT', 'name': 'VARCHAR', "
+                  "'val': 'DOUBLE', 'ts': 'TIMESTAMP'}")
+_SRC_NAMES = ["plain", "a,b", 'say "hi"', "line1\nline2", "naïve 中文",
+              " lead", "trail ", "'quote", "tab\tsep", None,
+              "ΣΟΦΟΣ İstanbul", "-", "x" * 300, 'all "quoted"']
+_SRC_VALS = [1.5, -0.0, 0.0, 2e-3, -1e9, 123456.789, None, 4.0,
+             0.1 + 0.2, -2.5]
+
+
+def gen_source_values(rng: random.Random, n: int = 14) -> list:
+    """Well-formed-but-nasty (id, name, val, ts) tuples: every value
+    has ONE unambiguous parse under an explicit schema in both engines,
+    so any cross-engine difference is a reader bug, not a convention
+    gap."""
+    out = []
+    for i in range(n):
+        ts = (None if rng.random() < 0.2 else
+              f"2024-01-{rng.randint(1, 9):02d} "
+              f"{rng.randint(0, 23):02d}:{rng.randint(0, 59):02d}:"
+              f"{rng.randint(0, 59):02d}")
+        out.append((i + 1, rng.choice(_SRC_NAMES),
+                    rng.choice(_SRC_VALS), ts))
+    return out
+
+
+def _src_write_csv(path: str, vals: list) -> None:
+    import csv as _csv
+    with open(path, "w", newline="", encoding="utf-8") as fh:
+        w = _csv.writer(fh, lineterminator="\n")   # RFC-4180 quoting
+        w.writerow(["id", "name", "val", "ts"])
+        for i, nm, v, ts in vals:
+            w.writerow([i, "" if nm is None else nm,
+                        "" if v is None else repr(v),
+                        "" if ts is None else ts])
+
+
+def _src_write_jsonl(path: str, vals: list, rng: random.Random) -> None:
+    import json as _json
+    with open(path, "w", encoding="utf-8") as fh:
+        for i, nm, v, ts in vals:
+            rec = {"id": i, "name": nm, "val": v, "ts": ts}
+            if nm is None and rng.random() < 0.5:
+                del rec["name"]     # missing field == explicit null
+            fh.write(_json.dumps(rec, ensure_ascii=rng.random() < 0.5)
+                     + "\n")
+
+
+def run_source_fuzz(spark, rng: random.Random, quiet: bool = True):
+    """Gate the ingestion surface; returns (bad, n_loud, n_run)."""
+    import shutil
+    import tempfile
+
+    import duckdb
+
+    import oracle_sweep as OS
+    from dask_relabeling_spark.sources.formats import (
+        compact_parquet, read_any, read_binary_files, read_whole_text,
+        write_any, write_zordered)
+
+    bad, n_loud, n_run = [], 0, 0
+    d = tempfile.mkdtemp(prefix="srcfuzz_")
+    con = duckdb.connect()
+    # empty-field-free value set for the csv differential: '' -> NULL
+    # is pinned in the round-trip family below; here every field is
+    # either absent or unambiguous
+    vals = gen_source_values(rng)
+
+    def check(name, ok, why=""):
+        nonlocal n_run
+        n_run += 1
+        if not ok:
+            bad.append((name, why))
+        elif not quiet:
+            print(f"ok     {name}")
+
+    # -- differential: csv ------------------------------------------------
+    csv_p = os.path.join(d, "diff.csv")
+    _src_write_csv(csv_p, vals)
+    sdf = OS.normalize(read_any(
+        spark, csv_p, "csv", schema=SRC_SCHEMA,
+        multiLine="true").toPandas())
+    odf = OS.normalize(con.execute(
+        f"SELECT * FROM read_csv('{csv_p}', header=true, "
+        f"columns={_SRC_DUCK_COLS})").df())
+    check("sources/csv/differential", OS.values_match(sdf, odf),
+          f"spark {len(sdf)} rows != duckdb {len(odf)} rows or values "
+          "diverge on identical RFC-4180 bytes")
+
+    # -- differential: jsonl ----------------------------------------------
+    jl_p = os.path.join(d, "diff.jsonl")
+    _src_write_jsonl(jl_p, vals, rng)
+    sdf = OS.normalize(read_any(
+        spark, jl_p, "json", schema=SRC_SCHEMA).toPandas())
+    odf = OS.normalize(con.execute(
+        f"SELECT * FROM read_json('{jl_p}', "
+        f"format='newline_delimited', "
+        f"columns={_SRC_DUCK_COLS})").df())
+    check("sources/jsonl/differential", OS.values_match(sdf, odf),
+          "engines parse identical well-formed JSONL differently")
+
+    # -- accounting: csv ---------------------------------------------------
+    bad_csv = os.path.join(d, "bad.csv")
+    with open(bad_csv, "w", encoding="utf-8") as fh:
+        fh.write("id,name,val,ts\n"
+                 "1,ok,1.5,2024-01-01 00:00:00\n"
+                 "2,toomany,2.5,2024-01-01 00:00:00,EXTRA\n"
+                 "3,short\n"
+                 "4,badnum,not-a-number,2024-01-01 00:00:00\n"
+                 '5,"unclosed,5.5,2024-01-01 00:00:00\n'
+                 "6,fine,6.5,2024-01-02 03:04:05\n")
+    acc = read_any(spark, bad_csv, "csv",
+                   schema=SRC_SCHEMA + ", _corrupt STRING",
+                   columnNameOfCorruptRecord="_corrupt").collect()
+    n_corrupt = sum(1 for r in acc if r._corrupt is not None)
+    check("sources/csv/no-silent-drop", len(acc) == 6,
+          f"{len(acc)} rows out of 6 physical records")
+    check("sources/csv/corrupt-flagged", n_corrupt == 4,
+          f"{n_corrupt} rows flagged corrupt, expected 4 "
+          "(extra-col, short, bad-number, unclosed-quote)")
+    try:
+        read_any(spark, bad_csv, "csv", schema=SRC_SCHEMA,
+                 mode="FAILFAST").collect()
+        check("sources/csv/failfast", False,
+              "FAILFAST accepted a malformed file silently")
+    except Exception:  # noqa: BLE001 — loud is the required posture
+        n_loud += 1
+        check("sources/csv/failfast", True)
+
+    # -- accounting: jsonl --------------------------------------------------
+    bad_jl = os.path.join(d, "bad.jsonl")
+    with open(bad_jl, "w", encoding="utf-8") as fh:
+        fh.write('{"id": 1, "name": "ok", "val": 1.5}\n'
+                 '{"id": 2, "val": 2.5}\n'                # missing: legal
+                 '{"id": 3, "name": "mixed", "val": "1.5"}\n'  # type err
+                 'not json at all\n'
+                 '{"id": 5, "name": "trunc\n'             # truncated
+                 '{"id": 6, "name": "a", "name": "b", "val": 6.0}\n')
+    acc = read_any(spark, bad_jl, "json",
+                   schema=SRC_SCHEMA + ", _corrupt STRING",
+                   columnNameOfCorruptRecord="_corrupt").collect()
+    n_corrupt = sum(1 for r in acc if r._corrupt is not None)
+    check("sources/jsonl/no-silent-drop", len(acc) == 6,
+          f"{len(acc)} rows out of 6 physical lines")
+    check("sources/jsonl/corrupt-flagged", n_corrupt == 3,
+          f"{n_corrupt} rows flagged corrupt, expected 3 "
+          "(string-in-double, not-json, truncated)")
+    dup = [r for r in acc if r.id == 6]
+    check("sources/jsonl/dup-key-last-wins",
+          len(dup) == 1 and dup[0].name == "b",
+          "duplicate-key posture drifted from pinned last-wins")
+    try:
+        read_any(spark, bad_jl, "json", schema=SRC_SCHEMA,
+                 mode="FAILFAST").collect()
+        check("sources/jsonl/failfast", False,
+              "FAILFAST accepted malformed JSONL silently")
+    except Exception:  # noqa: BLE001
+        n_loud += 1
+        check("sources/jsonl/failfast", True)
+
+    # -- round-trips ---------------------------------------------------------
+    def key(rows):
+        return sorted(((r.id, r.name,
+                        None if r.val is None else repr(r.val), r.ts)
+                       for r in rows), key=repr)
+
+    import datetime
+    rt_rows = [(i, nm, v,
+                None if ts is None else
+                datetime.datetime.fromisoformat(ts))
+               for i, nm, v, ts in vals] + [(99, "", 9.0, None)]
+    src = spark.createDataFrame(rt_rows, SRC_SCHEMA)
+    want = key(src.collect())
+    # csv's pinned lossy mapping: '' comes back as NULL
+    want_csv = sorted(((i, (None if nm == "" else nm), v, ts)
+                       for i, nm, v, ts in want), key=repr)
+    for fmt in ("parquet", "orc", "json", "csv"):
+        p = os.path.join(d, f"rt_{fmt}")
+        write_any(src, p, fmt=fmt)
+        opts = {"multiLine": "true"} if fmt == "csv" else {}
+        back = read_any(spark, p, fmt, schema=SRC_SCHEMA, **opts)
+        got = key(back.collect())
+        check(f"sources/roundtrip/{fmt}",
+              got == (want_csv if fmt == "csv" else want),
+              "row multiset changed across write_any -> read_any")
+
+    # -- compaction / zorder ---------------------------------------------
+    pq = os.path.join(d, "frag")
+    src.repartition(5).write.parquet(pq)
+    for tag, sort_by in (("coalesce", None), ("sorted", "id")):
+        out = os.path.join(d, f"compact_{tag}")
+        nf = compact_parquet(spark, pq, out, 2, sort_by=sort_by)
+        got = key(spark.read.parquet(out).collect())
+        check(f"sources/compact/{tag}",
+              nf == 2 and got == want,
+              f"{nf} files (want 2) or row multiset changed")
+    zp = os.path.join(d, "zord")
+    write_zordered(src, zp, "id", n_files=2)
+    check("sources/zorder/multiset",
+          key(spark.read.parquet(zp).collect()) == want,
+          "row multiset changed across write_zordered")
+
+    # -- whole-text / binary ingest ----------------------------------------
+    td = os.path.join(d, "texts")
+    os.makedirs(td)
+    texts = {"a.txt": "doc one\nline two\n", "b.txt": "",
+             "c.txt": "naïve 中文"}
+    for fn, content in texts.items():
+        with open(os.path.join(td, fn), "w", encoding="utf-8") as fh:
+            fh.write(content)
+    wt = read_whole_text(spark, td).collect()
+    check("sources/wholetext/nonempty-files",
+          sorted(r.value for r in wt)
+          == sorted(v for v in texts.values() if v),
+          "whole-file rows diverge from file contents (pinned: a "
+          "zero-length file yields NO row)")
+    lm = read_whole_text(spark, td, line_mode=True).collect()
+    check("sources/wholetext/line-mode",
+          sorted(r.value for r in lm)
+          == sorted(ln for v in texts.values() for ln in v.splitlines()),
+          "line rows diverge from file lines")
+    blob = rng.randbytes(256)
+    bd = os.path.join(d, "blobs")
+    os.makedirs(bd)
+    open(os.path.join(bd, "x.bin"), "wb").write(blob)
+    open(os.path.join(bd, "y.bin"), "wb").write(b"")
+    open(os.path.join(bd, "big.bin"), "wb").write(rng.randbytes(1024))
+    open(os.path.join(bd, "skip.dat"), "wb").write(b"zz")
+    bf = read_binary_files(spark, bd, glob="*.bin").collect()
+    got_bf = sorted((os.path.basename(r.path), len(bytes(r.content)))
+                    for r in bf)
+    check("sources/binary/listing",
+          got_bf == [("big.bin", 1024), ("x.bin", 256)],
+          f"binaryFile listing {got_bf} != glob-filtered non-empty "
+          "files (pinned: zero-length files yield NO row)")
+    xrow = [r for r in bf if r.path.endswith("x.bin")]
+    check("sources/binary/bytes-exact",
+          len(xrow) == 1 and bytes(xrow[0].content) == blob,
+          "blob content changed through binaryFile ingest")
+    capped = read_binary_files(spark, bd, glob="*.bin",
+                               max_bytes=512).collect()
+    check("sources/binary/max-bytes",
+          sorted(os.path.basename(r.path) for r in capped)
+          == ["x.bin"],
+          "max_bytes guard failed to exclude the oversized blob")
+
+    shutil.rmtree(d, ignore_errors=True)
+    return bad, n_loud, n_run
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a not in ("--media", "--tiles")]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--media", "--tiles", "--sources")]
     media = "--media" in sys.argv[1:]
     tiles = "--tiles" in sys.argv[1:]
+    sources = "--sources" in sys.argv[1:]
     seeds = [int(s) for s in args] or [101]
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     any_bad = False
     for seed in seeds:
-        if tiles:
+        if sources:
+            bad, n_loud, n_run = run_source_fuzz(
+                spark, random.Random(seed))
+            print(f"sources seed {seed}: {len(bad)} divergences, "
+                  f"{n_loud} loud / {n_run} run")
+        elif tiles:
             bad, n_loud, n_run = run_tile_fuzz(
                 spark, random.Random(seed))
             print(f"tiles seed {seed}: {len(bad)} divergences, "
