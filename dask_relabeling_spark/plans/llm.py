@@ -778,7 +778,8 @@ def multimodal_features(spark, sf_dir):
 @register("events_hourly_windows", """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS total_value
+       CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                           AS DECIMAL(27,9))), 4) AS DOUBLE) AS total_value
 FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
 """)
 def events_hourly_windows(spark, sf_dir):
@@ -1442,19 +1443,24 @@ w AS (
                 + to_minutes(o.off_min))
 SELECT event_type, window_start,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 4) AS total_value
+       CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                           AS DECIMAL(27,9))), 4) AS DOUBLE) AS total_value
 FROM w GROUP BY event_type, window_start
 """)
 def events_sliding_windows(spark, sf_dir):
     """Sliding 1-hour windows every 15 min: each event lands in 4
     overlapping windows (`F.window(ts, '1 hour', '15 minutes')` — the
     built-in generates the window set JVM-side; the oracle replays it as
-    an explicit 4-offset fan-out)."""
+    an explicit 4-offset fan-out).  Value sums ride finite-only
+    DECIMAL(27,9) partials, rounded as DECIMALs (seed-131 convention;
+    round-15 tie audit: a 5-decimal value splits the DOUBLE round)."""
     ev = t(spark, sf_dir, "events")
     return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
                        "event_type")
             .agg(F.count("*").cast("bigint").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("total_value"))
+                 F.round(F.sum(finite_or_null("value")
+                               .cast("decimal(27,9)")), 4)
+                 .cast("double").alias("total_value"))
             .select("event_type", F.col("w.start").alias("window_start"),
                     "n_events", "total_value"))
 
@@ -1771,8 +1777,10 @@ SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
                            AS DECIMAL(27,9))), 2) AS DOUBLE) AS total_value,
-       round(min(value), 4) AS min_value,
-       round(max(value), 4) AS max_value
+       CAST(round(min(CAST(CASE WHEN isfinite(value) THEN value END
+                           AS DECIMAL(27,9))), 4) AS DOUBLE) AS min_value,
+       CAST(round(max(CAST(CASE WHEN isfinite(value) THEN value END
+                           AS DECIMAL(27,9))), 4) AS DOUBLE) AS max_value
 FROM events
 GROUP BY 1, 2
 """)
@@ -1788,35 +1796,44 @@ def events_rollup_cascade(spark, sf_dir):
     machinery).  Rounding happens ONLY at the day layer — rounding the
     hour partials first would break sum re-aggregation."""
     ev = t(spark, sf_dir, "events")
-    # Sum partials are exact finite-only DECIMALs and the final round
-    # happens on the DECIMAL (round-14 fuzz, seed 131 class): double
-    # partials re-summed at the day layer are accumulation-order
-    # nondeterministic, and rounding a DOUBLE at 2 diverges between
-    # the engines at true half-cents (Spark rounds the shortest
-    # decimal representation, DuckDB the binary value).  min/max at
-    # scale 4 are identity rounds of 4-decimal values — tie-free.
+    # ALL value aggregates ride exact finite-only DECIMALs and every
+    # round happens on the DECIMAL (round-14 fuzz seed 131 for the
+    # sum; round-15 tie audit for min/max): double partials re-summed
+    # at the day layer are accumulation-order nondeterministic, and
+    # rounding a DOUBLE at any scale diverges between the engines at
+    # true decimal halves — the r14 claim that "min/max at 4 are
+    # identity rounds of 4-decimal values" held only under the
+    # 4-decimal data assumption, which a dirty corpus void.  Non-finite
+    # values are excluded identically on both sides (no exact-decimal
+    # form).
+    vdec = finite_or_null("value").cast("decimal(27,9)")
     hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"),
                          "event_type")
               .agg(F.count("*").alias("n"),
-                   F.sum(finite_or_null("value").cast("decimal(27,9)"))
-                   .alias("s"),
-                   F.min("value").alias("mn"),
-                   F.max("value").alias("mx")))
+                   F.sum(vdec).alias("s"),
+                   F.min(vdec).alias("mn"),
+                   F.max(vdec).alias("mx")))
     return (hourly.groupBy(F.date_trunc("day", "hour").alias("day"),
                            "event_type")
             .agg(F.sum("n").cast("bigint").alias("n_events"),
                  F.round(F.sum("s"), 2).cast("double")
                  .alias("total_value"),
-                 F.round(F.min("mn"), 4).alias("min_value"),
-                 F.round(F.max("mx"), 4).alias("max_value")))
+                 F.round(F.min("mn"), 4).cast("double")
+                 .alias("min_value"),
+                 F.round(F.max("mx"), 4).cast("double")
+                 .alias("max_value")))
 
 
 @register("events_lead_lag_deltas", """
+WITH e AS (
+  SELECT *, CAST(CASE WHEN isfinite(value) THEN value END
+                 AS DECIMAL(27,9)) AS vdec
+  FROM events WHERE ts IS NOT NULL)
 SELECT event_id, user_id,
-       round(value - lag(value) OVER w, 4) AS delta_prev,
+       CAST(round(vdec - lag(vdec) OVER w, 4) AS DOUBLE) AS delta_prev,
        lead(event_type) OVER w AS next_type,
        first_value(event_type) OVER w AS first_type
-FROM events WHERE ts IS NOT NULL
+FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """)
 def events_lead_lag_deltas(spark, sf_dir):
@@ -1829,14 +1846,22 @@ def events_lead_lag_deltas(spark, sf_dir):
     timestamp has no position on the timeline, and the engines would
     otherwise place it at OPPOSITE ends of the user's ordered stream
     (Spark asc sorts NULLs first, DuckDB last), shifting every
-    lead/lag neighbor (round-12 dirty-corpus fuzz)."""
+    lead/lag neighbor (round-12 dirty-corpus fuzz).
+
+    The delta is an exact finite-only DECIMAL(27,9) difference,
+    rounded as a DECIMAL and cast to double after (seed-131
+    convention; round-15 tie audit: two 5-decimal-capable values whose
+    difference lands on a true scale-4 half split the engines' DOUBLE
+    rounds).  Non-finite values have no exact-decimal form -> NULL
+    delta on both sides."""
     from pyspark.sql import Window as W
     ev = t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    vdec = finite_or_null("value").cast("decimal(27,9)")
     return ev.select(
         "event_id", "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 4)
-        .alias("delta_prev"),
+        F.round(vdec - F.lag(vdec).over(w), 4)
+        .cast("double").alias("delta_prev"),
         F.lead("event_type").over(w).alias("next_type"),
         F.first("event_type").over(w).alias("first_type"))
 

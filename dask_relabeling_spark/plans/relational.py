@@ -56,10 +56,14 @@ def finite_or_null(c) -> F.Column:
     (e.g. 5e-10, 1.0000000005) can still diverge by one ulp of the
     kept digit.  Unreachable for every current corpus (the generators
     emit <=4-decimal values, and sums of scale-4 decimals are exact at
-    scale 9) — pinned by the scale-9 tie rows in the permanent null
-    profile (round-15 tie-injection audit) so a corpus change that
-    widens value precision rediscovers it as a failing gate row, not
-    a silent divergence."""
+    scale 9) — pinned by the 5e-10 / 1.5e-9 rows in the permanent
+    "ties" profile (tools/null_parity_sweep.py, round-15 tie-injection
+    audit; both engines cast them to 1E-9 / 2E-9) so a corpus change
+    that widens value precision rediscovers it as a failing gate row,
+    not a silent divergence.  The same audit proved the 4-decimal
+    assumption itself is load-bearing: round(DOUBLE, 4) sites split on
+    5-decimal dirty values, so window sums, lag deltas, and min/max
+    over event values ride this DECIMAL convention too."""
     col = F.col(c) if isinstance(c, str) else c
     return F.when(~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))),
                   col)
@@ -993,7 +997,9 @@ def events_user_retention_cohorts(spark, sf_dir):
 @register("events_rolling_hour_stats", """
 SELECT event_id,
        CAST(count(*) OVER w AS BIGINT) AS n_trailing_hour,
-       round(sum(value) OVER w, 4) AS sum_trailing_hour
+       CAST(round(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                           AS DECIMAL(27,9))) OVER w, 4) AS DOUBLE)
+         AS sum_trailing_hour
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
@@ -1004,7 +1010,10 @@ def events_rolling_hour_stats(spark, sf_dir):
     every engine; RANGE frames are tie-inclusive so the result is
     deterministic without a tiebreak).  One shuffle on user_id; the
     frame is evaluated with a sliding two-pointer pass per partition —
-    no self-join fan-out, unlike the interval-join formulation."""
+    no self-join fan-out, unlike the interval-join formulation.  The
+    trailing sum rides finite-only DECIMAL(27,9) partials, rounded as
+    a DECIMAL (seed-131 convention; round-15 tie audit: a 5-decimal
+    dirty value lands the DOUBLE round on a splitting half)."""
     ev = t(spark, sf_dir, "events")
     w = (Window.partitionBy("user_id")
          .orderBy(F.unix_micros("ts"))
@@ -1012,7 +1021,9 @@ def events_rolling_hour_stats(spark, sf_dir):
     return ev.select(
         "event_id",
         F.count("*").over(w).alias("n_trailing_hour"),
-        F.round(F.sum("value").over(w), 4).alias("sum_trailing_hour"))
+        F.round(F.sum(finite_or_null("value").cast("decimal(27,9)"))
+                .over(w), 4)
+        .cast("double").alias("sum_trailing_hour"))
 
 
 # ------------------------------------------------ 37. full outer join

@@ -28,10 +28,21 @@ def windowed_event_counts(df: DataFrame, window: str = "1 hour") -> DataFrame:
     ``isnotnull(ts)`` filter, so they are excluded — the registered
     oracle mirrors this with an explicit ``WHERE ts IS NOT NULL``
     (DuckDB's ``date_trunc`` would otherwise keep a NULL bucket the
-    Spark plan never produces; round-12 dirty-corpus fuzz)."""
+    Spark plan never produces; round-12 dirty-corpus fuzz).
+
+    The value sum rides exact finite-only DECIMAL(27,9) partials and
+    is rounded AS a DECIMAL (the seed-131 convention, see
+    ``plans.relational.finite_or_null``): round-15's tie-injection
+    audit showed a 5-decimal dirty value lands ``round(sum, 4)`` on a
+    true half, where the engines' DOUBLE rounds split."""
+    # lazy import: plans -> llm -> streaming.events at package import
+    # time, so a module-level import back into plans would be circular
+    from ..plans.relational import finite_or_null
     return (df.groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 4).alias("total_value"))
+                 F.round(F.sum(finite_or_null("value")
+                               .cast("decimal(27,9)")), 4)
+                 .cast("double").alias("total_value"))
             .select(F.col("w.start").alias("window_start"), "event_type",
                     "n_events", "total_value"))
 

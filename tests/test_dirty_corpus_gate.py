@@ -41,6 +41,12 @@ GATE_PANEL = [
     # value-sum rollups round exact DECIMALs now; the promoted
     # half-cent trigger rows keep the class pinned here
     "events_hourly_gapfill", "events_rollup_cascade",
+    # scale-4 tie class (round-15 tie-injection audit: a 5-decimal
+    # dirty value splits round(double, 4) at true halves — window
+    # sums and lag deltas now ride DECIMALs too; the "ties" profile
+    # rows keep the class pinned; hourly_windows/lead_lag_deltas
+    # already sit in the panel above)
+    "events_sliding_windows", "events_rolling_hour_stats",
     # time-ordered events paths (round-12 fuzz: NULL ts/value/user_id
     # divergence class — one member per sub-family: tumbling window,
     # sessionize, as-of join, offset windows, distribution windows)

@@ -33,10 +33,10 @@ acceptable loud alternative only if BOTH engines fail.
 
 Usage: python tools/null_parity_sweep.py [name ...]
 Env:   NULL_SWEEP_SF      (default /root/testdata/sf0.001)
-       NULL_SWEEP_PROFILE ("null" | "edge" | "unicode" | "combined" |
-                           "all"; default "all" = the three isolated
-                           profiles AND the combined merge, one unified
-                           summary)
+       NULL_SWEEP_PROFILE ("null" | "edge" | "unicode" | "ties" |
+                           "combined" | "all"; default "all" = the four
+                           isolated profiles AND the combined merge,
+                           one unified summary)
 
 The cheap standing subset of this gate also runs in pytest
 (tests/test_dirty_corpus_gate.py) so a future query cannot land
@@ -164,6 +164,52 @@ _PROFILES = {
     # tokenization, casefolding, n-gram, and length-ratio paths can
     # silently disagree on emoji/RTL/CJK/NBSP text while both report
     # success.
+    # Rounding-tie audit rows (round-15 verdict item 3): seed 131
+    # proved the engines' DOUBLE rounds split at true decimal halves
+    # (Spark rounds the shortest decimal representation via
+    # BigDecimal.valueOf; DuckDB computes round(x*10^k)/10^k in IEEE,
+    # so they disagree whenever the scaled double lands on the other
+    # side of .5 from the shortest-decimal rendering — measured ~6 %
+    # of random x.xxxx5 values at scale 4).  One trigger row-set per
+    # rounding FAMILY with >4-decimal-capable inputs:
+    "ties": {
+        "events": [
+            # lone 5-decimal value in its own hour/user group: a true
+            # scale-4 tie through every min/max/sum/avg-at-4 site
+            # (42.45195 is a measured splitting value: Spark 42.452,
+            # DuckDB round-via-multiply 42.4519)
+            "(9000012, TIMESTAMP '2024-01-08 01:10:00', 6, 'view',"
+            " 42.45195, '{}')",
+            # its negative twin (HALF_UP is away-from-zero: pins the
+            # sign symmetry of whatever convention the sites use)
+            "(9000013, TIMESTAMP '2024-01-08 02:10:00', 6, 'view',"
+            " -42.45195, '{}')",
+            # consecutive same-user values whose SUM (3.33455) and
+            # LAG DELTA (0.86555) both land on 5-decimal halves:
+            # the sum-at-4 and lag-difference-at-4 families
+            "(9000014, TIMESTAMP '2024-01-08 03:10:00', 6, 'view',"
+            " 1.2345, '{}')",
+            "(9000015, TIMESTAMP '2024-01-08 03:20:00', 6, 'view',"
+            " 2.10005, '{}')",
+            # scale-9 cast ties (the residual class documented at
+            # plans/relational.finite_or_null): 5e-10 and 1.5e-9 sit
+            # exactly on DECIMAL(27,9)'s last-digit halves — the
+            # DECIMAL-ridden sum paths must cast them identically
+            # (both engines: 1E-9 / 2E-9, HALF_UP)
+            "(9000016, TIMESTAMP '2024-01-08 04:10:00', 6,"
+            " 'purchase', 5e-10, '{}')",
+            "(9000017, TIMESTAMP '2024-01-08 04:20:00', 6,"
+            " 'purchase', 1.5e-9, '{}')",
+        ],
+        "documents": [
+            # 128 identical stopword tokens: every count ratio over it
+            # (distinct/len = 1/128 = 0.0078125) is a BINARY-EXACT
+            # 7-decimal value — a true tie at scale 6 that both
+            # engines must round the same way (they do: both away
+            # from zero on exactly-representable halves)
+            "(9000011, '" + ("the " * 127) + "the', 'en', 'web', 511)",
+        ],
+    },
     "unicode": {
         "documents": [
             # combining vs precomposed: 'café' NFC then NFD
@@ -317,8 +363,8 @@ def main() -> int:
     # one command, one summary (a divergence can hide in a merged
     # corpus when an aggregate/top-k sees the other profiles' rows, and
     # a combined-only run would miss it; r10 verdict item 5)
-    profiles = (["null", "edge", "unicode", "combined"] if prof == "all"
-                else [prof])
+    profiles = (["null", "edge", "unicode", "ties", "combined"]
+                if prof == "all" else [prof])
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     results = {}
