@@ -40,13 +40,20 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     # when(n > 0): a zero-token doc has no average token length —
     # NULL, matching the oracle's CASE; a bare division ANSI-kills
     # the job on the first empty document (null_parity_sweep)
+    # ratio rounds route the double through DECIMAL(27,9) before
+    # round(., 6): both engines cast a <=9-decimal double to the SAME
+    # exact DECIMAL and round true ties HALF_UP identically, where
+    # round(double, 6) splits on binary-inexact 7-decimal ratio ties
+    # (round-15 tie audit, e.g. 4007/16000 — Spark rounds the shortest
+    # decimal, DuckDB multiplies by 10^6 in IEEE first)
     return df.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
         F.when(n_tok > 0, F.round(
-            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
-            .cast("double") / n_tok, 6)).alias("avg_token_len"),
+            (F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+             .cast("double") / n_tok).cast("decimal(27,9)"), 6)
+            .cast("double")).alias("avg_token_len"),
     )
 
 
@@ -61,15 +68,23 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_tok = F.size(toks)
     # when(n > 0): ratios of a zero-token doc are undefined -> NULL
     # (oracle CASE matches); bare division ANSI-kills on empty text
+    # DECIMAL-routed ratio rounds (round-15 tie audit): the ties
+    # profile's 16000-token/4007-distinct document landed
+    # type_token_ratio on the binary-inexact 7-decimal tie 0.2504375,
+    # where the engines' scale-6 DOUBLE rounds split (~1 % of random
+    # ratio ties measured)
     return df.select(
         "doc_id",
         F.length(text_col).alias("n_chars"),
         n_tok.alias("n_tokens"),
         F.when(n_tok > 0,
-               F.round(F.size(F.array_distinct(toks)).cast("double")
-                       / n_tok, 6)).alias("type_token_ratio"),
-        F.when(n_tok > 0, F.round(n_marker.cast("double") / n_tok, 6))
-        .alias("marker_ratio"),
+               F.round((F.size(F.array_distinct(toks)).cast("double")
+                        / n_tok).cast("decimal(27,9)"), 6)
+               .cast("double")).alias("type_token_ratio"),
+        F.when(n_tok > 0,
+               F.round((n_marker.cast("double") / n_tok)
+                       .cast("decimal(27,9)"), 6)
+               .cast("double")).alias("marker_ratio"),
     )
 
 

@@ -76,6 +76,20 @@ _CHANGED = [
     ("events_rolling_hour_stats", 15),
     ("events_lead_lag_deltas", 15),
     ("events_rollup_cascade", 15),
+    # round 15 (third batch): the audit's ratio-tie document (16000
+    # tokens, 4007 distinct -> type_token_ratio = 0.2504375, a
+    # binary-inexact 7-decimal tie) split text_quality at scale 6 —
+    # count-ratio rounds now route the double through DECIMAL(27,9)
+    # before rounding (both engines cast a <=9-decimal double to the
+    # SAME exact DECIMAL, then round true ties HALF_UP identically).
+    # Applied to every injectable-family ratio/value-agg round site:
+    # text.py's three ratio columns, contam_rate, cume_dist, and the
+    # top-decile avg (whose DECIMAL cast also needed the finite-only
+    # guard — DuckDB ERRORS casting NaN to DECIMAL where Spark NULLs)
+    ("text_quality", 15),
+    ("text_token_stats", 15),
+    ("docs_contamination_check", 15),
+    ("events_value_percentiles", 15),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -294,8 +294,9 @@ SELECT doc_id,
        CAST(len(tk) AS INT) AS n_tokens,
        CAST(len(list_distinct(tk)) AS INT) AS n_distinct_tokens,
        CASE WHEN len(tk) > 0 THEN
-         round(CAST(list_sum(list_transform(tk, x -> length(x)))
-                    AS DOUBLE) / len(tk), 6) END AS avg_token_len
+         CAST(round(CAST(CAST(list_sum(list_transform(tk,
+                x -> length(x))) AS DOUBLE) / len(tk)
+              AS DECIMAL(27,9)), 6) AS DOUBLE) END AS avg_token_len
 FROM (SELECT doc_id,
              list_filter(string_split(text, ' '), x -> x <> '') AS tk
       FROM documents)
@@ -339,11 +340,13 @@ SELECT doc_id,
        CAST(length(text) AS INT) AS n_chars,
        CAST(len(tk) AS INT) AS n_tokens,
        CASE WHEN len(tk) > 0 THEN
-         round(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6)
+         CAST(round(CAST(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+              AS DECIMAL(27,9)), 6) AS DOUBLE)
        END AS type_token_ratio,
        CASE WHEN len(tk) > 0 THEN
-         round(CAST(len(list_filter(tk, x -> list_contains({markers}, x)))
-                    AS DOUBLE) / len(tk), 6) END AS marker_ratio
+         CAST(round(CAST(CAST(len(list_filter(tk,
+                x -> list_contains({markers}, x))) AS DOUBLE) / len(tk)
+              AS DECIMAL(27,9)), 6) AS DOUBLE) END AS marker_ratio
 FROM (SELECT doc_id, text,
              list_filter(string_split(text, ' '), x -> x <> '') AS tk
       FROM documents)
@@ -1677,7 +1680,8 @@ bench_sh AS (
 SELECT c.doc_id,
        CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(count(b.s) AS BIGINT) AS n_contaminated,
-       round(CAST(count(b.s) AS DOUBLE) / count(*), 6) AS contam_rate
+       CAST(round(CAST(CAST(count(b.s) AS DOUBLE) / count(*)
+            AS DECIMAL(27,9)), 6) AS DOUBLE) AS contam_rate
 FROM corpus_sh c LEFT JOIN bench_sh b ON c.s = b.s
 GROUP BY c.doc_id
 HAVING count(b.s) > 0
@@ -1706,12 +1710,17 @@ def docs_contamination_check(spark, sf_dir):
     bench = (sh.filter(F.col("doc_id") % 97 == 0)
              .select(F.explode("shs").alias("bs")).distinct())
     hit = F.count("bs")
+    # contam_rate routes through DECIMAL(27,9) before round(., 6):
+    # count ratios land on binary-inexact 7-decimal ties where the
+    # engines' DOUBLE rounds split (round-15 tie audit, text_quality
+    # class — same convention)
     return (corpus.join(F.broadcast(bench), corpus.s == bench.bs, "left")
             .groupBy("doc_id")
             .agg(F.count("*").alias("n_shingles"),
                  hit.alias("n_contaminated"),
-                 F.round(hit.cast("double") / F.count("*"), 6)
-                 .alias("contam_rate"))
+                 F.round((hit.cast("double") / F.count("*"))
+                         .cast("decimal(27,9)"), 6)
+                 .cast("double").alias("contam_rate"))
             .filter(F.col("n_contaminated") > 0))
 
 

@@ -1076,8 +1076,11 @@ WITH r AS (
   FROM events WHERE value IS NOT NULL)
 SELECT event_type,
        CAST(count(*) FILTER (WHERE pr >= 0.9) AS BIGINT) AS n_top_decile,
-       round(avg(value) FILTER (WHERE pr >= 0.9), 4) AS avg_top_decile,
-       round(max(cd), 6) AS max_cume_dist
+       CAST(round(CAST(avg(CASE WHEN isfinite(value) THEN value END)
+                         FILTER (WHERE pr >= 0.9)
+            AS DECIMAL(27,9)), 4) AS DOUBLE) AS avg_top_decile,
+       CAST(round(CAST(max(cd) AS DECIMAL(27,9)), 6) AS DOUBLE)
+         AS max_cume_dist
 FROM r GROUP BY event_type
 """)
 def events_value_percentiles(spark, sf_dir):
@@ -1098,11 +1101,20 @@ def events_value_percentiles(spark, sf_dir):
                   F.percent_rank().over(w).alias("pr"),
                   F.cume_dist().over(w).alias("cd"))
     top = F.col("pr") >= 0.9
+    # DECIMAL-routed rounds (round-15 tie audit): cume_dist is a count
+    # ratio (rank/n — ties at 7 finite decimals split the engines'
+    # DOUBLE rounds), and the top-decile avg is a value aggregate with
+    # the same scale-4 exposure as the window-sum family.  The avg
+    # input is finite-only (the repo-wide convention: non-finite
+    # values have no exact-decimal form — DuckDB ERRORS casting NaN
+    # to DECIMAL where Spark yields NULL)
     return (r.groupBy("event_type")
             .agg(F.count(F.when(top, 1)).alias("n_top_decile"),
-                 F.round(F.avg(F.when(top, F.col("value"))), 4)
-                 .alias("avg_top_decile"),
-                 F.round(F.max("cd"), 6).alias("max_cume_dist")))
+                 F.round(F.avg(F.when(top, finite_or_null("value")))
+                         .cast("decimal(27,9)"), 4)
+                 .cast("double").alias("avg_top_decile"),
+                 F.round(F.max("cd").cast("decimal(27,9)"), 6)
+                 .cast("double").alias("max_cume_dist")))
 
 
 # --------------------------------------- 39. salted skew-resistant join

@@ -66,6 +66,11 @@ BASE = os.environ.get("NULL_SWEEP_SF", "/root/testdata/sf0.001")
 # and "unicode" (adversarial but well-formed text: combining marks,
 # astral emoji, RTL, CJK, NBSP/thin-space, case-folding traps).  All
 # are routine in a real 100 TB corpus.
+# 16000 space-separated tokens, exactly 4007 distinct (4006 unique
+# words + one word repeated to fill): type_token_ratio = 4007/16000 =
+# 0.2504375, the binary-inexact 7-decimal tie the "ties" profile pins.
+_RATIO_TIE_TEXT = " ".join([f"w{i}" for i in range(4006)]
+                           + ["the"] * 11994)
 _FULL_VEC = "[" + ", ".join(["0.5"] * 64) + "]::FLOAT[]"
 _ZERO_VEC = "[" + ", ".join(["0.0"] * 64) + "]::FLOAT[]"
 _NAN_VEC = ("[" + ", ".join(["0.25"] * 63) + ", 'NaN'::FLOAT]"
@@ -208,6 +213,15 @@ _PROFILES = {
             # engines must round the same way (they do: both away
             # from zero on exactly-representable halves)
             "(9000011, '" + ("the " * 127) + "the', 'en', 'web', 511)",
+            # 16000 tokens, 4007 distinct: type_token_ratio =
+            # 4007/16000 = 0.2504375 — a decimal-finite but
+            # BINARY-INEXACT 7-decimal tie, the class where the
+            # engines' scale-6 DOUBLE rounds split (measured: Spark
+            # 0.250438, DuckDB round-via-multiply 0.250437; ~1 % of
+            # random 7-decimal ratio ties).  Ratio sites route the
+            # double through DECIMAL(27,9) before rounding
+            "(9000012, '" + _RATIO_TIE_TEXT + "', 'en', 'web', "
+            f"{len(_RATIO_TIE_TEXT)})",
         ],
     },
     "unicode": {
