@@ -4,7 +4,7 @@ tools/null_parity_sweep.py found 13 real silent divergences in round
 10 and one more class (NaN-component embeddings) in round 12 — but as
 a manual tool nothing re-ran it when a new query landed.  This test
 makes the cheap core of that sweep part of ``pytest tests/``: the
-COMBINED profile (null + edge + unicode rows merged, including the
+COMBINED profile (null + edge + unicode + ties rows merged, including the
 NaN-component embedding) injected into the sf0.001 tables, over a
 fixed panel of the cheapest queries that actually read the injected
 tables, one panel member per operator family.  Any query/oracle
