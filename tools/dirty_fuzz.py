@@ -558,10 +558,19 @@ def gen_source_values(rng: random.Random, n: int = 14) -> list:
     return out
 
 
-def _src_write_csv(path: str, vals: list) -> None:
+def _src_write_csv(path: str, vals: list,
+                   rng: random.Random = None) -> None:
     import csv as _csv
+    # per-seed framing variation: LF vs CRLF line endings and an
+    # optional UTF-8 BOM — the classic silent header-divergence
+    # surface (a reader that keeps the BOM corrupts the first column
+    # name).  Probed identical across engines under an explicit
+    # schema; randomizing here keeps the class pinned per seed.
+    term = "\n" if rng is None else rng.choice(["\n", "\r\n"])
+    bom = "" if rng is None or rng.random() < 0.5 else "\ufeff"
     with open(path, "w", newline="", encoding="utf-8") as fh:
-        w = _csv.writer(fh, lineterminator="\n")   # RFC-4180 quoting
+        fh.write(bom)
+        w = _csv.writer(fh, lineterminator=term)   # RFC-4180 quoting
         w.writerow(["id", "name", "val", "ts"])
         for i, nm, v, ts in vals:
             w.writerow([i, "" if nm is None else nm,
@@ -610,7 +619,7 @@ def run_source_fuzz(spark, rng: random.Random, quiet: bool = True):
 
     # -- differential: csv ------------------------------------------------
     csv_p = os.path.join(d, "diff.csv")
-    _src_write_csv(csv_p, vals)
+    _src_write_csv(csv_p, vals, rng)
     sdf = OS.normalize(read_any(
         spark, csv_p, "csv", schema=SRC_SCHEMA,
         multiLine="true").toPandas())
