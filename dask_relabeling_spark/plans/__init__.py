@@ -38,58 +38,58 @@ from . import curation  # noqa: F401  (round-3 pipeline extensions)
 # round-5/6 failure mode: a stale hand list replayed fresh evidence
 # while genuinely stale entries starved).
 _CHANGED = [
-    # (round-15 prune, same discipline as the round-12/round-14
-    # prunes: all 19 round-14 flags' post-change greens landed in the
-    # committed CORRECTNESS_r14.json artifact, so the expired tuples
-    # are removed — expired flags are inert but bury live signal.  The
-    # expiry mechanism is unchanged; future flags go here as
-    # (name, changed_in_round).)
-    # round 15: the r14 ADVICE tile fixes — error attribution keys on
-    # the _chunk_attributed sentinel instead of message prefixes
-    # (operators/halo._chunk_loud, sources/tiles.attributed_error) and
-    # pdf_classes validates dimensions via the shared _checked_shape.
-    # Well-formed tables are unchanged by construction (error-path-only
-    # changes), but every tile-pipeline query's UDF closures
-    # re-serialized — same re-verification discipline as round 14
-    ("relabel_components", 15),
-    ("relabel_components_summary", 15),
-    ("relabel_components_3d", 15),
-    ("relabel_annotations", 15),
-    ("relabel_annotations_3d", 15),
-    ("relabel_annotations_summary", 15),
-    ("relabel_components_3d_interior", 15),
-    ("relabel_annotations_3d_summary", 15),
-    ("relabel_annotations_tile_interior_counts", 15),
-    ("relabel_annotations_3d_tile_counts", 15),
-    ("relabel_sorted_label_stats", 15),
-    # round 15 (second batch): the tie-injection audit (verdict item
-    # 3; tools/null_parity_sweep.py "ties" profile) proved the r14
-    # assumption "scale-4 rounds of 4-decimal data are identity" false
-    # under a dirty corpus — a 5-decimal value lands round(x, 4) on a
-    # true half, where the engines' DOUBLE rounds split (~6 % of
-    # random x.xxxx5 values measured).  The five exposed queries now
-    # ride the seed-131 finite-only DECIMAL(27,9) convention for
-    # sums, window sums, lag deltas, and min/max; oracles changed in
-    # lockstep; trigger rows live in the permanent "ties" profile
-    ("events_hourly_windows", 15),
-    ("events_sliding_windows", 15),
-    ("events_rolling_hour_stats", 15),
-    ("events_lead_lag_deltas", 15),
-    ("events_rollup_cascade", 15),
-    # round 15 (third batch): the audit's ratio-tie document (16000
-    # tokens, 4007 distinct -> type_token_ratio = 0.2504375, a
-    # binary-inexact 7-decimal tie) split text_quality at scale 6 —
-    # count-ratio rounds now route the double through DECIMAL(27,9)
-    # before rounding (both engines cast a <=9-decimal double to the
-    # SAME exact DECIMAL, then round true ties HALF_UP identically).
-    # Applied to every injectable-family ratio/value-agg round site:
-    # text.py's three ratio columns, contam_rate, cume_dist, and the
-    # top-decile avg (whose DECIMAL cast also needed the finite-only
-    # guard — DuckDB ERRORS casting NaN to DECIMAL where Spark NULLs)
-    ("text_quality", 15),
-    ("text_token_stats", 15),
-    ("docs_contamination_check", 15),
-    ("events_value_percentiles", 15),
+    # (round-16 prune, standing discipline: all 20 round-15 flags'
+    # post-change greens landed in the committed CORRECTNESS_r15.json
+    # artifact, so the expired tuples are removed — expired flags are
+    # inert but bury live signal.)
+    # round 16 (verdict item 1): the ~25 TPC-H monetary round sites in
+    # plans/relational.py converted to the finite-only DECIMAL(27,9)
+    # convention (dec_sum/dec_min/dec_max/dec_avg/dec_round helpers;
+    # oracles in lockstep via the _dsum/_davg/_dround fragments).  The
+    # r15 deferral is closed: group sums of 4-decimal products tie at
+    # true half-cents, where the engines' DOUBLE rounds split
+    # (measured scale-2 splitters: 2.175, 0.145, ... — ~6 % of
+    # 3-decimal halves); min/max/avg/percentile sites over salted
+    # sub-cent monetary columns carry the same exposure, and the
+    # q18/q20 HAVING thresholds now compare exact DECIMAL sums.  Also
+    # in the batch: orders_by_year_month's double->DECIMAL(18,2) cent
+    # cast (a scale-2 round that splits on sub-cent prices — now
+    # routed DEC(27,9)->round->DEC(18,2), plus floored division
+    # spelled via positive-mod because Spark DIV truncates where
+    # DuckDB // floors), and the q8/q14 ratios recomputed as
+    # exact-DECIMAL-sum quotients with one deterministic division.
+    ("q1_pricing_summary", 16),
+    ("q3_shipping_priority", 16),
+    ("broadcast_join_brand_revenue", 16),
+    ("salted_brand_revenue", 16),
+    ("discount_band_totals", 16),
+    ("grouped_udf_priority_stats", 16),
+    ("pivot_status_by_priority", 16),
+    ("lineitem_price_quantiles", 16),
+    ("cube_order_stats", 16),
+    ("q18_large_volume_orders", 16),
+    ("profile_orders", 16),
+    ("q5_supplier_nation_volume", 16),
+    ("q6_forecast_revenue", 16),
+    ("q7_volume_shipping", 16),
+    ("q8_market_share", 16),
+    ("q10_returned_items", 16),
+    ("q14_promo_revenue", 16),
+    ("q15_top_supplier", 16),
+    ("q17_small_quantity_revenue", 16),
+    ("q19_disjunctive_revenue", 16),
+    ("q22_idle_customers", 16),
+    ("grouping_sets_revenue", 16),
+    ("parquet_sink_roundtrip", 16),
+    ("q2_min_cost_supplier", 16),
+    ("q9_product_type_profit", 16),
+    ("q11_important_parts", 16),
+    ("q20_excess_suppliers", 16),
+    ("orders_by_year_month", 16),
+    # round 16 (ADVICE): avg_top_decile now divides the exact DECIMAL
+    # sum by the finite count (deterministic across accumulation
+    # orders) instead of casting a full-precision double avg
+    ("events_value_percentiles", 16),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -63,10 +63,93 @@ def finite_or_null(c) -> F.Column:
     not a silent divergence.  The same audit proved the 4-decimal
     assumption itself is load-bearing: round(DOUBLE, 4) sites split on
     5-decimal dirty values, so window sums, lag deltas, and min/max
-    over event values ride this DECIMAL convention too."""
+    over event values ride this DECIMAL convention too.
+
+    The residual extends to FULL-PRECISION double casts (round-16
+    ADVICE): dec_round over a quotient (dec_avg, the q8/q14 ratio
+    sites, max(cume_dist)) casts a double that need not have a
+    <=9-decimal shortest form, so a value within half an ulp of a
+    scale-9 boundary could still split the engines' casts.  The inputs
+    to those casts are made DETERMINISTIC first (exact DECIMAL sums
+    cast to double once, then one IEEE division — bit-identical across
+    engines and accumulation orders), so the residual is a fixed
+    property of the value, not of shuffle order, and sits at ~1e-7
+    likelihood per emitted value on adversarial data."""
     col = F.col(c) if isinstance(c, str) else c
     return F.when(~F.isnan(col) & (F.abs(col) != F.lit(float("inf"))),
                   col)
+
+
+# The seed-131 DECIMAL convention as reusable aggregates (round 16:
+# the ~25 TPC-H monetary round(sum/min/max/avg) sites ride these —
+# the same exactness contract as events_rollup_cascade).  NOTE: never
+# CAST between DECIMAL scales to narrow — DuckDB's decimal->decimal
+# rescale TRUNCATES toward zero where Spark rounds HALF_UP (measured
+# round 16: 0.005 -> 0.00 vs 0.01); only round(DECIMAL, k) ties the
+# engines, so every helper rounds first and casts after.
+def dec_round(col, scale: int):
+    """Route a computed DOUBLE through DECIMAL(27,9) before rounding
+    (both engines cast a <=9-decimal double to the SAME exact DECIMAL
+    and round true ties HALF_UP identically; full-precision inputs
+    leave the documented scale-9 cast-tie residual)."""
+    return F.round(col.cast("decimal(27,9)"), scale).cast("double")
+
+
+def dec_sum(col, scale: int = 2):
+    """Exact monetary group sum: finite-only DECIMAL(27,9) partials,
+    HALF_UP-rounded as a DECIMAL, double after."""
+    return (F.round(F.sum(finite_or_null(col).cast("decimal(27,9)")),
+                    scale).cast("double"))
+
+
+def dec_min(col, scale: int = 2):
+    return (F.round(F.min(finite_or_null(col).cast("decimal(27,9)")),
+                    scale).cast("double"))
+
+
+def dec_max(col, scale: int = 2):
+    return (F.round(F.max(finite_or_null(col).cast("decimal(27,9)")),
+                    scale).cast("double"))
+
+
+def dec_avg(col, scale: int):
+    """Deterministic mean (round-16 ADVICE): the exact DECIMAL sum is
+    cast to double ONCE (correctly rounded in both engines — probed)
+    and divided by the finite count in IEEE arithmetic, so the
+    quotient is bit-identical across engines regardless of
+    accumulation order; the final dec_round leaves only the
+    full-precision cast-tie residual documented at finite_or_null.
+    try_divide: an all-non-finite group divides by a zero count —
+    NULL in DuckDB, an ANSI error in Spark without it."""
+    v = finite_or_null(col)
+    return dec_round(F.try_divide(
+        F.sum(v.cast("decimal(27,9)")).cast("double"), F.count(v)),
+        scale)
+
+
+# SQL fragments keeping the DuckDB oracles in lockstep with the four
+# helpers above (same finite guard, same DECIMAL route, same rounds).
+def _fin(e: str) -> str:
+    return f"CASE WHEN isfinite({e}) THEN {e} END"
+
+
+def _dagg(agg: str, e: str, s: int = 2) -> str:
+    return (f"CAST(round({agg}(CAST({_fin(e)} AS DECIMAL(27,9))), {s})"
+            " AS DOUBLE)")
+
+
+def _dsum(e: str, s: int = 2) -> str:
+    return _dagg("sum", e, s)
+
+
+def _davg(e: str, s: int) -> str:
+    return (f"CAST(round(CAST(CAST(sum(CAST({_fin(e)} AS "
+            f"DECIMAL(27,9))) AS DOUBLE) / count({_fin(e)}) "
+            f"AS DECIMAL(27,9)), {s}) AS DOUBLE)")
+
+
+def _dround(e: str, s: int) -> str:
+    return f"CAST(round(CAST({e} AS DECIMAL(27,9)), {s}) AS DOUBLE)"
 
 
 # ---------------------------------------------------------------- 1. scan
@@ -84,41 +167,43 @@ def scan_filter_project(spark, sf_dir):
 
 
 # ------------------------------------------------------------ 2. hash agg
-@register("q1_pricing_summary", """
+@register("q1_pricing_summary", f"""
 SELECT l_returnflag, l_linestatus,
        CAST(count(*) AS BIGINT) AS count_order,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(min(l_extendedprice), 2) AS min_price,
-       round(max(l_extendedprice), 2) AS max_price
+       {_dsum('l_quantity')} AS sum_qty,
+       {_dsum('l_extendedprice')} AS sum_base_price,
+       {_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_davg('l_quantity', 6)} AS avg_qty,
+       {_dagg('min', 'l_extendedprice')} AS min_price,
+       {_dagg('max', 'l_extendedprice')} AS max_price
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-09-02'
 GROUP BY l_returnflag, l_linestatus
 """)
 def q1_pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape: partial+final hash aggregation over the fact table."""
+    """TPC-H Q1 shape: partial+final hash aggregation over the fact
+    table.  All monetary aggregates ride the exact DECIMAL(27,9)
+    convention (round 16 — a dirty corpus salting sub-cent prices
+    lands double rounds on splitting halves; see finite_or_null)."""
     li = t(spark, sf_dir, "lineitem")
     return (li.filter(F.col("l_shipdate") <= "2000-09-02")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(F.count("*").alias("count_order"),
-                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2)
-                 .alias("sum_base_price"),
-                 F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
+                 dec_sum("l_quantity").alias("sum_qty"),
+                 dec_sum("l_extendedprice").alias("sum_base_price"),
+                 dec_sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount")))
                  .alias("sum_disc_price"),
-                 F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-                 F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-                 F.round(F.max("l_extendedprice"), 2).alias("max_price")))
+                 dec_avg("l_quantity", 6).alias("avg_qty"),
+                 dec_min("l_extendedprice").alias("min_price"),
+                 dec_max("l_extendedprice").alias("max_price")))
 
 
 # ------------------------------------------------- 3. broadcast equi-join
-@register("broadcast_join_brand_revenue", """
+@register("broadcast_join_brand_revenue", f"""
 SELECT p.p_brand,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
 """)
@@ -130,15 +215,14 @@ def broadcast_join_brand_revenue(spark, sf_dir):
                     li.l_partkey == part.p_partkey)
             .groupBy("p_brand")
             .agg(F.count("*").alias("n_items"),
-                 F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue")))
+                 dec_sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).alias("revenue")))
 
 
 # -------------------------------------------------- 4. shuffle join + topk
-@register("q3_shipping_priority", """
+@register("q3_shipping_priority", f"""
 SELECT o.o_orderkey,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
        o.o_orderdate
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -162,9 +246,8 @@ def q3_shipping_priority(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
             .groupBy("o_orderkey", "o_orderdate")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue"))
+            .agg(dec_sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).alias("revenue"))
             .select("o_orderkey", "revenue", "o_orderdate")
             .orderBy(F.desc("revenue"), "o_orderkey")
             .limit(10))
@@ -280,11 +363,11 @@ def word_counts_q(spark, sf_dir):
 
 
 # ------------------------------------------------- 10. conditional project
-@register("discount_band_totals", """
+@register("discount_band_totals", f"""
 SELECT CASE WHEN l_discount < 0.03 THEN 'low'
             WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS band,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice), 2) AS total_price
+       {_dsum('l_extendedprice')} AS total_price
 FROM lineitem GROUP BY 1
 """)
 def discount_band_totals(spark, sf_dir):
@@ -293,7 +376,7 @@ def discount_band_totals(spark, sf_dir):
             .when(F.col("l_discount") < 0.07, "mid").otherwise("high"))
     return (li.groupBy(band.alias("band"))
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("total_price")))
+                 dec_sum("l_extendedprice").alias("total_price")))
 
 
 # ----------------------------------------------------------------- 11. union
@@ -314,34 +397,42 @@ def union_priority_mix(spark, sf_dir):
 
 
 # ------------------------------------------------------ 12. grouped pandas
-@register("grouped_udf_priority_stats", """
+@register("grouped_udf_priority_stats", f"""
 SELECT o_orderpriority,
        CAST(count(*) AS BIGINT) AS n_orders,
-       round(min(o_totalprice), 2) AS min_price,
-       round(max(o_totalprice), 2) AS max_price,
+       {_dagg('min', 'o_totalprice')} AS min_price,
+       {_dagg('max', 'o_totalprice')} AS max_price,
        min(o_orderdate) AS first_order,
        max(o_orderdate) AS last_order
 FROM orders GROUP BY o_orderpriority
 """)
 def grouped_udf_priority_stats(spark, sf_dir):
     """applyInPandas — the grouped-UDF surface (§2.3.12), oracled by plain
-    SQL aggregation (exact stats only: counts, min/max)."""
+    SQL aggregation (exact stats only: counts, min/max).  The UDF emits
+    the RAW finite min/max (Python's round is half-to-EVEN on the
+    binary value — a third rounding semantic); cent rounding happens
+    outside in the shared dec_round convention (round 16)."""
+    import numpy as np
     o = t(spark, sf_dir, "orders")
     schema = ("o_orderpriority string, n_orders bigint, min_price double, "
               "max_price double, first_order timestamp, "
               "last_order timestamp")
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["o_totalprice"]
+        v = v[np.isfinite(v)]
         return pd.DataFrame([{
             "o_orderpriority": pdf["o_orderpriority"].iloc[0],
             "n_orders": len(pdf),
-            "min_price": round(pdf["o_totalprice"].min(), 2),
-            "max_price": round(pdf["o_totalprice"].max(), 2),
+            "min_price": v.min() if len(v) else None,
+            "max_price": v.max() if len(v) else None,
             "first_order": pdf["o_orderdate"].min(),
             "last_order": pdf["o_orderdate"].max(),
         }])
 
-    return o.groupBy("o_orderpriority").applyInPandas(stats, schema)
+    return (o.groupBy("o_orderpriority").applyInPandas(stats, schema)
+            .withColumn("min_price", dec_round(F.col("min_price"), 2))
+            .withColumn("max_price", dec_round(F.col("max_price"), 2)))
 
 
 # ------------------------------------------------------- 13. sort + limit
@@ -405,7 +496,9 @@ SELECT o_orderpriority,
        CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
        CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
        CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p,
-       round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
+       CAST(round(sum(CAST(CASE WHEN isfinite(o_totalprice)
+                           THEN o_totalprice END AS DECIMAL(27,9)))
+                  FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE)
          AS total_f
 FROM orders GROUP BY o_orderpriority
 """)
@@ -417,29 +510,45 @@ def pivot_status_by_priority(spark, sf_dir):
     p = (o.groupBy("o_orderpriority")
          .pivot("o_orderstatus", ["F", "O", "P"])
          .agg(F.count(F.lit(1)).alias("n"),
-              F.round(F.sum("o_totalprice"), 2).alias("total")))
+              F.sum(finite_or_null("o_totalprice")
+                    .cast("decimal(27,9)")).alias("total")))
+    # coalesce the counts: a pivot cell with no rows is NULL in Spark
+    # but count(*) FILTER is 0 in SQL — identical while every status
+    # exists, a silent divergence on the first corpus missing one
+    # (found by tests/test_decimal_money.py's mini-corpus, round 16)
     return p.select(
         "o_orderpriority",
-        F.col("F_n").alias("n_f"), F.col("O_n").alias("n_o"),
-        F.col("P_n").alias("n_p"), F.col("F_total").alias("total_f"))
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.round(F.col("F_total"), 2).cast("double").alias("total_f"))
 
 
-@register("lineitem_price_quantiles", """
+@register("lineitem_price_quantiles", f"""
 SELECT l_returnflag,
-       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
-       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
-       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+       {_dround("quantile_cont(" + _fin('l_extendedprice') + ", 0.25)", 4)}
+         AS p25,
+       {_dround("quantile_cont(" + _fin('l_extendedprice') + ", 0.50)", 4)}
+         AS p50,
+       {_dround("quantile_cont(" + _fin('l_extendedprice') + ", 0.75)", 4)}
+         AS p75
 FROM lineitem GROUP BY l_returnflag
 """)
 def lineitem_price_quantiles(spark, sf_dir):
     """Exact interpolated percentiles (Spark ``percentile`` == DuckDB
-    ``quantile_cont``, same linear-interpolation definition).  The
-    approx_percentile sketch path is pinned separately in tests (not
-    oracle-hashable across engines)."""
+    ``quantile_cont``, same linear-interpolation definition — the
+    interpolated doubles probed bit-identical on salted 4-decimal
+    data).  Finite-only input, dec_round output (round 16): an
+    even-sized group of salted values interpolates p50 onto a true
+    decimal half ~50 % of the time, where the raw DOUBLE rounds
+    split.  The approx_percentile sketch path is pinned separately in
+    tests (not oracle-hashable across engines)."""
     li = t(spark, sf_dir, "lineitem")
     return (li.groupBy("l_returnflag")
-            .agg(*[F.round(F.expr(
-                f"percentile(l_extendedprice, {q})"), 4)
+            .agg(*[dec_round(F.expr(
+                "percentile(CASE WHEN NOT isnan(l_extendedprice) AND "
+                "abs(l_extendedprice) != double('inf') "
+                f"THEN l_extendedprice END, {q})"), 4)
                 .alias(f"p{int(q*100)}")
                 for q in (0.25, 0.50, 0.75)]))
 
@@ -457,17 +566,17 @@ def global_sorted_orders(spark, sf_dir):
 
 
 # ------------------------------------------------ 16. grouping sets: cube
-@register("cube_order_stats", """
+@register("cube_order_stats", f"""
 SELECT o_orderstatus, o_orderpriority,
        CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total
+       {_dsum('o_totalprice')} AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
 def cube_order_stats(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     return (o.cube("o_orderstatus", "o_orderpriority")
             .agg(F.count("*").alias("n"),
-                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+                 dec_sum("o_totalprice").alias("total")))
 
 
 @register("rollup_nation_region", """
@@ -537,13 +646,22 @@ def suppliers_per_nation_list(spark, sf_dir):
 
 
 # ------------------------------------------------------ 20. date functions
-@register("orders_by_year_month", """
+@register("orders_by_year_month", f"""
 SELECT CAST(year(o_orderdate) AS INT) AS yr,
        CAST(month(o_orderdate) AS INT) AS mo,
        CAST(count(*) AS BIGINT) AS n,
-       CAST((2 * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 10000
-                 AS BIGINT) + count(*))
-            // (2 * count(*)) AS BIGINT) AS avg_price_e4
+       CAST(CASE WHEN count({_fin('o_totalprice')}) > 0 THEN
+            ((2 * CAST(sum(CAST(round(CAST({_fin('o_totalprice')}
+                   AS DECIMAL(27,9)), 2) AS DECIMAL(18,2))) * 10000
+                 AS BIGINT) + count({_fin('o_totalprice')}))
+             - ((((2 * CAST(sum(CAST(round(CAST({_fin('o_totalprice')}
+                   AS DECIMAL(27,9)), 2) AS DECIMAL(18,2))) * 10000
+                 AS BIGINT) + count({_fin('o_totalprice')}))
+                  % (2 * count({_fin('o_totalprice')})))
+                 + (2 * count({_fin('o_totalprice')})))
+                % (2 * count({_fin('o_totalprice')}))))
+            // (2 * count({_fin('o_totalprice')})) END AS BIGINT)
+         AS avg_price_e4
 FROM orders GROUP BY 1, 2
 """)
 def orders_by_year_month(spark, sf_dir):
@@ -554,18 +672,29 @@ def orders_by_year_month(spark, sf_dir):
     round-half boundary (found by tools/round_boundary_audit.py), so a
     double ``avg`` accumulated in a different shuffle order can flip the
     last digit — the same failure mode that hit
-    ``embedding_label_centroids`` in round 2.  Since prices are exact
-    2-decimal values, the half-up-rounded scaled mean is computed in
-    pure integer arithmetic instead: ``floor((2*S*10^4 + n) / (2n))``
-    over the exact decimal cent sum — order-independent, boundary-proof
-    on both engines."""
+    ``embedding_label_centroids`` in round 2.  The half-up-rounded
+    scaled mean is pure integer arithmetic over exact decimal cents:
+    ``floor((2*S*10^4 + n) / (2n))``, with the division spelled via the
+    positive-mod normalization (embedding_dim_stats' trick) because
+    Spark's ``DIV`` truncates where DuckDB's ``//`` floors — they
+    differ on the negative sums a dirty corpus produces.  Round 16:
+    prices reach the cent sum through the DECIMAL(27,9)->round->
+    DECIMAL(18,2) route (a direct double->DECIMAL(18,2) cast is a
+    scale-2 round that splits the engines on salted sub-cent prices),
+    finite-only, and the count is the finite-price count so an
+    all-non-finite group yields NULL instead of dividing by zero."""
     o = t(spark, sf_dir, "orders")
+    fin = ("CASE WHEN NOT isnan(o_totalprice) AND abs(o_totalprice) != "
+           "double('inf') THEN o_totalprice END")
+    s4 = (f"(2 * CAST(sum(CAST(round(CAST({fin} AS DECIMAL(27,9)), 2) "
+          f"AS DECIMAL(18,2))) * 10000 AS BIGINT) + count({fin}))")
+    d = f"(2 * count({fin}))"
     return (o.groupBy(F.year("o_orderdate").cast("int").alias("yr"),
                       F.month("o_orderdate").cast("int").alias("mo"))
             .agg(F.count("*").alias("n"),
-                 F.expr("(2 * CAST(sum(CAST(o_totalprice AS "
-                        "DECIMAL(18,2))) * 10000 AS BIGINT) + count(*)) "
-                        "DIV (2 * count(*))")
+                 F.expr(f"CASE WHEN count({fin}) > 0 THEN "
+                        f"({s4} - ((({s4} % {d}) + {d}) % {d})) "
+                        f"DIV {d} END")
                  .cast("long").alias("avg_price_e4")))
 
 
@@ -584,9 +713,9 @@ def part_name_tokens(spark, sf_dir):
 
 
 # ------------------------------------------------ 22. multi-join pipeline
-@register("q5_supplier_nation_volume", """
+@register("q5_supplier_nation_volume", f"""
 SELECT n.n_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM lineitem l
 JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -599,9 +728,8 @@ def q5_supplier_nation_volume(spark, sf_dir):
     return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
             .groupBy("n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue")))
+            .agg(dec_sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).alias("revenue")))
 
 
 # --------------------------------------------- 23. set ops (INTERSECT/EXCEPT)
@@ -679,13 +807,14 @@ def q13_customer_order_distribution(spark, sf_dir):
 
 
 # ------------------------------------------ 26. IN subquery + HAVING (q18)
-@register("q18_large_volume_orders", """
-SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS total_price,
-       round(sum(l.l_quantity), 2) AS total_qty
+@register("q18_large_volume_orders", f"""
+SELECT o.o_orderkey, o.o_custkey,
+       {_dround(_fin('o.o_totalprice'), 2)} AS total_price,
+       {_dsum('l.l_quantity')} AS total_qty
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderkey IN (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-  HAVING sum(l_quantity) > 150)
+  HAVING sum(CAST({_fin('l_quantity')} AS DECIMAL(27,9))) > 150)
 GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
 """)
 def q18_large_volume_orders(spark, sf_dir):
@@ -695,20 +824,26 @@ def q18_large_volume_orders(spark, sf_dir):
     the l_orderkey/o_orderkey shuffle key, so AQE can reuse the exchange."""
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    big = (li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    # the HAVING threshold compares an exact DECIMAL sum (round 16):
+    # a dirty sub-unit quantity makes the double group sum
+    # accumulation-order-dependent right at the cutoff
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(finite_or_null("l_quantity")
+                      .cast("decimal(27,9)")).alias("q"))
            .filter(F.col("q") > 150).select("l_orderkey"))
     return (o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"),
                    "o_orderkey", "left_semi")
             .join(li, o.o_orderkey == li.l_orderkey)
             .groupBy("o_orderkey", "o_custkey", "o_totalprice")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .agg(dec_sum("l_quantity").alias("total_qty"))
             .select("o_orderkey", "o_custkey",
-                    F.round("o_totalprice", 2).alias("total_price"),
+                    dec_round(finite_or_null("o_totalprice"), 2)
+                    .alias("total_price"),
                     "total_qty"))
 
 
 # ------------------------------------------------- 27. table profiling
-@register("profile_orders", """
+@register("profile_orders", f"""
 SELECT 'o_custkey' AS col,
        CAST(count(*) AS BIGINT) AS n_rows,
        CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
@@ -720,7 +855,7 @@ UNION ALL
 SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
        CAST(count(o_totalprice) AS BIGINT),
        CAST(count(DISTINCT o_totalprice) AS BIGINT),
-       round(min(o_totalprice), 2), round(max(o_totalprice), 2)
+       {_dagg('min', 'o_totalprice')}, {_dagg('max', 'o_totalprice')}
 FROM orders
 """)
 def profile_orders(spark, sf_dir):
@@ -737,8 +872,8 @@ def profile_orders(spark, sf_dir):
         F.round(F.max("o_custkey"), 2).alias("max_ck"),
         F.count("o_totalprice").cast("bigint").alias("nn_tp"),
         F.count_distinct("o_totalprice").cast("bigint").alias("nd_tp"),
-        F.round(F.min("o_totalprice"), 2).alias("min_tp"),
-        F.round(F.max("o_totalprice"), 2).alias("max_tp"))
+        dec_min("o_totalprice").alias("min_tp"),
+        dec_max("o_totalprice").alias("max_tp"))
     ck = prof.select(F.lit("o_custkey").alias("col"), "n_rows",
                      F.col("nn_ck").alias("n_nonnull"),
                      F.col("nd_ck").alias("n_distinct"),
@@ -858,9 +993,9 @@ def events_value_anomalies(spark, sf_dir):
 
 
 # ------------------------------------------ 32. explicit GROUPING SETS
-@register("grouping_sets_revenue", """
+@register("grouping_sets_revenue", f"""
 SELECT r.r_name, n.n_name,
-       round(sum(o.o_totalprice), 2) AS revenue
+       {_dsum('o.o_totalprice')} AS revenue
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -881,7 +1016,7 @@ def grouping_sets_revenue(spark, sf_dir):
               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey))
     return (joined.groupingSets([["r_name", "n_name"], ["r_name"], []],
                                 "r_name", "n_name")
-            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+            .agg(dec_sum("o_totalprice").alias("revenue")))
 
 
 # ----------------------------------------------- 33. ntile bucketing
@@ -1076,8 +1211,12 @@ WITH r AS (
   FROM events WHERE value IS NOT NULL)
 SELECT event_type,
        CAST(count(*) FILTER (WHERE pr >= 0.9) AS BIGINT) AS n_top_decile,
-       CAST(round(CAST(avg(CASE WHEN isfinite(value) THEN value END)
-                         FILTER (WHERE pr >= 0.9)
+       CAST(round(CAST(
+            CAST(sum(CAST(CASE WHEN isfinite(value) THEN value END
+                          AS DECIMAL(27,9))) FILTER (WHERE pr >= 0.9)
+                 AS DOUBLE)
+            / count(CASE WHEN isfinite(value) THEN value END)
+              FILTER (WHERE pr >= 0.9)
             AS DECIMAL(27,9)), 4) AS DOUBLE) AS avg_top_decile,
        CAST(round(CAST(max(cd) AS DECIMAL(27,9)), 6) AS DOUBLE)
          AS max_cume_dist
@@ -1104,24 +1243,31 @@ def events_value_percentiles(spark, sf_dir):
     # DECIMAL-routed rounds (round-15 tie audit): cume_dist is a count
     # ratio (rank/n — ties at 7 finite decimals split the engines'
     # DOUBLE rounds), and the top-decile avg is a value aggregate with
-    # the same scale-4 exposure as the window-sum family.  The avg
-    # input is finite-only (the repo-wide convention: non-finite
-    # values have no exact-decimal form — DuckDB ERRORS casting NaN
-    # to DECIMAL where Spark yields NULL)
+    # the same scale-4 exposure as the window-sum family.  The avg is
+    # dec_avg-shaped (round-16 ADVICE): exact finite-only DECIMAL sum
+    # cast to double ONCE, divided by the finite count — deterministic
+    # across accumulation orders, unlike casting a double avg.  The
+    # remaining full-precision casts (the quotient here, max(cd)) keep
+    # the cast-tie residual documented at finite_or_null
+    tv = F.when(top, finite_or_null("value"))
     return (r.groupBy("event_type")
             .agg(F.count(F.when(top, 1)).alias("n_top_decile"),
-                 F.round(F.avg(F.when(top, finite_or_null("value")))
-                         .cast("decimal(27,9)"), 4)
-                 .cast("double").alias("avg_top_decile"),
+                 F.sum(tv.cast("decimal(27,9)")).alias("_s"),
+                 F.count(tv).alias("_n"),
                  F.round(F.max("cd").cast("decimal(27,9)"), 6)
-                 .cast("double").alias("max_cume_dist")))
+                 .cast("double").alias("max_cume_dist"))
+            .select("event_type", "n_top_decile",
+                    dec_round(F.try_divide(F.col("_s").cast("double"),
+                                           F.col("_n")), 4)
+                    .alias("avg_top_decile"),
+                    "max_cume_dist"))
 
 
 # --------------------------------------- 39. salted skew-resistant join
-@register("salted_brand_revenue", """
+@register("salted_brand_revenue", f"""
 SELECT p.p_brand,
        CAST(count(*) AS BIGINT) AS n_items,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY p.p_brand
 """)
@@ -1139,9 +1285,8 @@ def salted_brand_revenue(spark, sf_dir):
     joined = salted_join(li, part, "l_partkey", n_salts=16)
     return (joined.groupBy("p_brand")
             .agg(F.count("*").alias("n_items"),
-                 F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue")))
+                 dec_sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).alias("revenue")))
 
 
 # ==================================================================
@@ -1153,8 +1298,8 @@ def salted_brand_revenue(spark, sf_dir):
 
 
 # ------------------------------------ q6: full-pushdown single-row agg
-@register("q6_forecast_revenue", """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+@register("q6_forecast_revenue", f"""
+SELECT {_dsum('l_extendedprice * l_discount')} AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -1171,14 +1316,13 @@ def q6_forecast_revenue(spark, sf_dir):
                       (F.col("l_discount") >= 0.05) &
                       (F.col("l_discount") <= 0.07) &
                       (F.col("l_quantity") < 24))
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * F.col("l_discount")), 2)
-                 .alias("revenue")))
+            .agg(dec_sum(F.col("l_extendedprice")
+                         * F.col("l_discount")).alias("revenue")))
 
 
 # --------------------------- q7: bidirectional nation-pair volume flow
-@register("q7_volume_shipping", """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+@register("q7_volume_shipping", f"""
+SELECT supp_nation, cust_nation, l_year, {_dsum('volume')} AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l.l_shipdate) AS INT) AS l_year,
@@ -1232,16 +1376,21 @@ def q7_volume_shipping(spark, sf_dir):
     return (j.withColumn("l_year",
                          F.year("l_shipdate").cast("int"))
             .groupBy("supp_nation", "cust_nation", "l_year")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue")))
+            .agg(dec_sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).alias("revenue")))
 
 
 # ----------------------------- q8: market share (conditional ratio agg)
-@register("q8_market_share", """
+@register("q8_market_share", f"""
 SELECT o_year,
-       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       {_dround(_fin('mkt_raw'), 6)} AS mkt_share
+FROM (
+SELECT o_year,
+       CAST(sum(CASE WHEN nation = 'NATION_3'
+                THEN CAST({_fin('volume')} AS DECIMAL(27,9))
+                ELSE CAST(0 AS DECIMAL(27,9)) END) AS DOUBLE)
+       / CAST(sum(CAST({_fin('volume')} AS DECIMAL(27,9))) AS DOUBLE)
+         AS mkt_raw
 FROM (
   SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -1258,7 +1407,7 @@ FROM (
     AND o.o_orderdate >= TIMESTAMP '1995-01-01'
     AND o.o_orderdate <= TIMESTAMP '1996-12-31'
 ) all_nations
-GROUP BY o_year
+GROUP BY o_year)
 """)
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8: seven-table join where every dimension broadcasts and
@@ -1290,19 +1439,28 @@ def q8_market_share(spark, sf_dir):
          .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
          .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key")))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact DECIMAL numerator/denominator sums, ONE deterministic
+    # double division (IEEE, identical in both engines), then the
+    # dec_round route with a finite guard on the 0/0 edge (round 16)
+    vdec = finite_or_null("volume").cast("decimal(27,9)")
+    ratio = F.try_divide(F.col("_num").cast("double"),
+                         F.col("_den").cast("double"))
     return (j.select(F.year("o_orderdate").cast("int").alias("o_year"),
                      vol.alias("volume"), "nation")
             .groupBy("o_year")
-            .agg(F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3",
-                             F.col("volume")).otherwise(0.0))
-                / F.sum("volume"), 6).alias("mkt_share")))
+            .agg(F.sum(F.when(F.col("nation") == "NATION_3", vdec)
+                       .otherwise(F.lit(0).cast("decimal(27,9)")))
+                 .alias("_num"),
+                 F.sum(vdec).alias("_den"))
+            .select("o_year",
+                    dec_round(finite_or_null(ratio), 6)
+                    .alias("mkt_share")))
 
 
 # ------------------------------------------- q10: returned-item ranking
-@register("q10_returned_items", """
+@register("q10_returned_items", f"""
 SELECT c.c_custkey, c.c_name,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
        n.n_name, c.c_acctbal
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1329,9 +1487,8 @@ def q10_returned_items(spark, sf_dir):
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue"))
+            .agg(dec_sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).alias("revenue"))
             .select("c_custkey", "c_name", "revenue", "n_name",
                     "c_acctbal")
             .orderBy(F.desc("revenue"), "c_custkey")
@@ -1374,35 +1531,46 @@ def q12_late_priority_lines(spark, sf_dir):
 
 
 # ------------------------------------ q14: promo revenue ratio (1 row)
-@register("q14_promo_revenue", """
-SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                              THEN l.l_extendedprice * (1 - l.l_discount)
-                              ELSE 0 END)
-             / sum(l.l_extendedprice * (1 - l.l_discount)), 6)
-       AS promo_revenue
+@register("q14_promo_revenue", f"""
+SELECT {_dround(_fin('promo_raw'), 6)} AS promo_revenue
+FROM (
+SELECT 100.0 * CAST(sum(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST({_fin('l.l_extendedprice * (1 - l.l_discount)')}
+                  AS DECIMAL(27,9))
+             ELSE CAST(0 AS DECIMAL(27,9)) END) AS DOUBLE)
+       / CAST(sum(CAST({_fin('l.l_extendedprice * (1 - l.l_discount)')}
+                  AS DECIMAL(27,9))) AS DOUBLE) AS promo_raw
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
-  AND l.l_shipdate < TIMESTAMP '1996-10-01'
+  AND l.l_shipdate < TIMESTAMP '1996-10-01')
 """)
 def q14_promo_revenue(spark, sf_dir):
     """TPC-H Q14: broadcast join + conditional/total ratio collapsing to
-    one row — the month filter prunes before the join."""
+    one row — the month filter prunes before the join.  Ratio-of-
+    exact-DECIMAL-sums with one deterministic double division, like
+    q8_market_share (round 16)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-09-01") &
         (F.col("l_shipdate") < "1996-10-01"))
     p = t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rdec = finite_or_null(rev).cast("decimal(27,9)")
+    ratio = F.try_divide(100.0 * F.col("_num").cast("double"),
+                         F.col("_den").cast("double"))
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-            .agg(F.round(100.0 * F.sum(
-                F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev), 6).alias("promo_revenue")))
+            .agg(F.sum(F.when(F.col("p_type") == "PROMO", rdec)
+                       .otherwise(F.lit(0).cast("decimal(27,9)")))
+                 .alias("_num"),
+                 F.sum(rdec).alias("_den"))
+            .select(dec_round(finite_or_null(ratio), 6)
+                    .alias("promo_revenue")))
 
 
 # --------------------- q15: top supplier (aggregate = scalar max of agg)
-@register("q15_top_supplier", """
+@register("q15_top_supplier", f"""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2)
+         {_dsum('l_extendedprice * (1 - l_discount)')}
          AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1420,8 +1588,8 @@ def q15_top_supplier(spark, sf_dir):
         (F.col("l_shipdate") >= "1996-01-01") &
         (F.col("l_shipdate") < "1996-04-01"))
     rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-           .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), 2)
+           .agg(dec_sum(F.col("l_extendedprice")
+                        * (1 - F.col("l_discount")))
                 .alias("total_revenue")))
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     s = t(spark, sf_dir, "supplier")
@@ -1433,11 +1601,13 @@ def q15_top_supplier(spark, sf_dir):
 
 
 # -------------- q17: small-quantity lines vs per-part average (1 row)
-@register("q17_small_quantity_revenue", """
-SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+@register("q17_small_quantity_revenue", f"""
+SELECT {_dround(
+    "CAST(sum(CAST(" + _fin('l.l_extendedprice')
+    + " AS DECIMAL(27,9))) AS DOUBLE) / 7.0", 2)} AS avg_yearly
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
-JOIN (SELECT l_partkey, round(avg(l_quantity), 6) AS avg_qty
+JOIN (SELECT l_partkey, {_davg('l_quantity', 6)} AS avg_qty
       FROM lineitem GROUP BY l_partkey) a
   ON a.l_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#11' AND l.l_quantity < 0.2 * a.avg_qty
@@ -1445,23 +1615,27 @@ WHERE p.p_brand = 'Brand#11' AND l.l_quantity < 0.2 * a.avg_qty
 def q17_small_quantity_revenue(spark, sf_dir):
     """TPC-H Q17: the correlated per-part AVG subquery becomes a grouped
     aggregate co-partitioned with the probe join on l_partkey (one
-    shuffle feeds both); the brand filter broadcasts.  avg is rounded to
-    6dp on both engines before the 0.2x threshold so summation order
-    can't flip a borderline row."""
+    shuffle feeds both); the brand filter broadcasts.  The avg rides
+    dec_avg (exact DECIMAL sum / count — deterministic in both
+    engines) before the 0.2x threshold so summation order can't flip
+    a borderline row; the yearly figure is the exact DECIMAL sum
+    divided by 7 in IEEE, then dec_round (round 16)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#11")
     avg_q = (li.groupBy(F.col("l_partkey").alias("a_partkey"))
-             .agg(F.round(F.avg("l_quantity"), 6).alias("avg_qty")))
+             .agg(dec_avg("l_quantity", 6).alias("avg_qty")))
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
             .join(avg_q, li.l_partkey == F.col("a_partkey"))
             .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
-                 .alias("avg_yearly")))
+            .agg(dec_round(
+                F.sum(finite_or_null("l_extendedprice")
+                      .cast("decimal(27,9)")).cast("double") / 7.0, 2)
+                .alias("avg_yearly")))
 
 
 # ------------------- q19: disjunction of conjunctive predicate blocks
-@register("q19_disjunctive_revenue", """
-SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+@register("q19_disjunctive_revenue", f"""
+SELECT {_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
        AND l.l_quantity >= 1 AND l.l_quantity <= 11)
@@ -1488,9 +1662,8 @@ def q19_disjunctive_revenue(spark, sf_dir):
           F.col("p_size").between(1, 15) &
           F.col("l_quantity").between(20, 30))]
     return (j.filter(b[0] | b[1] | b[2])
-            .agg(F.round(F.sum(F.col("l_extendedprice")
-                               * (1 - F.col("l_discount"))), 2)
-                 .alias("revenue")))
+            .agg(dec_sum(F.col("l_extendedprice")
+                         * (1 - F.col("l_discount"))).alias("revenue")))
 
 
 # --------- q21 shape: sole-late-supplier on multi-supplier 'F' orders
@@ -1548,14 +1721,14 @@ def q21_waiting_suppliers(spark, sf_dir):
 
 
 # ------- q22 shape: above-average idle customers by name-digit cohort
-@register("q22_idle_customers", """
+@register("q22_idle_customers", f"""
 SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       {_dsum('c_acctbal')} AS totacctbal
 FROM (
   SELECT substring(c_name, 18, 1) AS cntrycode, c_acctbal, c_custkey
   FROM customer
   WHERE substring(c_name, 18, 1) IN ('1', '3', '5', '7', '9')
-    AND c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer
+    AND c_acctbal > (SELECT {_davg('c_acctbal', 6)} FROM customer
                      WHERE c_acctbal > 0.0
                        AND substring(c_name, 18, 1)
                            IN ('1', '3', '5', '7', '9'))
@@ -1576,7 +1749,7 @@ def q22_idle_customers(spark, sf_dir):
          .withColumn("cntrycode", F.substring("c_name", 18, 1))
          .filter(F.col("cntrycode").isin("1", "3", "5", "7", "9")))
     avg_bal = (c.filter(F.col("c_acctbal") > 0.0)
-               .agg(F.round(F.avg("c_acctbal"), 6).alias("avg_bal")))
+               .agg(dec_avg("c_acctbal", 6).alias("avg_bal")))
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= "2000-01-01")
     return (c.join(F.broadcast(avg_bal),
@@ -1584,7 +1757,7 @@ def q22_idle_customers(spark, sf_dir):
             .join(o, c.c_custkey == o.o_custkey, "left_anti")
             .groupBy("cntrycode")
             .agg(F.count("*").cast("bigint").alias("numcust"),
-                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+                 dec_sum("c_acctbal").alias("totacctbal")))
 
 
 # ---------------------------------------------------------------------------
@@ -1595,9 +1768,9 @@ def q22_idle_customers(spark, sf_dir):
 # oracles, and preserves exactly the plan shapes that make these five
 # queries distinct from the rest of the suite.
 
-_PS_SQL = """
+_PS_SQL = f"""
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         round(min(l_extendedprice), 2) AS ps_supplycost
+         {_dagg('min', 'l_extendedprice')} AS ps_supplycost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 """
 
@@ -1606,8 +1779,7 @@ def _derived_partsupp(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return (li.groupBy(F.col("l_partkey").alias("ps_partkey"),
                        F.col("l_suppkey").alias("ps_suppkey"))
-            .agg(F.round(F.min("l_extendedprice"), 2)
-                 .alias("ps_supplycost")))
+            .agg(dec_min("l_extendedprice").alias("ps_supplycost")))
 
 
 # ---------------- q2 shape: min-cost supplier per part within a region
@@ -1669,11 +1841,11 @@ def q2_min_cost_supplier(spark, sf_dir):
 
 
 # ------------------- q9 shape: profit by supplier nation and order year
-@register("q9_product_type_profit", """
+@register("q9_product_type_profit", f"""
 SELECT n.n_name AS nation,
        CAST(year(o.o_orderdate) AS INT) AS o_year,
-       round(sum(l.l_extendedprice * (1 - l.l_discount)
-                 - 0.1 * p.p_retailprice * l.l_quantity), 2) AS profit
+       {_dsum('''l.l_extendedprice * (1 - l.l_discount)
+                 - 0.1 * p.p_retailprice * l.l_quantity''')} AS profit
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -1700,19 +1872,19 @@ def q9_product_type_profit(spark, sf_dir):
             .join(o, li.l_orderkey == o.o_orderkey)
             .groupBy(F.col("n_name").alias("nation"),
                      F.year("o_orderdate").cast("int").alias("o_year"))
-            .agg(F.round(F.sum(
+            .agg(dec_sum(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                - 0.1 * F.col("p_retailprice") * F.col("l_quantity")), 2)
+                - 0.1 * F.col("p_retailprice") * F.col("l_quantity"))
                 .alias("profit"))
             .orderBy("nation", F.desc("o_year")))
 
 
 # --------------- q11 shape: parts above a global value-share threshold
-@register("q11_important_parts", """
+@register("q11_important_parts", f"""
 WITH val AS (
   SELECT l.l_partkey AS partkey,
-         CAST(round(sum(l.l_extendedprice * l.l_quantity) * 100)
-              AS BIGINT) AS cents
+         CAST(round(sum(CAST({_fin('l.l_extendedprice * l.l_quantity')}
+                        AS DECIMAL(27,9))), 2) * 100 AS BIGINT) AS cents
   FROM lineitem l
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
   JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -1740,8 +1912,10 @@ def q11_important_parts(spark, sf_dir):
                                       s.s_nationkey == n.n_nationkey)),
                    li.l_suppkey == F.col("s_suppkey"))
            .groupBy(F.col("l_partkey").alias("partkey"))
-           .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * F.col("l_quantity")) * 100)
+           .agg((F.round(F.sum(
+               finite_or_null(F.col("l_extendedprice")
+                              * F.col("l_quantity"))
+               .cast("decimal(27,9)")), 2) * 100)
                 .cast("bigint").alias("cents")))
     thresh = val.agg(F.sum("cents").cast("bigint").alias("total_cents"))
     return (val.join(F.broadcast(thresh),
@@ -1787,7 +1961,7 @@ def q16_part_supplier_counts(spark, sf_dir):
 
 
 # ------------ q20 shape: suppliers who moved excess volume of a part set
-@register("q20_excess_suppliers", """
+@register("q20_excess_suppliers", f"""
 SELECT s.s_suppkey, s.s_name
 FROM supplier s
 JOIN nation n ON n.n_nationkey = s.s_nationkey
@@ -1800,15 +1974,18 @@ WHERE n.n_name IN ('NATION_1', 'NATION_5')
       AND l.l_shipdate >= TIMESTAMP '1997-01-01'
       AND l.l_shipdate < TIMESTAMP '1998-01-01'
     GROUP BY l.l_suppkey
-    HAVING sum(l.l_quantity) > 250)
+    HAVING sum(CAST({_fin('l.l_quantity')} AS DECIMAL(27,9))) > 250)
 ORDER BY s.s_suppkey
 """)
 def q20_excess_suppliers(spark, sf_dir):
     """TPC-H Q20 shape: the IN over an aggregated-with-HAVING subquery
     is a left-semi join from the (tiny) supplier dim into the grouped
     shipped-quantity totals; the part-name LIKE and the ship-date range
-    both prune the fact scan BEFORE its one shuffle on suppkey.
-    Quantities are integer-valued so the HAVING sum is exact."""
+    both prune the fact scan BEFORE its one shuffle on suppkey.  The
+    HAVING threshold compares an exact finite-only DECIMAL sum (round
+    16): base quantities are integers, but a dirty corpus salts
+    fractional ones and a double group sum right at the cutoff is
+    accumulation-order-dependent."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1997-01-01") &
         (F.col("l_shipdate") < "1998-01-01"))
@@ -1820,7 +1997,8 @@ def q20_excess_suppliers(spark, sf_dir):
     # give no signal on the semi-join/HAVING semantics
     movers = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
               .groupBy("l_suppkey")
-              .agg(F.sum("l_quantity").alias("shipped"))
+              .agg(F.sum(finite_or_null("l_quantity")
+                         .cast("decimal(27,9)")).alias("shipped"))
               .filter(F.col("shipped") > 250))
     s = t(spark, sf_dir, "supplier")
     return (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1830,9 +2008,9 @@ def q20_excess_suppliers(spark, sf_dir):
 
 
 # ----------------- file sink round-trip (§2.3 #15, driver-checkable)
-@register("parquet_sink_roundtrip", """
+@register("parquet_sink_roundtrip", f"""
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total
+       {_dsum('o_totalprice')} AS total
 FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY o_orderpriority
@@ -1862,5 +2040,5 @@ def parquet_sink_roundtrip(spark, sf_dir):
     back = spark.read.parquet(out)
     return (back.groupBy("o_orderpriority")
             .agg(F.count("*").cast("bigint").alias("n"),
-                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+                 dec_sum("o_totalprice").alias("total"))
             .orderBy("o_orderpriority"))
