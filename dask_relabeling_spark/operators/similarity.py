@@ -523,18 +523,80 @@ def build_ivfpq_index(df: DataFrame, path: str, n_centroids: int = 8,
     Both metadata tables are what the deterministic stand-in quantizer
     derives (lowest-id vectors); a trained k-means build writes its
     own frames and the query side is unchanged.  The raw vector table
-    is NOT referenced by queries after this returns."""
-    cells = ivf_cells(df, n_centroids, id_col, vec_col)
-    codes = pq_codes(df, n_sub, sub_dim, n_codes, id_col, vec_col)
-    (cells.join(codes, "id")
+    is NOT referenced by queries after this returns.
+
+    BUILD SHAPE (round-16 optimization): cell assignment and PQ coding
+    are ONE corpus pass — a single crossJoin against the broadcast
+    (crank, cid, cv) centroid frame feeds one groupBy(id) computing
+    the ``max_by`` cell AND all ``n_sub`` ``min_by`` codes — instead
+    of ``ivf_cells(df).join(pq_codes(df), "id")``, which scanned the
+    corpus twice and shuffled both one-row-per-id aggregates on id
+    just to zip them back together (guide §2.4: two operations keyed
+    the same way share one aggregation; §2.3: never shuffle what a
+    map-side combine can fold).  The codebook rows are the
+    ``n_codes`` lowest-crank centroids (identical to ``pq_codes``'s
+    lowest-id codebook, since crank is the cid-order position), the
+    per-expression fold orders are byte-for-byte those of
+    ``ivf_cells``/``pq_codes``, and non-codebook centroid rows are
+    excluded from the code aggregation via NULL ``min_by`` orderings
+    (which the aggregate skips), so the written index is bit-identical
+    to the old two-pass build (pinned by
+    tests/test_similarity.py::test_fused_index_build_matches_two_pass).
+    """
+    bits = max(1, (n_codes - 1).bit_length())
+    vecs = df.select(F.col(id_col).alias("id"),
+                     as_vec(vec_col).alias("v"))
+    # (crank, cid, cv) exactly as pq_codes derives it: pack the tiny
+    # centroid set into one sorted row and posexplode — no window
+    cents = (vecs.orderBy("id").limit(n_centroids)
+             .select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+             .agg(F.array_sort(F.collect_list(F.struct("cid", "cv")))
+                  .alias("cs"))
+             .select(F.posexplode("cs").alias("crank", "c"))
+             .select("crank", F.col("c.cid").alias("cid"),
+                     F.col("c.cv").alias("cv")))
+
+    def sub_l2(s: int) -> Column:
+        a = F.slice(F.col("v"), s * sub_dim + 1, sub_dim)
+        b = F.slice(F.col("cv"), s * sub_dim + 1, sub_dim)
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, d: acc + d)
+
+    is_cb = F.col("crank") < n_codes
+    scored = (vecs.crossJoin(F.broadcast(cents))
+              .select("id", "crank",
+                      cosine(F.col("v"), F.col("cv")).alias("cos"),
+                      F.col("cid"),
+                      *[F.when(is_cb, sub_l2(s)).alias(f"d{s}")
+                        for s in range(n_sub)]))
+    # cell: the ivf_cells expression verbatim, over the same
+    # n_centroids rows per id.  codes: the pq_codes min_by verbatim
+    # over the codebook rows only — a NULL ordering struct excludes
+    # the non-codebook centroids from the aggregate.
+    code_terms = [
+        F.min_by(F.col("crank"),
+                 F.when(is_cb, F.struct(F.col(f"d{s}"), F.col("crank"))))
+        .alias(f"c{s}") for s in range(n_sub)]
+    agg = (scored.groupBy("id")
+           .agg(F.max_by("cid", F.struct(F.col("cos"),
+                                         (-F.col("cid")).alias("neg")))
+                .alias("cell"), *code_terms))
+    packed = None
+    for s in range(n_sub):
+        term = F.shiftleft(F.col(f"c{s}").cast("long"), bits * s)
+        packed = term if packed is None else packed + term
+    (agg.select("id", "cell", packed.cast("long").alias("code"))
      .write.mode("overwrite").partitionBy("cell")
      .parquet(f"{path}/index"))
-    cents = (df.select(F.col(id_col).alias("cid"),
-                       as_vec(vec_col).alias("cv"))
-             .orderBy("cid").limit(n_centroids))
-    cents.write.mode("overwrite").parquet(f"{path}/centroids")
-    cents.limit(n_codes).write.mode("overwrite") \
-        .parquet(f"{path}/codebook")
+    cents_out = (df.select(F.col(id_col).alias("cid"),
+                           as_vec(vec_col).alias("cv"))
+                 .orderBy("cid").limit(n_centroids))
+    cents_out.write.mode("overwrite").parquet(f"{path}/centroids")
+    # codebook = the n_codes lowest-cid centroids — read the 8-row
+    # centroid parquet back instead of re-scanning the corpus
+    (df.sparkSession.read.parquet(f"{path}/centroids")
+     .orderBy("cid").limit(n_codes)
+     .write.mode("overwrite").parquet(f"{path}/codebook"))
 
 
 def ivfpq_topk_indexed(spark, path: str, query_vec: Sequence[float],

@@ -1,0 +1,73 @@
+"""Round-16 optimization pin: the fused one-pass IVF-PQ index build
+(single crossJoin + single groupBy computing cell AND codes) must
+write byte-identical index content to the old two-pass
+``ivf_cells(df).join(pq_codes(df), "id")`` formulation it replaced."""
+import math
+import tempfile
+
+from pyspark.sql import functions as F
+
+from dask_relabeling_spark.operators import similarity as S
+
+
+def _corpus(spark, n=40, dim=64):
+    rows = []
+    for i in range(n):
+        vec = [float(((i * 31 + d * 7) % 97) - 48) / 48.0
+               for d in range(dim)]
+        rows.append((i, vec))
+    # dirty tail: NULL embedding, NaN component (ill-formed), zero
+    # vector (zero norm -> NULL cosine) — every one must index the
+    # same way both builds index it
+    rows.append((n, None))
+    rows.append((n + 1, [math.nan] * dim))
+    rows.append((n + 2, [0.0] * dim))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_fused_index_build_matches_two_pass(spark):
+    corpus = _corpus(spark)
+    path = tempfile.mkdtemp(prefix="test_ivfpq_fused_")
+    S.build_ivfpq_index(corpus, path, n_centroids=6, n_sub=8,
+                        sub_dim=8, n_codes=4)
+    got = {(r["id"], r["cell"], r["code"])
+           for r in spark.read.parquet(f"{path}/index").collect()}
+    # the exact pre-fusion build: two corpus passes zipped on id
+    cells = S.ivf_cells(corpus, n_centroids=6)
+    codes = S.pq_codes(corpus, n_sub=8, sub_dim=8, n_centroids=4)
+    want = {(r["id"], r["cell"], r["code"])
+            for r in cells.join(codes, "id").collect()}
+    assert got == want
+    assert len(got) == corpus.count()
+    # metadata tables: same rows as the direct derivation
+    cents = {(r["cid"], tuple(r["cv"]) if r["cv"] is not None else None)
+             for r in spark.read.parquet(f"{path}/centroids").collect()}
+    want_c = {(r["vec_id"],
+               tuple(r["v"]) if r["v"] is not None else None)
+              for r in corpus.select(
+                  "vec_id", S.as_vec("embedding").alias("v"))
+              .orderBy("vec_id").limit(6).collect()}
+    assert {c[0] for c in cents} == {c[0] for c in want_c}
+    cb = spark.read.parquet(f"{path}/codebook")
+    assert cb.count() == 4
+    assert ({r["cid"] for r in cb.collect()}
+            == set(sorted(c[0] for c in cents)[:4]))
+
+
+def test_fused_build_handles_nan_components(spark):
+    """A NaN-component vector must get the same (cell, code) as the
+    two-pass build gave it (NULL-ordering min_by rows are skipped,
+    never promoted)."""
+    corpus = _corpus(spark, n=12)
+    path = tempfile.mkdtemp(prefix="test_ivfpq_nan_")
+    S.build_ivfpq_index(corpus, path, n_centroids=4, n_sub=8,
+                        sub_dim=8, n_codes=4)
+    idx = spark.read.parquet(f"{path}/index")
+    dirty = {r["id"]: (r["cell"], r["code"])
+             for r in idx.filter(F.col("id") >= 12).collect()}
+    cells = S.ivf_cells(corpus, n_centroids=4)
+    codes = S.pq_codes(corpus, n_sub=8, sub_dim=8, n_centroids=4)
+    want = {r["id"]: (r["cell"], r["code"])
+            for r in cells.join(codes, "id")
+            .filter(F.col("id") >= 12).collect()}
+    assert dirty == want and len(dirty) == 3
