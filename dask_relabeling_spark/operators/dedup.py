@@ -504,7 +504,17 @@ def prefix_filtered_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     toks = scoped_persist(
         _distinct_shingle_table(df, id_col, text_col, n)
         .withColumnRenamed("sh", "tok"))
-    prefix = _ppjoin_prefix_table(toks, threshold_num, threshold_den)
+    # persist the prefix table too (round 16): it feeds BOTH sides of
+    # the candidate self-join, and each side otherwise re-runs the
+    # dfreq aggregation + broadcast join + per-id window from the
+    # cached shingle table — when the planner picks a broadcast join
+    # for either side, the rebuild runs as its own single-threaded
+    # broadcast-build job (measured ~0.8 s per duplicate subtree at
+    # sf0.1; the four such rebuild jobs were ~40 % of the
+    # dedup_segment_then_prefix wall).  Guide §2.4: two consumers of
+    # one keyed subtree should share one materialization.
+    prefix = scoped_persist(
+        _ppjoin_prefix_table(toks, threshold_num, threshold_den))
     cand = _ppjoin_candidates(prefix, threshold_num, threshold_den)
     return _ppjoin_verify(cand, toks, threshold_num, threshold_den,
                           max_shingles=max_shingles)
@@ -597,6 +607,12 @@ def _ppjoin_verify(cand, toks, threshold_num: int, threshold_den: int,
     the reverse.  That is the safe direction: such a document's
     collect_list array is itself the memory hazard the cap exists to
     surface, whether or not it later joins."""
+    # scoped-persisted (round 16): byid feeds both the id_a and id_b
+    # joins below, and each otherwise re-runs the collect_list
+    # aggregation — as a single-threaded broadcast-build job when the
+    # planner broadcasts it (same rationale, and the same measured
+    # duplicate-subtree cost, as the prefix-table persist in
+    # prefix_filtered_jaccard_pairs).
     byid = toks.groupBy("id").agg(
         F.count("*").alias("sz"),
         F.collect_list("tok").alias("arr"))
@@ -610,6 +626,7 @@ def _ppjoin_verify(cand, toks, threshold_num: int, threshold_den: int,
                 F.lit(f" distinct shingles (max_shingles={max_shingles});"
                       " shingle-sample or chunk it upstream, or use the"
                       " exploded verify (ngram_jaccard_pairs)")))))
+    byid = scoped_persist(byid)
     return (cand
             .join(byid.select(F.col("id").alias("id_a"),
                               F.col("sz").alias("n_a"),
