@@ -21,6 +21,7 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..kernels.halo import assemble_expanded, pad_tile
@@ -80,6 +81,122 @@ _PIECE_SCHEMA = T.StructType([
     T.StructField("classes", T.BinaryType(), True),
 ])
 PIECE_SCHEMA = _PIECE_SCHEMA  # public: builder-side piece emission
+
+
+def _mmh3_int32(x: int, seed: int = 42) -> int:
+    """Murmur3_x86_32.hashInt — the exact hash Spark's HashPartitioning
+    applies to an INT column (seed 42), in pure Python.  Lets the driver
+    predict which shuffle partition an int key lands in
+    (``pmod(hash, n)``); pinned against ``F.hash`` in
+    tests/test_halo_partitioning.py so a Spark-side hash change cannot
+    silently desync the placement below."""
+    m = 0xffffffff
+    k1 = (x * 0xcc9e2d51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1b873593) & m
+    h1 = (seed & m) ^ k1
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xe6546b64) & m
+    h1 ^= 4                       # fmix, length = 4 bytes
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85ebca6b) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xc2b2ae35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+# partition count -> salt list: _PART_SALTS[n][p] hashes onto shuffle
+# partition p of n (coupon-collector search, deterministic from v=0)
+_PART_SALTS: dict = {}
+
+
+def _salts_for(n: int) -> list:
+    salts = _PART_SALTS.get(n)
+    if salts is None:
+        salts = [None] * n
+        missing, v = n, 0
+        while missing:
+            p = _mmh3_int32(v) % n            # pmod: % on non-neg dividend
+            if salts[p] is None:
+                salts[p] = v
+                missing -= 1
+            v += 1
+        _PART_SALTS[n] = salts
+    return salts
+
+
+def apply_by_tile_key(df: DataFrame, nd: int, grid, fn, schema):
+    """``df.groupBy(tile key).applyInPandas(fn, schema)`` with the
+    exchange placement chosen by the OPERATOR instead of hash luck and
+    AQE byte-coalescing.
+
+    Why not a plain ``groupBy``: AQE sizes post-shuffle partitions by
+    BYTES (``parallelismFirst`` merges anything under
+    ``minPartitionSize``, default 1 MB) — the right policy for JVM
+    relational stages, exactly wrong here, where a tile group costs a
+    per-key Python kernel invocation (CCL / merge / annotate) orders of
+    magnitude above its serialized bytes.  At sf0.1 the 4x4 flagship
+    grid coalesced to 1-3 partitions and the relabel arms ran 17-35 %
+    slower than with one tile per task.  And why not
+    ``repartition(n, keys)``: hashing n_tiles keys into ~n_tiles
+    buckets collides (16 keys into 16 buckets leaves ~6 empty), so the
+    stage's critical path is 2-3 serial kernels anyway — measured as a
+    1.2x regression on the 4-tile 3D grid (4 keys, 4 buckets, 9 %
+    chance of a perfect spread).
+
+    The unit of work is the TILE and the grid is static, so place
+    tiles deterministically: tile with linear index L belongs on
+    shuffle partition ``L mod n`` (round-robin — perfect kernel-count
+    balance at every scale), and a salt column makes Spark's own
+    HashPartitioning realize that placement (salt s_p chosen so
+    ``pmod(murmur3(s_p), n) == p``; the driver replays the hash via
+    ``_mmh3_int32``).  The salt rides ``repartition(n, salt)`` — a
+    REPARTITION_BY_NUM exchange AQE never coalesces — and leads the
+    ``groupBy(salt, *keys)`` so the exchange is REUSED (HashPartitioning
+    on a subset of the grouping keys satisfies the applyInPandas
+    clustering requirement): exchange COUNT is unchanged, ``fn`` sees
+    the same (loc, rows) groups (the salt is functionally dependent on
+    the key and stripped before the call).
+
+    ``n = min(n_tiles, max(defaultParallelism, shuffle.partitions))``:
+    every tile its own task while tiles are scarcer than cores; at
+    scale the session's configured shuffle width with tiles
+    round-robined across it.  Malformed keys (fuzz surface: out-of-grid
+    locs) fold into a valid salt via ``pmod(L, n)`` — they still form
+    their own (salt, key) group and fail loudly in the kernel exactly
+    as before.  Known trade vs AQE: a byte-skewed tile mix is balanced
+    by COUNT not bytes — acceptable because kernel cost tracks tile
+    count/geometry, and a plain groupBy could not split a single huge
+    key either."""
+    keys = key_cols(nd)
+    dims = [int(g) for g in grid]
+    n_tiles = 1
+    for g in dims:
+        n_tiles *= g
+    spark = df.sparkSession
+    try:
+        width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # "auto" or unset on some deployments
+        width = 0
+    n = max(1, min(n_tiles, max(spark.sparkContext.defaultParallelism,
+                                width)))
+    lin = F.col(keys[-1]).cast("long")
+    stride = 1
+    for ax in range(nd - 2, -1, -1):
+        stride *= dims[ax + 1]
+        lin = lin + F.col(keys[ax]).cast("long") * stride
+    salt_arr = F.array(*[F.lit(s) for s in _salts_for(n)])
+    salted = df.withColumn(
+        "__tile_pt", F.element_at(salt_arr, (F.pmod(lin, F.lit(n))
+                                             + 1).cast("int")))
+
+    def unsalted(key, pdf):
+        return fn(key[1:], pdf)
+
+    return (salted.repartition(n, "__tile_pt")
+            .groupBy("__tile_pt", *keys)
+            .applyInPandas(unsalted, schema))
 
 
 def _piece_shape(row, nd: int) -> tuple:
@@ -242,8 +359,7 @@ def halo_exchange(ts: TileSet, overlaps: Sequence[int]) -> TileSet:
             columns=[f.name for f in TILE_FIELDS])
 
     contribs = ts.df.mapInPandas(emit, _PIECE_SCHEMA)
-    out = contribs.groupBy(*key_cols(nd)).applyInPandas(assemble,
-                                                        TILE_SCHEMA)
+    out = apply_by_tile_key(contribs, nd, grid, assemble, TILE_SCHEMA)
     return ts.with_df(out, overlaps=depth)
 
 
@@ -301,7 +417,6 @@ def double_exchange_pieces(pieces_df: DataFrame, nd: int, grid,
     mid_fn -> emit margins -> exchange -> assemble -> final_fn -> tile.
     Same kernels, same goldens, one fewer full-payload Arrow generation.
     """
-    keys = key_cols(nd)
 
     def mid(key, pdf: pd.DataFrame) -> pd.DataFrame:
         loc = tuple(int(k) for k in key)
@@ -325,8 +440,8 @@ def double_exchange_pieces(pieces_df: DataFrame, nd: int, grid,
         return pd.DataFrame.from_records(
             _chunk_loud(loc, work), columns=[f.name for f in TILE_FIELDS])
 
-    a1 = pieces_df.groupBy(*keys).applyInPandas(mid, _PIECE_SCHEMA)
-    return a1.groupBy(*keys).applyInPandas(fin, TILE_SCHEMA)
+    a1 = apply_by_tile_key(pieces_df, nd, grid, mid, _PIECE_SCHEMA)
+    return apply_by_tile_key(a1, nd, grid, fin, TILE_SCHEMA)
 
 
 def _piece_rec(dest, pos, piece: np.ndarray,
@@ -355,7 +470,6 @@ def fused_exchange_records(ts: TileSet, overlaps: Sequence[int],
     (arbitrary ``out_schema`` — e.g. annotation records)."""
     nd, grid = ts.nd, ts.grid
     depth = tuple(int(o) for o in overlaps)
-    keys = key_cols(nd)
     cols = out_schema.fieldNames()
 
     def emit1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -384,7 +498,7 @@ def fused_exchange_records(ts: TileSet, overlaps: Sequence[int],
                                          columns=cols)
 
     p1 = ts.df.mapInPandas(emit1, _PIECE_SCHEMA)
-    return p1.groupBy(*keys).applyInPandas(fin, out_schema)
+    return apply_by_tile_key(p1, nd, grid, fin, out_schema)
 
 
 def exchange_records_from_pieces(pieces_df: DataFrame, nd: int, grid,
@@ -392,7 +506,6 @@ def exchange_records_from_pieces(pieces_df: DataFrame, nd: int, grid,
     """``fused_exchange_records`` for a source that already emitted halo
     pieces (see ``emit_piece_records``): one shuffle, one Python pass —
     assemble the expanded view and run ``finish`` directly."""
-    keys = key_cols(nd)
     cols = out_schema.fieldNames()
 
     def fin(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -405,7 +518,7 @@ def exchange_records_from_pieces(pieces_df: DataFrame, nd: int, grid,
         return pd.DataFrame.from_records(_chunk_loud(loc, work),
                                          columns=cols)
 
-    return pieces_df.groupBy(*keys).applyInPandas(fin, out_schema)
+    return apply_by_tile_key(pieces_df, nd, grid, fin, out_schema)
 
 
 def map_tiles_records(ts: TileSet, finish, out_schema) -> DataFrame:

@@ -32,7 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.halo import PIECE_SCHEMA, emit_piece_records
+from ..operators.halo import (PIECE_SCHEMA, apply_by_tile_key,
+                              emit_piece_records)
 from ..operators.pipeline import image2labels_from_pieces
 from ..sources.tiles import TILE_SCHEMA, TileSet, tile_record
 from .relational import register, t
@@ -97,10 +98,13 @@ def _mask_tiles(spark: SparkSession, sf_dir: str, as_pieces: bool = False):
         (F.col("id") % GRID[1]).cast("int").alias("cx"),
         F.lit(-1).cast("int").alias("word"),
         F.lit(0).cast("long").alias("bits"))
-    src = bitrows.unionByName(grid_df).groupBy("cy", "cx")
+    # operator-placed tile exchange (see operators/halo.apply_by_tile_key):
+    # the byte-tiny bitmap groups each cost a Python expand+emit pass,
+    # so AQE byte-coalescing would serialize them
+    src = bitrows.unionByName(grid_df)
     if as_pieces:
-        return src.applyInPandas(build_pieces, PIECE_SCHEMA)
-    tiles_df = src.applyInPandas(build, TILE_SCHEMA)
+        return apply_by_tile_key(src, 2, GRID, build_pieces, PIECE_SCHEMA)
+    tiles_df = apply_by_tile_key(src, 2, GRID, build, TILE_SCHEMA)
     return TileSet(df=tiles_df, nd=2, grid=GRID, chunk_shape=(CHUNK, CHUNK),
                    overlaps=(0, 0), image_shape=(H, W))
 
@@ -280,10 +284,10 @@ def _mask_tiles_3d(spark: SparkSession, sf_dir: str,
         (F.col("id") % GRID3[2]).cast("int").alias("cx"),
         F.lit(-1).cast("int").alias("word"),
         F.lit(0).cast("long").alias("bits"))
-    src = wordrows.unionByName(grid_df).groupBy("cz", "cy", "cx")
+    src = wordrows.unionByName(grid_df)
     if as_pieces:
-        return src.applyInPandas(build_pieces, PIECE_SCHEMA)
-    tiles_df = src.applyInPandas(build, TILE_SCHEMA)
+        return apply_by_tile_key(src, 3, GRID3, build_pieces, PIECE_SCHEMA)
+    tiles_df = apply_by_tile_key(src, 3, GRID3, build, TILE_SCHEMA)
     return TileSet(df=tiles_df, nd=3, grid=GRID3, chunk_shape=CHUNK3,
                    overlaps=(0, 0, 0), image_shape=(D3, H3, W3))
 
