@@ -596,14 +596,25 @@ def run_source_fuzz(spark, rng: random.Random, quiet: bool = True):
 
     import duckdb
 
+    d = tempfile.mkdtemp(prefix="srcfuzz_")
+    con = duckdb.connect()
+    try:
+        return _source_fuzz_checks(spark, rng, quiet, d, con)
+    finally:
+        # a mid-run exception (e.g. a Spark read failure outside the
+        # FAILFAST probes) must not leak the srcfuzz_* dir or the
+        # duckdb connection on every gate/pytest run (round-15 ADVICE)
+        con.close()
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _source_fuzz_checks(spark, rng: random.Random, quiet: bool, d, con):
     import oracle_sweep as OS
     from dask_relabeling_spark.sources.formats import (
         compact_parquet, read_any, read_binary_files, read_whole_text,
         write_any, write_zordered)
 
     bad, n_loud, n_run = [], 0, 0
-    d = tempfile.mkdtemp(prefix="srcfuzz_")
-    con = duckdb.connect()
     # empty-field-free value set for the csv differential: '' -> NULL
     # is pinned in the round-trip family below; here every field is
     # either absent or unambiguous
@@ -787,7 +798,6 @@ def run_source_fuzz(spark, rng: random.Random, quiet: bool = True):
           == ["x.bin"],
           "max_bytes guard failed to exclude the oversized blob")
 
-    shutil.rmtree(d, ignore_errors=True)
     return bad, n_loud, n_run
 
 
