@@ -90,6 +90,30 @@ _CHANGED = [
     # sum by the finite count (deterministic across accumulation
     # orders) instead of casting a full-precision double avg
     ("events_value_percentiles", 16),
+    # round 16 (optimization): the tile exchanges now ride the salted
+    # operator-placed repartition (operators/halo.apply_by_tile_key) —
+    # plan changed on every relabel query, results byte-identical
+    ("relabel_components", 16),
+    ("relabel_components_summary", 16),
+    ("relabel_components_3d", 16),
+    ("relabel_annotations", 16),
+    ("relabel_annotations_3d", 16),
+    ("relabel_annotations_summary", 16),
+    ("relabel_components_3d_interior", 16),
+    ("relabel_annotations_3d_summary", 16),
+    ("relabel_annotations_tile_interior_counts", 16),
+    ("relabel_annotations_3d_tile_counts", 16),
+    ("relabel_sorted_label_stats", 16),
+    # round 16 (optimization): IVF-PQ index build fused into one corpus
+    # pass (operators/similarity.build_ivfpq_index)
+    ("ann_ivfpq_indexed", 16),
+    ("ann_ivfpq_query", 16),
+    ("ann_ivfpq_topk", 16),
+    # round 16 (optimization): PPJoin prefix + verify-side byid tables
+    # scoped-persisted (operators/dedup.prefix_filtered_jaccard_pairs)
+    ("dedup_prefix_jaccard", 16),
+    ("dedup_prefix_clusters", 16),
+    ("dedup_segment_then_prefix", 16),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
