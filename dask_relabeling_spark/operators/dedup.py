@@ -342,12 +342,20 @@ def segment_dedup(df: DataFrame, id_col: str = "doc_id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.col("n_segs").cast("int") - 1),
             seg_at)).alias("seg_idx", "seg")))
-    winners = (segs.groupBy("seg")
-               .agg(F.min(F.struct(F.col("id"), F.col("seg_idx")))
-                    .alias("w")))
-    kept = (segs.join(winners, "seg")
-            .filter((F.col("id") == F.col("w.id")) &
-                    (F.col("seg_idx") == F.col("w.seg_idx"))))
+    # winner key packed into ONE DECIMAL(38,0) — id * 10^9 + seg_idx —
+    # instead of min(struct(id, seg_idx)) (round 16): a struct min
+    # plans as SortAggregate (a full sort of the segment table before
+    # EACH aggregation phase), while a decimal min is hash-aggregable
+    # (HashAggregate, map-side partial combine preserved, zero sorts).
+    # The packing is order-isomorphic to (id, seg_idx) lexicographic
+    # order for ANY int64 id because 0 <= seg_idx < 10^9 (one document
+    # with 10^9 16-token segments would need a >= 32 GiB text value,
+    # past Spark's 2 GiB string cap — the bound is structural), and
+    # 19-digit ids * 10^9 stay inside the 38-digit decimal range.
+    pack = (F.col("id").cast("decimal(38,0)") * F.lit(1_000_000_000)
+            + F.col("seg_idx"))
+    winners = segs.groupBy("seg").agg(F.min(pack).alias("w"))
+    kept = segs.join(winners, "seg").filter(pack == F.col("w"))
     ordered = F.array_join(
         F.transform(F.array_sort(F.collect_list(
             F.struct("seg_idx", "seg"))), lambda s: s["seg"]), " ")
@@ -528,14 +536,23 @@ def _ppjoin_prefix_table(toks, threshold_num: int, threshold_den: int):
     the shipped stage."""
     from pyspark.sql import Window
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-    w = Window.partitionBy("id")
-    rk = F.row_number().over(w.orderBy("df", "tok"))
+    wo = Window.partitionBy("id").orderBy("df", "tok")
+    rk = F.row_number().over(wo)
+    # sz rides the SAME (partition, order) spec as rk with an explicit
+    # whole-partition frame (round 16): a bare
+    # ``count(*) over (partition by id)`` is a second window spec, and
+    # Spark plans one Sort per spec — two full sorts of the shingle
+    # table where one suffices (guide §2.4: operations keyed the same
+    # way share one exchange/sort).  The frame override changes nothing
+    # semantically (a partition's row count is order-independent).
+    sz = F.count("*").over(wo.rowsBetween(Window.unboundedPreceding,
+                                          Window.unboundedFollowing))
     # ceil(t*|d|) = (num*|d| + den - 1) // den, all integer
     plen = (F.col("sz") -
             F.floor((F.lit(threshold_num) * F.col("sz")
                      + (threshold_den - 1)) / threshold_den) + 1)
     return (toks.join(dfreq, "tok")
-            .withColumn("sz", F.count("*").over(w))
+            .withColumn("sz", sz)
             .withColumn("rk", rk)
             .filter(F.col("rk") <= plen)
             .select("id", "tok", "sz", "rk"))

@@ -424,10 +424,20 @@ def _probe_cells(cents: DataFrame, qdf: DataFrame, n_probe: int
 
 
 def _adc_table(cb: DataFrame, qdf: DataFrame, n_sub: int, sub_dim: int
-               ) -> DataFrame:
-    """One broadcast row: array over codebook RANK (cid-sorted
-    position — matching the rank ``pq_codes`` packs) of array over
-    sub-space of the query's sub-L2 to that codebook entry."""
+               ) -> list:
+    """ADC lookup table: list over codebook RANK (cid-sorted position —
+    matching the rank ``pq_codes`` packs) of list over sub-space of the
+    query's sub-L2 to that codebook entry.
+
+    Computed ENGINE-SIDE (the same zip_with/aggregate fold orders as
+    the build, so SQL replays it bit-for-bit) but materialized ONCE via
+    ``first()`` and returned as plain Python floats (round 16): the
+    previous shape returned a 1-row DataFrame that ``_adc_topk``
+    crossJoined as a broadcast, so EVERY action re-ran the
+    codebook-read + agg as a BroadcastExchange build — a per-query
+    fixed cost the n_sub x n_codes (32-double) table does not need.
+    Collected doubles round-trip to Python floats and back to literals
+    exactly, so ranks are unchanged."""
     def q_sub_l2(s: int) -> Column:
         a = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
         b = F.slice(F.col("cv"), s * sub_dim + 1, sub_dim)
@@ -438,26 +448,39 @@ def _adc_table(cb: DataFrame, qdf: DataFrame, n_sub: int, sub_dim: int
                 .select("cid", F.array(*[q_sub_l2(s)
                                          for s in range(n_sub)])
                         .alias("ds")))
-    return F.broadcast(tab_rows.agg(F.transform(
+    row = tab_rows.agg(F.transform(
         F.array_sort(F.collect_list(F.struct("cid", "ds"))),
-        lambda e: e["ds"]).alias("tab")))
+        lambda e: e["ds"]).alias("tab")).first()
+    tab = row["tab"] if row["tab"] is not None else []
+    return [None if ds is None else list(ds) for ds in tab]
 
 
-def _adc_topk(codes: DataFrame, tab: DataFrame, k: int, n_sub: int,
+def _lit_double(x) -> Column:
+    return (F.lit(None).cast("double") if x is None
+            else F.lit(float(x)))
+
+
+def _adc_topk(codes: DataFrame, tab: list, k: int, n_sub: int,
               n_codes: int, id_col: str) -> DataFrame:
     """Rank (id, code) rows by asymmetric distance — an explicit left
     fold ((0.0 + t0) + t1) + ... over sub-spaces so the double sums
     replay exactly in SQL — then global top-k via
-    ``TakeOrderedAndProject``.  Output: (rank, id_col)."""
+    ``TakeOrderedAndProject``.  ``tab`` is the literal ADC table from
+    ``_adc_table``; embedding it as a constant array keeps the scan a
+    single narrow pass (no crossJoin, no per-action broadcast).
+    Output: (rank, id_col)."""
     bits = max(1, (n_codes - 1).bit_length())
+    tab_col = (F.array(*[
+        F.lit(None).cast("array<double>") if ds is None
+        else F.array(*[_lit_double(d) for d in ds]) for ds in tab])
+        if tab else F.array().cast("array<array<double>>"))
     adc = F.lit(0.0)
     for s in range(n_sub):
         code_s = (F.shiftright(F.col("code"), bits * s)
                   .bitwiseAND((1 << bits) - 1)).cast("int")
-        adc = adc + F.element_at(F.element_at(F.col("tab"), code_s + 1),
+        adc = adc + F.element_at(F.element_at(tab_col, code_s + 1),
                                  s + 1)
-    ranked = (codes.crossJoin(tab)
-              .select("id", adc.alias("adc")))
+    ranked = codes.select("id", adc.alias("adc"))
     w = Window.orderBy(F.col("adc").asc(), F.col("id").asc())
     return (ranked.orderBy(F.col("adc").asc(), F.col("id").asc())
             .limit(k)

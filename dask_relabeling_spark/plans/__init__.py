@@ -114,6 +114,11 @@ _CHANGED = [
     ("dedup_prefix_jaccard", 16),
     ("dedup_prefix_clusters", 16),
     ("dedup_segment_then_prefix", 16),
+    # round 16 (optimization): prefix-table sz rides the rk window's
+    # sort (one Sort instead of two) and the segment winner is a
+    # hash-aggregable DECIMAL pack instead of min(struct) — plans
+    # changed, results value-identical (operators/dedup.py)
+    ("docs_segment_dedup", 16),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
