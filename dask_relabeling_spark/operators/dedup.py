@@ -253,6 +253,18 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Convergence is detected by the exact (decimal, overflow-free) sum of
     labels, which strictly decreases while any label changes — one
     cheap aggregate action per iteration instead of a change-count join.
+
+    The checkpoints are LAZY (``eager=False``, round 16): an eager
+    checkpoint runs its own materialization job and the convergence
+    aggregate then runs a SECOND job over the stored blocks, so every
+    iteration paid two job round-trips where one suffices — the
+    aggregate action itself materializes the checkpoint blocks as a
+    side effect (the same fusion ``functions/ids.py::
+    exclusive_prefix_sum`` relies on), and the next iteration's join
+    reads those blocks exactly as before.  Guide §1.2: the
+    per-iteration job overhead is part of the algorithm's step cost;
+    halving the actions removes one scheduling round-trip per
+    iteration without touching the label math.
     """
     # Persist the PAIR LIST, not the symmetrized union: the two union
     # arms would otherwise each embed the full upstream candidate
@@ -266,7 +278,8 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                  core.select(F.col("id_b").alias("s"),
                              F.col("id_a").alias("d"))))
     labels = (edges.select(F.col("s").alias("id")).distinct()
-              .select("id", F.col("id").alias("lbl")).localCheckpoint())
+              .select("id", F.col("id").alias("lbl"))
+              .localCheckpoint(eager=False))
     prev = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
     for _ in range(max_iter):
         cand = (edges.join(labels.withColumnRenamed("id", "sid"),
@@ -277,7 +290,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                   .select("id", F.least(
                       F.col("lbl"),
                       F.coalesce("nbr_lbl", F.col("lbl"))).alias("lbl"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         cur = labels.agg(
             F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
         if cur == prev:

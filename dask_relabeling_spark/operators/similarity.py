@@ -410,49 +410,70 @@ def ivf_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
-def _probe_cells(cents: DataFrame, qdf: DataFrame, n_probe: int
-                 ) -> List:
-    """Select the ``n_probe`` coarse cells nearest the query.  Runs as
-    a Spark job over the (cid, cv) centroid frame — never driver-side
-    numpy — so the float fold order matches the cell-assignment
-    expression exactly.  Returns the probed cid list (<= n_probe
-    rows collected)."""
-    return [r["cid"] for r in
-            (cents.crossJoin(F.broadcast(qdf))
-             .select("cid", cosine(F.col("cv"), F.col("qv")).alias("cos"))
-             .orderBy(F.desc("cos"), "cid").limit(n_probe).collect())]
+def _probe_and_adc(cents: DataFrame, qdf: DataFrame, n_probe: int,
+                   n_codes: int, n_sub: int, sub_dim: int,
+                   cb: Optional[DataFrame] = None):
+    """Probe-cell selection AND the ADC lookup table from ONE job over
+    the tiny quantizer metadata — ``(probe_cids, tab)``.
 
+    Previously these were two separate driver actions — a probe
+    collect over the centroid frame and an ADC ``first()`` over the
+    codebook frame — each paying a full job round-trip (scheduling +
+    codegen of the HOF folds + a tiny-parquet read) per query; the
+    r16 decomposition measured them as per-job fixed costs, not data
+    (guide §1.2/§2.4: two consumers of tiny metadata share one pass).
+    With ``cb=None`` the PQ codebook is the ``n_codes`` lowest-cid
+    centroid rows (how ``pq_codes`` itself derives it — the
+    rebuild-per-query path), so one scan of ``cents`` serves both;
+    with an explicit ``cb`` frame (the stored-index path, where a
+    trained-quantizer build may write a codebook that is NOT a
+    centroid prefix) the two frames ride one job as a tagged union.
 
-def _adc_table(cb: DataFrame, qdf: DataFrame, n_sub: int, sub_dim: int
-               ) -> list:
-    """ADC lookup table: list over codebook RANK (cid-sorted position —
-    matching the rank ``pq_codes`` packs) of list over sub-space of the
-    query's sub-L2 to that codebook entry.
-
-    Computed ENGINE-SIDE (the same zip_with/aggregate fold orders as
-    the build, so SQL replays it bit-for-bit) but materialized ONCE via
-    ``first()`` and returned as plain Python floats (round 16): the
-    previous shape returned a 1-row DataFrame that ``_adc_topk``
-    crossJoined as a broadcast, so EVERY action re-ran the
-    codebook-read + agg as a BroadcastExchange build — a per-query
-    fixed cost the n_sub x n_codes (32-double) table does not need.
-    Collected doubles round-trip to Python floats and back to literals
-    exactly, so ranks are unchanged."""
+    Fold orders are unchanged: ``cos`` is the ``cosine()`` expression
+    verbatim (cell assignment's fold), each ``ds[s]`` the
+    ``pq_codes``/build sub-L2 fold verbatim, both computed engine-side
+    and collected as exact Python floats.  Only the top-``n_probe``
+    SELECTION moves driver-side, over those exact doubles: Spark's
+    ``orderBy(desc(cos), cid)`` is DESC NULLS LAST with cos either
+    NULL or finite (``cosine`` maps NaN/zero-norm to NULL, and ±Inf is
+    unreachable — see its docstring), which the key below reproduces
+    exactly (Python float comparison == IEEE double comparison; -0.0
+    ties 0.0 on both sides and the cid tiebreak decides).  The ADC
+    table is the codebook rows cid-ascending — exactly the old
+    ``array_sort(collect_list(struct(cid, ds)))``.  Parity with the
+    two-job formulation is pinned in
+    tests/test_similarity.py::test_fused_probe_adc_matches_two_jobs."""
     def q_sub_l2(s: int) -> Column:
         a = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
         b = F.slice(F.col("cv"), s * sub_dim + 1, sub_dim)
         return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
                            F.lit(0.0), lambda acc, d: acc + d)
 
-    tab_rows = (cb.crossJoin(F.broadcast(qdf))
-                .select("cid", F.array(*[q_sub_l2(s)
-                                         for s in range(n_sub)])
-                        .alias("ds")))
-    row = tab_rows.agg(F.transform(
-        F.array_sort(F.collect_list(F.struct("cid", "ds"))),
-        lambda e: e["ds"]).alias("tab")).first()
-    tab = row["tab"] if row["tab"] is not None else []
-    return [None if ds is None else list(ds) for ds in tab]
+    src = cents.select("cid", "cv")
+    if cb is not None:
+        src = (src.withColumn("pq", F.lit(False))
+               .unionByName(cb.select("cid", "cv")
+                            .withColumn("pq", F.lit(True))))
+    else:
+        src = src.withColumn("pq", F.lit(None).cast("boolean"))
+    rows = (src.crossJoin(F.broadcast(qdf))
+            .select("cid", "pq",
+                    cosine(F.col("cv"), F.col("qv")).alias("cos"),
+                    F.array(*[q_sub_l2(s) for s in range(n_sub)])
+                    .alias("ds"))
+            .collect())
+    cent_rows = [r for r in rows if not r["pq"]] if cb is not None else rows
+    by_cos = sorted(cent_rows,
+                    key=lambda r: (r["cos"] is None,
+                                   -r["cos"] if r["cos"] is not None
+                                   else 0.0,
+                                   r["cid"]))
+    probe = [r["cid"] for r in by_cos[:n_probe]]
+    cb_rows = (sorted((r for r in rows if r["pq"]),
+                      key=lambda r: r["cid"]) if cb is not None
+               else sorted(rows, key=lambda r: r["cid"])[:n_codes])
+    tab = [None if r["ds"] is None else list(r["ds"]) for r in cb_rows]
+    return probe, tab
 
 
 def _lit_double(x) -> Column:
@@ -515,16 +536,15 @@ def ivfpq_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
     cents = (df.select(F.col(id_col).alias("cid"),
                        as_vec(vec_col).alias("cv"))
              .orderBy("cid").limit(n_centroids))
-    probe = _probe_cells(cents, qdf, n_probe)
+    # one metadata job: the codebook is the n_codes lowest-cid centroid
+    # rows, so the probe cosines and the ADC table share one scan
+    probe, tab = _probe_and_adc(cents, qdf, n_probe, n_codes,
+                                n_sub, sub_dim)
     cells = ivf_cells(df, n_centroids, id_col, vec_col)
     cand = (cells.filter(F.col("cell").isin(probe))
             .select("id"))
     codes = pq_codes(df, n_sub, sub_dim, n_codes, id_col, vec_col) \
         .join(cand, "id")
-    cb = (df.select(F.col(id_col).alias("cid"),
-                    as_vec(vec_col).alias("cv"))
-          .orderBy("cid").limit(n_codes))
-    tab = _adc_table(cb, qdf, n_sub, sub_dim)
     return _adc_topk(codes, tab, k, n_sub, n_codes, id_col)
 
 
@@ -638,10 +658,15 @@ def ivfpq_topk_indexed(spark, path: str, query_vec: Sequence[float],
     qdf = spark.createDataFrame([(list(float(v) for v in query_vec),)],
                                 "qv array<double>")
     cents = spark.read.parquet(f"{path}/centroids")
-    probe = _probe_cells(cents, qdf, n_probe)
+    cb = spark.read.parquet(f"{path}/codebook")
+    # one metadata job (round 16): probe selection and the ADC table
+    # ride a single tagged-union scan of the two tiny metadata tables
+    # instead of two driver actions (the codebook stays an independent
+    # frame — a trained-quantizer build may write one that is not a
+    # centroid prefix)
+    probe, tab = _probe_and_adc(cents, qdf, n_probe, n_codes,
+                                n_sub, sub_dim, cb=cb)
     codes = (spark.read.parquet(f"{path}/index")
              .filter(F.col("cell").isin([int(c) for c in probe]))
              .select("id", "code"))
-    cb = spark.read.parquet(f"{path}/codebook")
-    tab = _adc_table(cb, qdf, n_sub, sub_dim)
     return _adc_topk(codes, tab, k, n_sub, n_codes, id_col)

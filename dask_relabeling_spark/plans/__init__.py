@@ -119,6 +119,17 @@ _CHANGED = [
     # hash-aggregable DECIMAL pack instead of min(struct) — plans
     # changed, results value-identical (operators/dedup.py)
     ("docs_segment_dedup", 16),
+    # round 16 (optimization, session 4): connected_components'
+    # per-iteration localCheckpoint is now lazy (the convergence
+    # aggregate materializes it — one job per iteration instead of
+    # two) and the IVF-PQ probe selection + ADC table ride ONE
+    # metadata job instead of two driver actions; results identical
+    # (parity pinned in tests/test_similarity.py and
+    # tests/test_r16_sortcuts.py), job counts 9->6 (ivfpq query) and
+    # 37->34 (prefix clusters).  The already-flagged ann_ivfpq_* and
+    # dedup_*prefix* rows above cover the other affected entries.
+    ("dedup_cluster_canonical", 16),
+    ("ann_recall_panel", 16),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(

@@ -71,3 +71,34 @@ def test_segment_winner_same_doc_repeat(spark):
     finally:
         release_persists()
     assert [r["clean_text"] for r in out] == ["a b c d e f g h"]
+
+
+def test_cc_lazy_checkpoint_deep_chain(spark):
+    """Round-16 pin for the lazy-checkpoint CC iteration (the
+    convergence aggregate materializes each iteration's checkpoint in
+    the SAME job): a diameter-8 chain forces several propagation
+    rounds through checkpointed labels, and the output must be the
+    brute-force union-find fixpoint — every node labeled with its
+    component's minimum id, early convergence exit included."""
+    from dask_relabeling_spark.operators.dedup import connected_components
+    chain = [(i, i + 1) for i in range(30, 38)]        # diameter 8
+    extra = [(50, 52), (52, 51), (7, 3)]               # two small comps
+    pairs = spark.createDataFrame(chain + extra, ["id_a", "id_b"])
+    got = dict(connected_components(pairs).collect())
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in chain + extra:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+    assert got == want
+    release_persists()

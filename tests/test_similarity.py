@@ -71,3 +71,73 @@ def test_fused_build_handles_nan_components(spark):
             for r in cells.join(codes, "id")
             .filter(F.col("id") >= 12).collect()}
     assert dirty == want and len(dirty) == 3
+
+
+def test_fused_probe_adc_matches_two_jobs(spark):
+    """Round-16 pin: the single-job ``_probe_and_adc`` must reproduce
+    the two-job formulation it replaced — an engine-side probe
+    ``orderBy(desc(cos), cid).limit(n)`` collect plus an engine-side
+    ``array_sort(collect_list(struct(cid, ds)))`` ADC ``first()`` —
+    on a corpus whose centroid window includes a NULL embedding, a
+    NaN-component (ill-formed) vector, and a zero vector, i.e. NULL
+    cosines exercising the DESC-NULLS-LAST driver-side replay."""
+    corpus = _corpus(spark, n=6)  # dirty tail ids 6..8 inside the
+    n_centroids, n_codes, n_sub, sub_dim = 9, 4, 8, 8  # centroid window
+    qv = [float(d % 5 - 2) / 2.0 for d in range(64)]
+    qdf = spark.createDataFrame([(qv,)], "qv array<double>")
+    cents = (corpus.select(F.col("vec_id").alias("cid"),
+                           S.as_vec("embedding").alias("cv"))
+             .orderBy("cid").limit(n_centroids))
+    cb = (corpus.select(F.col("vec_id").alias("cid"),
+                        S.as_vec("embedding").alias("cv"))
+          .orderBy("cid").limit(n_codes))
+
+    # the exact pre-fusion two-job path
+    want_probe = [r["cid"] for r in
+                  (cents.crossJoin(F.broadcast(qdf))
+                   .select("cid", S.cosine(F.col("cv"),
+                                           F.col("qv")).alias("cos"))
+                   .orderBy(F.desc("cos"), "cid").limit(3).collect())]
+
+    def q_sub_l2(s):
+        a = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+        b = F.slice(F.col("cv"), s * sub_dim + 1, sub_dim)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, d: acc + d)
+
+    row = (cb.crossJoin(F.broadcast(qdf))
+           .select("cid", F.array(*[q_sub_l2(s) for s in range(n_sub)])
+                   .alias("ds"))
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("cid", "ds"))),
+               lambda e: e["ds"]).alias("tab")).first())
+    want_tab = [None if ds is None else list(ds) for ds in row["tab"]]
+
+    got_probe, got_tab = S._probe_and_adc(cents, qdf, 3, n_codes,
+                                          n_sub, sub_dim)
+    assert got_probe == want_probe
+    assert got_tab == want_tab  # exact float equality — same folds
+
+    # explicit-codebook path (stored-index layout): same answers when
+    # cb is passed as its own frame instead of derived as the prefix
+    got_probe2, got_tab2 = S._probe_and_adc(cents, qdf, 3, n_codes,
+                                            n_sub, sub_dim, cb=cb)
+    assert (got_probe2, got_tab2) == (want_probe, want_tab)
+
+    # and a NON-prefix codebook (trained-quantizer contract) must be
+    # honored, not silently replaced by the centroid prefix
+    cb_off = (corpus.select(F.col("vec_id").alias("cid"),
+                            S.as_vec("embedding").alias("cv"))
+              .filter(F.col("vec_id").between(2, 5)))
+    row_off = (cb_off.crossJoin(F.broadcast(qdf))
+               .select("cid", F.array(*[q_sub_l2(s)
+                                        for s in range(n_sub)])
+                       .alias("ds"))
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("cid", "ds"))),
+                   lambda e: e["ds"]).alias("tab")).first())
+    want_off = [None if ds is None else list(ds) for ds in row_off["tab"]]
+    _, got_off = S._probe_and_adc(cents, qdf, 3, n_codes,
+                                  n_sub, sub_dim, cb=cb_off)
+    assert got_off == want_off
