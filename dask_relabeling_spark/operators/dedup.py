@@ -277,7 +277,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
              .unionByName(
                  core.select(F.col("id_b").alias("s"),
                              F.col("id_a").alias("d"))))
-    labels = (edges.select(F.col("s").alias("id")).distinct()
+    # node set from ONE read of core, not the two-armed edges union
+    # (round 16): the init job is the one that MATERIALIZES the
+    # persisted core, and two union arms in a single stage race to
+    # compute the same not-yet-cached partitions concurrently — each
+    # task pays the upstream candidate pipeline again.  explode keeps
+    # the read single; the set of ids is identical (union of both
+    # endpoint columns).  The iteration joins still use the union
+    # form, by which point core is cached and re-reading it is free.
+    labels = (core.select(F.explode(F.array("id_a", "id_b")).alias("id"))
+              .distinct()
               .select("id", F.col("id").alias("lbl"))
               .localCheckpoint(eager=False))
     prev = labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
