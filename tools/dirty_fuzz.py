@@ -240,12 +240,33 @@ def run_media_fuzz(spark, rng: random.Random, quiet: bool = True):
     bad, n_loud, n_run = [], 0, 0
     base = {}
 
+    # Python-runner teardown race (observed on Spark 4.1 in long-lived
+    # local sessions): this panel intentionally crashes Python workers
+    # dozens of times in sequence, and occasionally the NEXT task trips
+    # over a half-torn-down reused worker — the job then aborts with
+    # java.nio.channels.ClosedSelectorException (raised inside
+    # BasePythonRunner$ReaderInputStream.read, no Python traceback at
+    # all), which this gate would misread as an anonymous decode error.
+    # One retry is the honest classifier: every corruption case is
+    # deterministic, so a REAL anonymous decode error reproduces on the
+    # retry, while the worker race (infrastructure, not a decode
+    # verdict) does not.  The retry fires ONLY on the known
+    # infrastructure signatures AND only when the error carries no
+    # media_id — a properly attributed loud failure is never re-run.
+    infra = ("ClosedSelectorException", "ClosedByInterruptException",
+             "Python worker exited unexpectedly")
+
     def outcome(stage, kind, payload, mid):
-        try:
-            return ("ok", _run_media_stage(spark, stage, kind, payload,
-                                           mid))
-        except Exception as exc:  # noqa: BLE001 — classified below
-            return ("err", str(exc))
+        for attempt in range(2):
+            try:
+                return ("ok", _run_media_stage(spark, stage, kind,
+                                               payload, mid))
+            except Exception as exc:  # noqa: BLE001 — classified below
+                val = str(exc)
+                if (attempt == 0 and f"media_id={mid}" not in val
+                        and any(sig in val for sig in infra)):
+                    continue
+                return ("err", val)
 
     for kind, stages in MEDIA_STAGES.items():
         for stage in stages:
