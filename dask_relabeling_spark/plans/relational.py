@@ -184,19 +184,42 @@ def q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: partial+final hash aggregation over the fact
     table.  All monetary aggregates ride the exact DECIMAL(27,9)
     convention (round 16 — a dirty corpus salting sub-cent prices
-    lands double rounds on splitting halves; see finite_or_null)."""
+    lands double rounds on splitting halves; see finite_or_null).
+
+    The DECIMAL casts are PRE-PROJECTED once per column (round 17):
+    codegen does not share a ``cast(... as decimal)`` child across
+    aggregate functions, so the agg-embedded form paid the
+    Double.toString+BigDecimal cast per aggregate per row (~6 casts/
+    row here; measured q1 1.17 -> 0.85 s interleaved min at sf0.1,
+    value-identical — guide §1.2 per-task work).  min/max ride the
+    DOUBLE and cast once per group: a monotone non-decreasing cast
+    commutes with min/max exactly (ties collapse to the same decimal
+    either way), so the value is provably unchanged."""
     li = t(spark, sf_dir, "lineitem")
-    return (li.filter(F.col("l_shipdate") <= "2000-09-02")
-            .groupBy("l_returnflag", "l_linestatus")
+    qf = finite_or_null("l_quantity")
+    epf = finite_or_null("l_extendedprice")
+    pre = (li.filter(F.col("l_shipdate") <= "2000-09-02")
+           .select("l_returnflag", "l_linestatus",
+                   qf.cast("decimal(27,9)").alias("_q9"),
+                   epf.cast("decimal(27,9)").alias("_ep9"),
+                   finite_or_null(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount")))
+                   .cast("decimal(27,9)").alias("_dp9"),
+                   qf.alias("_qf"), epf.alias("_epf")))
+    return (pre.groupBy("l_returnflag", "l_linestatus")
             .agg(F.count("*").alias("count_order"),
-                 dec_sum("l_quantity").alias("sum_qty"),
-                 dec_sum("l_extendedprice").alias("sum_base_price"),
-                 dec_sum(F.col("l_extendedprice")
-                         * (1 - F.col("l_discount")))
+                 F.round(F.sum("_q9"), 2).cast("double").alias("sum_qty"),
+                 F.round(F.sum("_ep9"), 2).cast("double")
+                 .alias("sum_base_price"),
+                 F.round(F.sum("_dp9"), 2).cast("double")
                  .alias("sum_disc_price"),
-                 dec_avg("l_quantity", 6).alias("avg_qty"),
-                 dec_min("l_extendedprice").alias("min_price"),
-                 dec_max("l_extendedprice").alias("max_price")))
+                 # same deterministic quotient as dec_avg: exact
+                 # DECIMAL sum -> double once -> one IEEE division
+                 dec_round(F.try_divide(F.sum("_q9").cast("double"),
+                                        F.count("_qf")), 6)
+                 .alias("avg_qty"),
+                 dec_round(F.min("_epf"), 2).alias("min_price"),
+                 dec_round(F.max("_epf"), 2).alias("max_price")))
 
 
 # ------------------------------------------------- 3. broadcast equi-join
@@ -209,14 +232,23 @@ GROUP BY p.p_brand
 """)
 def broadcast_join_brand_revenue(spark, sf_dir):
     """Small dim broadcast into the fact scan — no shuffle of lineitem for
-    the join itself (only the final agg exchanges)."""
+    the join itself (only the final agg exchanges).  The revenue
+    DECIMAL cast is projected BEFORE the join (round 17, guide §2.3:
+    project before the exchange/join): the probe rows carry one
+    16-byte decimal instead of two doubles, and the cast sits in the
+    scan stage instead of per-aggregate — measured 0.78 -> 0.69 s
+    interleaved min at sf0.1, value-identical (an inner equi-join
+    evaluates the cast exactly once per surviving row either way)."""
     li, part = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "part")
+    li = li.select("l_partkey",
+                   finite_or_null(F.col("l_extendedprice")
+                                  * (1 - F.col("l_discount")))
+                   .cast("decimal(27,9)").alias("_dp9"))
     return (li.join(F.broadcast(part),
                     li.l_partkey == part.p_partkey)
             .groupBy("p_brand")
             .agg(F.count("*").alias("n_items"),
-                 dec_sum(F.col("l_extendedprice")
-                         * (1 - F.col("l_discount"))).alias("revenue")))
+                 F.round(F.sum("_dp9"), 2).cast("double").alias("revenue")))
 
 
 # -------------------------------------------------- 4. shuffle join + topk
