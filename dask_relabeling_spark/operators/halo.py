@@ -110,6 +110,10 @@ def _mmh3_int32(x: int, seed: int = 42) -> int:
 # partition p of n (coupon-collector search, deterministic from v=0)
 _PART_SALTS: dict = {}
 
+# Grids at or below this tile count skip the salted placement (see
+# apply_by_tile_key's SMALL-GRID FALLBACK note for the measurements).
+_SMALL_GRID_TILES = 8
+
 
 def _salts_for(n: int) -> list:
     salts = _PART_SALTS.get(n)
@@ -168,12 +172,28 @@ def apply_by_tile_key(df: DataFrame, nd: int, grid, fn, schema):
     as before.  Known trade vs AQE: a byte-skewed tile mix is balanced
     by COUNT not bytes — acceptable because kernel cost tracks tile
     count/geometry, and a plain groupBy could not split a single huge
-    key either."""
+    key either.
+
+    SMALL-GRID FALLBACK (round 17): grids of <= ``_SMALL_GRID_TILES``
+    tiles go through the plain ``groupBy`` instead.  Salting exists to
+    defeat AQE's byte-coalescing of MANY byte-tiny kernel groups (the
+    16-tile 2D grids, where it re-measured 2.0 vs 5.6 s min on a quiet
+    r17 box); on the 4-tile 3D grid the groups are ~31 MB pieces AQE
+    never coalesces anyway, and pinning every exchange of the chained
+    pipeline to 4 partitions re-measured 7.2-10.5 s vs 3.8-5.8 s plain
+    (fresh-JVM alternating A/B at final r16 HEAD — the driver's r16
+    0.75x reading on the 3D arm was real, not window noise).  The
+    threshold is a property of the GRID, not the box: a handful of
+    groups cannot collide badly under hash spread, while the
+    many-small-groups regime that needs salting only starts when the
+    tile count clears it."""
     keys = key_cols(nd)
     dims = [int(g) for g in grid]
     n_tiles = 1
     for g in dims:
         n_tiles *= g
+    if n_tiles <= _SMALL_GRID_TILES:
+        return df.groupBy(*keys).applyInPandas(fn, schema)
     spark = df.sparkSession
     try:
         width = int(spark.conf.get("spark.sql.shuffle.partitions"))
