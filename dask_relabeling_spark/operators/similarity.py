@@ -412,7 +412,8 @@ def ivf_cosine_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
 
 def _probe_and_adc(cents: DataFrame, qdf: DataFrame, n_probe: int,
                    n_codes: int, n_sub: int, sub_dim: int,
-                   cb: Optional[DataFrame] = None):
+                   cb: Optional[DataFrame] = None,
+                   engine_topk: bool = False):
     """Probe-cell selection AND the ADC lookup table from ONE job over
     the tiny quantizer metadata — ``(probe_cids, tab)``.
 
@@ -442,36 +443,77 @@ def _probe_and_adc(cents: DataFrame, qdf: DataFrame, n_probe: int,
     table is the codebook rows cid-ascending — exactly the old
     ``array_sort(collect_list(struct(cid, ds)))``.  Parity with the
     two-job formulation is pinned in
-    tests/test_similarity.py::test_fused_probe_adc_matches_two_jobs."""
+    tests/test_similarity.py::test_fused_probe_adc_matches_two_jobs.
+
+    SCALE GUARD (round 17, ``engine_topk``): the default path collects
+    the full centroid frame — right for the handful-of-centroids
+    quantizers this module registers (an interleaved A/B measured the
+    engine-side alternative +0.4 s per query of pure plan overhead at
+    n_centroids=8), wrong for a trained quantizer's 10^4-10^6
+    centroids, where it is a driver-side materialization in a query
+    path.  With ``engine_topk=True`` the top-``n_probe`` selection
+    runs engine-side (``orderBy(desc(cos), cid).limit`` — the exact
+    pre-r16 ``_probe_cells`` selection, identical keys to the driver
+    sort) and the codebook rides the SAME single collect as a tagged
+    union, so the one-job shape is kept and the collect returns at
+    most n_probe + n_codes (+ explicit-cb) rows regardless of
+    quantizer size.  Callers flip it from what they know —
+    ``ivfpq_topk`` from its ``n_centroids`` argument,
+    ``ivfpq_topk_indexed`` from the stored centroid table's on-disk
+    footprint (a driver-side FS metadata call, no job).  Parity of
+    both paths — including a 10^4-centroid frame — is pinned in
+    tests/test_similarity.py::test_fused_probe_adc_large_quantizer."""
     def q_sub_l2(s: int) -> Column:
         a = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
         b = F.slice(F.col("cv"), s * sub_dim + 1, sub_dim)
         return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
                            F.lit(0.0), lambda acc, d: acc + d)
 
-    src = cents.select("cid", "cv")
-    if cb is not None:
-        src = (src.withColumn("pq", F.lit(False))
-               .unionByName(cb.select("cid", "cv")
-                            .withColumn("pq", F.lit(True))))
+    def scored(frame):
+        # ONE crossJoin+select over the (possibly unioned) source: the
+        # cos/ds HOF folds codegen once — duplicating them per union
+        # arm measured +0.25 s of pure plan overhead per query
+        return (frame.crossJoin(F.broadcast(qdf))
+                .select("cid", "pq",
+                        cosine(F.col("cv"), F.col("qv")).alias("cos"),
+                        F.array(*[q_sub_l2(s) for s in range(n_sub)])
+                        .alias("ds")))
+
+    if engine_topk:
+        csrc = scored(cents.select("cid", "cv")
+                      .withColumn("pq", F.lit(False)))
+        probe_side = csrc.orderBy(F.desc("cos"), "cid").limit(n_probe)
+        cb_side = (scored(cb.select("cid", "cv")
+                          .withColumn("pq", F.lit(True)))
+                   if cb is not None
+                   else csrc.orderBy("cid").limit(n_codes)
+                   .withColumn("pq", F.lit(True)))
+        rows = probe_side.unionByName(cb_side).collect()
+        # a union's collect order is not a contract — the driver
+        # re-sorts the <= n_probe + n_codes collected rows below with
+        # the same keys the engine used
+        cent_rows = [r for r in rows if not r["pq"]]
+        cb_rows = [r for r in rows if r["pq"]]
     else:
-        src = src.withColumn("pq", F.lit(None).cast("boolean"))
-    rows = (src.crossJoin(F.broadcast(qdf))
-            .select("cid", "pq",
-                    cosine(F.col("cv"), F.col("qv")).alias("cos"),
-                    F.array(*[q_sub_l2(s) for s in range(n_sub)])
-                    .alias("ds"))
-            .collect())
-    cent_rows = [r for r in rows if not r["pq"]] if cb is not None else rows
+        src = cents.select("cid", "cv")
+        if cb is not None:
+            src = (src.withColumn("pq", F.lit(False))
+                   .unionByName(cb.select("cid", "cv")
+                                .withColumn("pq", F.lit(True))))
+        else:
+            src = src.withColumn("pq", F.lit(None).cast("boolean"))
+        rows = scored(src).collect()
+        cent_rows = ([r for r in rows if not r["pq"]] if cb is not None
+                     else rows)
+        cb_rows = ([r for r in rows if r["pq"]] if cb is not None
+                   else sorted(rows, key=lambda r: r["cid"])[:n_codes])
     by_cos = sorted(cent_rows,
                     key=lambda r: (r["cos"] is None,
                                    -r["cos"] if r["cos"] is not None
                                    else 0.0,
                                    r["cid"]))
     probe = [r["cid"] for r in by_cos[:n_probe]]
-    cb_rows = (sorted((r for r in rows if r["pq"]),
-                      key=lambda r: r["cid"]) if cb is not None
-               else sorted(rows, key=lambda r: r["cid"])[:n_codes])
+    cb_rows = sorted(cb_rows, key=lambda r: r["cid"])
     tab = [None if r["ds"] is None else list(r["ds"]) for r in cb_rows]
     return probe, tab
 
@@ -479,6 +521,33 @@ def _probe_and_adc(cents: DataFrame, qdf: DataFrame, n_probe: int,
 def _lit_double(x) -> Column:
     return (F.lit(None).cast("double") if x is None
             else F.lit(float(x)))
+
+
+# Quantizer-size bounds for the full-collect probe path (see
+# _probe_and_adc's SCALE GUARD note): a known centroid COUNT above the
+# first, or a stored centroid table whose on-disk BYTES exceed the
+# second, flips the probe selection engine-side.  Both are bounds on
+# what a query path may pull to the driver, far below broadcast-size
+# territory; the registered 8-centroid quantizers sit orders of
+# magnitude under them either way.
+_COLLECT_MAX_CENTROIDS = 1024
+_COLLECT_MAX_METADATA_BYTES = 8 * 1024 * 1024
+
+
+def _stored_metadata_is_small(spark, path: str) -> bool:
+    """True when the stored table under ``path`` is small enough to
+    collect whole — decided from the FS content summary (driver-side
+    metadata, no Spark job).  Unknown/failed lookups answer False:
+    the engine-side selection is the safe default at scale."""
+    try:
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(
+            spark.sparkContext._jsc.hadoopConfiguration())
+        return (fs.getContentSummary(hpath).getLength()
+                <= _COLLECT_MAX_METADATA_BYTES)
+    except Exception:
+        return False
 
 
 def _adc_topk(codes: DataFrame, tab: list, k: int, n_sub: int,
@@ -538,8 +607,9 @@ def ivfpq_topk(df: DataFrame, query_vec: Sequence[float], k: int = 10,
              .orderBy("cid").limit(n_centroids))
     # one metadata job: the codebook is the n_codes lowest-cid centroid
     # rows, so the probe cosines and the ADC table share one scan
-    probe, tab = _probe_and_adc(cents, qdf, n_probe, n_codes,
-                                n_sub, sub_dim)
+    probe, tab = _probe_and_adc(
+        cents, qdf, n_probe, n_codes, n_sub, sub_dim,
+        engine_topk=n_centroids > _COLLECT_MAX_CENTROIDS)
     cells = ivf_cells(df, n_centroids, id_col, vec_col)
     cand = (cells.filter(F.col("cell").isin(probe))
             .select("id"))
@@ -663,9 +733,13 @@ def ivfpq_topk_indexed(spark, path: str, query_vec: Sequence[float],
     # ride a single tagged-union scan of the two tiny metadata tables
     # instead of two driver actions (the codebook stays an independent
     # frame — a trained-quantizer build may write one that is not a
-    # centroid prefix)
-    probe, tab = _probe_and_adc(cents, qdf, n_probe, n_codes,
-                                n_sub, sub_dim, cb=cb)
+    # centroid prefix).  The stored quantizer's size is unknown at
+    # plan time, so the full-collect/engine-side decision comes from
+    # the centroid table's on-disk footprint (round 17 scale guard).
+    probe, tab = _probe_and_adc(
+        cents, qdf, n_probe, n_codes, n_sub, sub_dim, cb=cb,
+        engine_topk=not _stored_metadata_is_small(
+            spark, f"{path}/centroids"))
     codes = (spark.read.parquet(f"{path}/index")
              .filter(F.col("cell").isin([int(c) for c in probe]))
              .select("id", "code"))

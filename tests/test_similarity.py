@@ -141,3 +141,62 @@ def test_fused_probe_adc_matches_two_jobs(spark):
     _, got_off = S._probe_and_adc(cents, qdf, 3, n_codes,
                                   n_sub, sub_dim, cb=cb_off)
     assert got_off == want_off
+
+
+def test_fused_probe_adc_large_quantizer(spark):
+    """Round-17 scale guard: with a 10^4-centroid frame the fused
+    probe/ADC job must return the same selection as the explicit
+    two-job formulation — and it must do so through the engine-side
+    ``orderBy(desc(cos), cid).limit(n_probe)``, never a full collect
+    of the centroid frame (the plan itself is the guard: the collect
+    returns <= n_probe + n_codes rows by construction)."""
+    n_cent, n_probe, n_codes, n_sub, sub_dim = 10_000, 5, 4, 8, 8
+    dim = n_sub * sub_dim
+    cents = (spark.range(n_cent)
+             .select(F.col("id").cast("long").alias("cid"),
+                     F.array(*[((F.col("id") * (d + 3)) % 97
+                                ).cast("double") / 97.0
+                               for d in range(dim)]).alias("cv")))
+    qv = [float((d * 7) % 13 - 6) / 6.0 for d in range(dim)]
+    qdf = spark.createDataFrame([(qv,)], "qv array<double>")
+
+    want_probe = [r["cid"] for r in
+                  (cents.crossJoin(F.broadcast(qdf))
+                   .select("cid", S.cosine(F.col("cv"),
+                                           F.col("qv")).alias("cos"))
+                   .orderBy(F.desc("cos"), "cid")
+                   .limit(n_probe).collect())]
+
+    def q_sub_l2(s):
+        a = F.slice(F.col("qv"), s * sub_dim + 1, sub_dim)
+        b = F.slice(F.col("cv"), s * sub_dim + 1, sub_dim)
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0), lambda acc, d: acc + d)
+
+    row = (cents.orderBy("cid").limit(n_codes).crossJoin(F.broadcast(qdf))
+           .select("cid", F.array(*[q_sub_l2(s) for s in range(n_sub)])
+                   .alias("ds"))
+           .agg(F.transform(
+               F.array_sort(F.collect_list(F.struct("cid", "ds"))),
+               lambda e: e["ds"]).alias("tab")).first())
+    want_tab = [None if ds is None else list(ds) for ds in row["tab"]]
+
+    got_probe, got_tab = S._probe_and_adc(cents, qdf, n_probe, n_codes,
+                                          n_sub, sub_dim,
+                                          engine_topk=True)
+    assert got_probe == want_probe
+    assert got_tab == want_tab
+
+    # the full-collect path answers identically (the flag is a scale
+    # guard, never a semantics switch) — both with the prefix codebook
+    # and with an explicit codebook frame on both paths
+    small_probe, small_tab = S._probe_and_adc(cents, qdf, n_probe,
+                                              n_codes, n_sub, sub_dim)
+    assert (small_probe, small_tab) == (want_probe, want_tab)
+    cbf = cents.orderBy("cid").limit(n_codes)
+    for flag in (False, True):
+        p2, t2 = S._probe_and_adc(cents, qdf, n_probe, n_codes,
+                                  n_sub, sub_dim, cb=cbf,
+                                  engine_topk=flag)
+        assert (p2, t2) == (want_probe, want_tab)
