@@ -38,98 +38,35 @@ from . import curation  # noqa: F401  (round-3 pipeline extensions)
 # round-5/6 failure mode: a stale hand list replayed fresh evidence
 # while genuinely stale entries starved).
 _CHANGED = [
-    # (round-16 prune, standing discipline: all 20 round-15 flags'
-    # post-change greens landed in the committed CORRECTNESS_r15.json
+    # (round-17 prune, standing discipline: all 47 round-16 flags'
+    # post-change greens landed in the committed CORRECTNESS_r16.json
     # artifact, so the expired tuples are removed — expired flags are
     # inert but bury live signal.)
-    # round 16 (verdict item 1): the ~25 TPC-H monetary round sites in
-    # plans/relational.py converted to the finite-only DECIMAL(27,9)
-    # convention (dec_sum/dec_min/dec_max/dec_avg/dec_round helpers;
-    # oracles in lockstep via the _dsum/_davg/_dround fragments).  The
-    # r15 deferral is closed: group sums of 4-decimal products tie at
-    # true half-cents, where the engines' DOUBLE rounds split
-    # (measured scale-2 splitters: 2.175, 0.145, ... — ~6 % of
-    # 3-decimal halves); min/max/avg/percentile sites over salted
-    # sub-cent monetary columns carry the same exposure, and the
-    # q18/q20 HAVING thresholds now compare exact DECIMAL sums.  Also
-    # in the batch: orders_by_year_month's double->DECIMAL(18,2) cent
-    # cast (a scale-2 round that splits on sub-cent prices — now
-    # routed DEC(27,9)->round->DEC(18,2), plus floored division
-    # spelled via positive-mod because Spark DIV truncates where
-    # DuckDB // floors), and the q8/q14 ratios recomputed as
-    # exact-DECIMAL-sum quotients with one deterministic division.
-    ("q1_pricing_summary", 16),
-    ("q3_shipping_priority", 16),
-    ("broadcast_join_brand_revenue", 16),
-    ("salted_brand_revenue", 16),
-    ("discount_band_totals", 16),
-    ("grouped_udf_priority_stats", 16),
-    ("pivot_status_by_priority", 16),
-    ("lineitem_price_quantiles", 16),
-    ("cube_order_stats", 16),
-    ("q18_large_volume_orders", 16),
-    ("profile_orders", 16),
-    ("q5_supplier_nation_volume", 16),
-    ("q6_forecast_revenue", 16),
-    ("q7_volume_shipping", 16),
-    ("q8_market_share", 16),
-    ("q10_returned_items", 16),
-    ("q14_promo_revenue", 16),
-    ("q15_top_supplier", 16),
-    ("q17_small_quantity_revenue", 16),
-    ("q19_disjunctive_revenue", 16),
-    ("q22_idle_customers", 16),
-    ("grouping_sets_revenue", 16),
-    ("parquet_sink_roundtrip", 16),
-    ("q2_min_cost_supplier", 16),
-    ("q9_product_type_profit", 16),
-    ("q11_important_parts", 16),
-    ("q20_excess_suppliers", 16),
-    ("orders_by_year_month", 16),
-    # round 16 (ADVICE): avg_top_decile now divides the exact DECIMAL
-    # sum by the finite count (deterministic across accumulation
-    # orders) instead of casting a full-precision double avg
-    ("events_value_percentiles", 16),
-    # round 16 (optimization): the tile exchanges now ride the salted
-    # operator-placed repartition (operators/halo.apply_by_tile_key) —
-    # plan changed on every relabel query, results byte-identical
-    ("relabel_components", 16),
-    ("relabel_components_summary", 16),
-    ("relabel_components_3d", 16),
-    ("relabel_annotations", 16),
-    ("relabel_annotations_3d", 16),
-    ("relabel_annotations_summary", 16),
-    ("relabel_components_3d_interior", 16),
-    ("relabel_annotations_3d_summary", 16),
-    ("relabel_annotations_tile_interior_counts", 16),
-    ("relabel_annotations_3d_tile_counts", 16),
-    ("relabel_sorted_label_stats", 16),
-    # round 16 (optimization): IVF-PQ index build fused into one corpus
-    # pass (operators/similarity.build_ivfpq_index)
-    ("ann_ivfpq_indexed", 16),
-    ("ann_ivfpq_query", 16),
-    ("ann_ivfpq_topk", 16),
-    # round 16 (optimization): PPJoin prefix + verify-side byid tables
-    # scoped-persisted (operators/dedup.prefix_filtered_jaccard_pairs)
-    ("dedup_prefix_jaccard", 16),
-    ("dedup_prefix_clusters", 16),
-    ("dedup_segment_then_prefix", 16),
-    # round 16 (optimization): prefix-table sz rides the rk window's
-    # sort (one Sort instead of two) and the segment winner is a
-    # hash-aggregable DECIMAL pack instead of min(struct) — plans
-    # changed, results value-identical (operators/dedup.py)
-    ("docs_segment_dedup", 16),
-    # round 16 (optimization, session 4): connected_components'
-    # per-iteration localCheckpoint is now lazy (the convergence
-    # aggregate materializes it — one job per iteration instead of
-    # two) and the IVF-PQ probe selection + ADC table ride ONE
-    # metadata job instead of two driver actions; results identical
-    # (parity pinned in tests/test_similarity.py and
-    # tests/test_r16_sortcuts.py), job counts 9->6 (ivfpq query) and
-    # 37->34 (prefix clusters).  The already-flagged ann_ivfpq_* and
-    # dedup_*prefix* rows above cover the other affected entries.
-    ("dedup_cluster_canonical", 16),
-    ("ann_recall_panel", 16),
+    # round 17 (optimization): q1/brand-revenue DECIMAL casts
+    # pre-projected out of the aggregate functions (one cast per
+    # column per row instead of per aggregate; min/max ride the double
+    # and cast once per group) — values provably identical, plans
+    # changed (plans/relational.py)
+    ("q1_pricing_summary", 17),
+    ("broadcast_join_brand_revenue", 17),
+    # round 17 (optimization): tile grids of <= 8 tiles fall back to
+    # the plain groupBy exchange (operators/halo.apply_by_tile_key) —
+    # the salted placement measured 2x slower on the 4-tile 3D grid;
+    # plans changed on every 3D relabel query, results byte-identical
+    ("relabel_components_3d", 17),
+    ("relabel_annotations_3d", 17),
+    ("relabel_components_3d_interior", 17),
+    ("relabel_annotations_3d_summary", 17),
+    ("relabel_annotations_3d_tile_counts", 17),
+    # round 17 (scale guard): _probe_and_adc collects at most
+    # n_probe + n_codes rows for large quantizers (engine-side
+    # top-n_probe above a size bound; operators/similarity.py) — the
+    # registered 8-centroid arms keep the full-collect path and
+    # identical plans/results, implementation changed
+    ("ann_ivfpq_indexed", 17),
+    ("ann_ivfpq_query", 17),
+    ("ann_ivfpq_topk", 17),
+    ("ann_recall_panel", 17),
 ]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
